@@ -1,0 +1,181 @@
+"""Typed configuration tree.
+
+The reference keeps one flat YAML dict (``expr.pars``) whose observed key set is
+documented in SURVEY.md §5.6 (reference: AL.py:87-109, PW_AL.py:91-113,
+expr_handler.py:91-122).  Here the same keys live in a typed dataclass tree,
+serialized to YAML with the *same key names* so experiment directories stay
+interoperable.  ``ExperimentConfig.pars`` exposes the flat dict view.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import yaml
+
+
+@dataclass
+class DataConfig:
+    """Data/pool definition (reference pars: img_paths, mask_path, stats,
+    grid_spacing, target_shape, mean, data, pool_paths, indiv_img_ind)."""
+
+    img_paths: list = field(default_factory=list)       # per-modality image paths
+    mask_path: Optional[str] = None
+    pool_paths: list = field(default_factory=list)      # multi-subject pools
+    labeled_paths: list = field(default_factory=list)
+    grid_spacing: int = 4
+    target_shape: Optional[Sequence[int]] = None
+    stats: Optional[Any] = None                          # [[mu, sigma], ...] per modality
+    data: Optional[str] = None                           # dataset name tag
+    indiv_img_ind: Optional[int] = None
+
+
+@dataclass
+class ModelConfig:
+    """Model/train definition (reference pars: model_name, patch_shape,
+    learning_rate, dropout_rate, optimizer_name, epochs, b, batch_size,
+    train_layers, grad_layers, init_weights_path, pre_weights_path)."""
+
+    model_name: str = "PW"
+    nclass: int = 2
+    patch_shape: tuple = (25, 25, 1)
+    learning_rate: float = 1e-3
+    dropout_rate: float = 0.5
+    optimizer_name: str = "SGD"
+    epochs: int = 1
+    b: int = 128                      # train batch size (reference: pars['b'])
+    batch_size: int = 128
+    train_layers: list = field(default_factory=list)
+    grad_layers: list = field(default_factory=list)
+    init_weights_path: Optional[str] = None
+    pre_weights_path: Optional[str] = None
+    dtype: str = "float32"            # compute dtype for the forward pass
+    param_dtype: str = "float32"
+
+
+@dataclass
+class QueryConfig:
+    """Query-strategy knobs (reference pars: k, B, ntb, MC_iters, lambda_,
+    SDP_solver, iter_k, init_size, test_ratio)."""
+
+    k: int = 10                       # queries per AL iteration
+    B: int = 200                      # uncertainty-filter size
+    ntb: int = 4096                   # eval (pool-scoring) batch size
+    MC_iters: int = 10
+    lambda_: float = 0.0
+    SDP_solver: str = "device"        # 'device' (jitted A-optimal) | 'scipy'
+    iter_k: Optional[list] = None     # per-iteration k schedule
+    init_size: int = 0
+    test_ratio: float = 0.2
+    shrink_method: str = "sum"
+
+
+@dataclass
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    query: QueryConfig = field(default_factory=QueryConfig)
+    seed: int = 0
+
+    # ------------------------------------------------------------------ #
+    # flat ``pars`` view for parity with the reference's expr.pars dict
+    # ------------------------------------------------------------------ #
+    @property
+    def pars(self) -> dict:
+        flat: dict = {"seed": self.seed}
+        for section in (self.data, self.model, self.query):
+            flat.update(dataclasses.asdict(section))
+        return flat
+
+    @classmethod
+    def from_pars(cls, pars: dict) -> "ExperimentConfig":
+        """Build a config tree from a flat reference-style dict."""
+        cfg = cls()
+        for key, val in pars.items():
+            if key == "seed":
+                cfg.seed = int(val)
+                continue
+            placed = False
+            for section in (cfg.data, cfg.model, cfg.query):
+                if key in {f.name for f in dataclasses.fields(type(section))}:
+                    setattr(section, key, val)
+                    placed = True
+                    break
+            if not placed:
+                # unknown keys are preserved on the experiment for forward-compat
+                setattr(cfg, key, val)
+        if isinstance(cfg.model.patch_shape, list):
+            cfg.model.patch_shape = tuple(cfg.model.patch_shape)
+        return cfg
+
+    # ------------------------------------------------------------------ #
+    # YAML round trip (reference stores YAML in `parameters.txt`)
+    # ------------------------------------------------------------------ #
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(_clean(self.pars), f)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            pars = yaml.safe_load(f)
+        return cls.from_pars(pars or {})
+
+
+def _clean(obj):
+    """Make a pars dict YAML-serializable (tuples -> lists, numpy -> python)."""
+    import numpy as np
+
+    if isinstance(obj, dict):
+        return {k: _clean(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_clean(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def set_parameters(template: dict, overrides: str) -> dict:
+    """Reference-parity CLI override parser (expr_handler.py:91-122):
+    ``"key1=val1,key2=val2"`` with type-preserving coercion against the
+    template's value types."""
+    pars = dict(template)
+    if not overrides:
+        return pars
+    # split on top-level commas only, so list-valued overrides like
+    # "extra=[1,2]" survive
+    items, depth, cur = [], 0, []
+    for ch in overrides:
+        if ch in "[{(":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    for item in items:
+        if not item.strip():
+            continue
+        key, _, raw = item.partition("=")
+        key = key.strip()
+        raw = raw.strip()
+        if key in pars and pars[key] is not None:
+            t = type(pars[key])
+            if t is bool:
+                pars[key] = raw.lower() in ("1", "true", "yes")
+            elif t in (int, float, str):
+                pars[key] = t(raw)
+            else:
+                pars[key] = yaml.safe_load(raw)
+        else:
+            pars[key] = yaml.safe_load(raw)
+    return pars

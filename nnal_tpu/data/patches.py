@@ -1,0 +1,121 @@
+"""Vectorized 3D patch extraction.
+
+The reference's hottest host loop is ``patch_utils.get_patches`` /
+``get_patches_multimg`` (patch_utils.py:1087,1175): a Python for-loop slicing
+one ``(d1, d2, d3)`` window per patch per modality.  Here the whole batch is a
+single jitted XLA gather: ``vmap(lax.dynamic_slice)`` over the index batch on
+a stacked ``(m, D1p, D2p, D3p)`` padded volume, fused with per-modality
+normalization.  Output layout matches the reference: ``(b, d1, d2, m*d3)``
+with modalities concatenated along the depth axis (patch_utils.py:1147-1165).
+
+Index semantics (identical to the reference): ``inds`` are raveled C-order
+indices on the **original** (unpadded) shape; since the pad margin equals the
+patch radius, the window start in the padded volume is exactly the unraveled
+coordinate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+
+def patch_radii(patch_shape: Sequence[int]) -> Tuple[int, int, int]:
+    return tuple(int((s - 1) // 2) for s in patch_shape)
+
+
+def pad_volumes(vols, patch_shape) -> jnp.ndarray:
+    """Stack per-modality volumes into ``(m, D1+2r1, D2+2r2, D3+2r3)``,
+    zero-padded by the patch radii (reference pads with 'constant',
+    patch_utils.py:1124-1132)."""
+    r1, r2, r3 = patch_radii(patch_shape)
+    vols = jnp.stack([jnp.asarray(v) for v in vols], axis=0)
+    return jnp.pad(vols, ((0, 0), (r1, r1), (r2, r2), (r3, r3)))
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "orig_shape"))
+def gather_patches(padded: jnp.ndarray, inds: jnp.ndarray,
+                   patch_shape: Tuple[int, int, int],
+                   orig_shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Gather ``(b, d1, d2, m*d3)`` patches around raveled voxel ``inds``.
+
+    ``padded``: ``(m, D1p, D2p, D3p)`` stacked padded modalities.
+    ``inds``: ``(b,)`` raveled C-order indices on ``orig_shape``.
+    """
+    d1, d2, d3 = patch_shape
+    m = padded.shape[0]
+    x, y, z = _unravel3(inds, orig_shape)
+
+    def one(cx, cy, cz):
+        # window start in the padded volume == original coordinate
+        return jax.lax.dynamic_slice(padded, (0, cx, cy, cz), (m, d1, d2, d3))
+
+    patches = jax.vmap(one)(x, y, z)                 # (b, m, d1, d2, d3)
+    return rearrange(patches, "b m a c d -> b a c (m d)")
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "orig_shape"))
+def gather_patches_normalized(padded: jnp.ndarray, inds: jnp.ndarray,
+                              mu: jnp.ndarray, sigma: jnp.ndarray,
+                              patch_shape: Tuple[int, int, int],
+                              orig_shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Patch gather fused with per-modality ``(x - mu) / sigma`` normalization
+    (reference normalizes after gather, patch_utils.py:1199-1204)."""
+    d3 = patch_shape[2]
+    patches = gather_patches(padded, inds, patch_shape, orig_shape)
+    m = padded.shape[0]
+    # broadcast per-modality stats over the concatenated depth axis
+    mu_full = jnp.repeat(jnp.asarray(mu, patches.dtype), d3)
+    sg_full = jnp.repeat(jnp.asarray(sigma, patches.dtype), d3)
+    assert mu_full.shape[0] == m * d3
+    return (patches - mu_full) / sg_full
+
+
+def gather_labels(mask, inds, orig_shape) -> jnp.ndarray:
+    """Labels at voxel ``inds`` from the (unpadded) mask
+    (reference: ``mask[multinds]``, patch_utils.py:1171)."""
+    mask = jnp.asarray(mask)
+    return mask.reshape(-1)[jnp.asarray(inds)]
+
+
+def gather_patches_multimg(all_padded, img_inds, patch_shape, stats,
+                           masks=None):
+    """Multi-subject gather (reference patch_utils.py:1175): for subject ``j``
+    with non-empty ``img_inds[j]``, gather + normalize patches with that
+    subject's per-modality ``stats[j] = [mu_0, sd_0, mu_1, sd_1, ...]``.
+
+    Returns ``(b_patches, b_labels)`` lists indexed by subject; empty
+    subjects yield empty lists, matching the reference contract.
+    """
+    stats = np.asarray(stats)
+    b_patches = [[] for _ in img_inds]
+    b_labels = [[] for _ in img_inds]
+    for j, inds in enumerate(img_inds):
+        inds = np.asarray(inds, dtype=np.int64)
+        if inds.size == 0:
+            continue
+        padded = all_padded[j]
+        m = padded.shape[0]
+        r = patch_radii(patch_shape)
+        orig_shape = tuple(int(padded.shape[1 + i] - 2 * r[i]) for i in range(3))
+        mu = stats[j, 0::2][:m]
+        sd = stats[j, 1::2][:m]
+        b_patches[j] = gather_patches_normalized(
+            padded, jnp.asarray(inds), mu, sd, tuple(patch_shape), orig_shape)
+        if masks is not None:
+            b_labels[j] = gather_labels(masks[j], inds, orig_shape)
+    return b_patches, b_labels
+
+
+def _unravel3(inds: jnp.ndarray, shape: Tuple[int, int, int]):
+    s1, s2, s3 = shape
+    z = inds % s3
+    rem = inds // s3
+    y = rem % s2
+    x = rem // s2
+    return x, y, z

@@ -1,0 +1,141 @@
+"""Per-sample gradient machinery for Fisher-information querying.
+
+The reference's FI bottleneck is **one sess.run per sample per class** to get
+``grad_posts[j] = d log p(y=j|x) / d theta`` followed by host-side 'sum'
+shrinkage — mean of all entries per layer (NNAL.py:354-414,
+PW_NNAL.py:738-816, NNAL_tools.py:778-831).
+
+TPU-native key idea — the **epsilon trick**: for 'sum' shrinkage only the
+*sum of gradient entries per layer* is needed.  Define
+
+    f(eps) = log p_c( x ; {W_l + eps_l * 1, b_l + eps_l * 1} )
+
+Then ``df/deps_l = sum(dlogp/dW_l) + sum(dlogp/db_l)`` — exactly the layer's
+entry-sum — so ONE reverse-mode pass per (sample, class) yields all L shrunk
+components with O(L) output memory instead of O(#params).  ``vmap`` over
+samples and classes turns the reference's per-sample session loop into a
+single batched XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.models.cnn import apply_cnn
+
+
+def grad_param_layers(spec, params) -> List[str]:
+    """Layers carrying W/b, in spec order (the reference's grad target set)."""
+    return [l.name for l in spec.layers
+            if l.name in params and "W" in params[l.name]]
+
+
+def layer_sizes(spec, params) -> np.ndarray:
+    """numel(W)+numel(b) per grad layer — the shrinkage denominator
+    (reference NNAL_tools.py:784-796)."""
+    return np.array([int(np.prod(params[n]["W"].shape))
+                     + int(np.prod(params[n]["b"].shape))
+                     for n in grad_param_layers(spec, params)])
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def shrunk_class_grads(spec, params, x: jnp.ndarray) -> jnp.ndarray:
+    """'sum'-shrunk per-class log-posterior gradients for a patch batch.
+
+    Returns ``(b, c, L)``: per layer, ``mean of entries of
+    d log p(y=c|x_i) / d theta_layer`` — bit-matching the reference's
+    ``shrink_gradient(..., 'sum')`` output, computed without ever
+    materializing a full per-sample gradient.
+    """
+    names = grad_param_layers(spec, params)
+    sizes = jnp.asarray(layer_sizes(spec, params), jnp.float32)
+    nclass = spec.nclass
+
+    def f(eps, xi, c):
+        perturbed = dict(params)
+        for j, n in enumerate(names):
+            p = dict(params[n])
+            p["W"] = params[n]["W"] + eps[j]
+            p["b"] = params[n]["b"] + eps[j]
+            perturbed[n] = p
+        out = apply_cnn(spec, perturbed, xi[None])
+        return jax.nn.log_softmax(out.logits, axis=-1)[0, c]
+
+    g = jax.grad(f)
+    eps0 = jnp.zeros((len(names),), jnp.float32)
+    per_sample = jax.vmap(
+        lambda xi: jax.vmap(lambda c: g(eps0, xi, c))(jnp.arange(nclass)))
+    return per_sample(x) / sizes  # (b, c, L)
+
+
+@partial(jax.jit, static_argnames=("spec", "loss_fn"))
+def per_sample_grads(spec, params, x, y_onehot, loss_fn=None):
+    """Full per-sample loss gradients via ``vmap(grad)`` — pytree with a
+    leading batch axis (used by diagonal Fisher; reference computes these
+    one sess.run per sample, model_utils.py:294-330)."""
+    def loss_one(p, xi, yi):
+        out = apply_cnn(spec, p, xi[None])
+        logp = jax.nn.log_softmax(out.logits, axis=-1)
+        return -jnp.sum(yi * logp[0])
+
+    return jax.vmap(lambda xi, yi: jax.grad(loss_one)(params, xi, yi))(
+        x, y_onehot)
+
+
+def diagonal_fisher(spec, params, X, Y_onehot, chunk: int = 64):
+    """Diagonal Fisher: mean over samples of squared per-sample gradients,
+    per parameter (reference ``diagonal_Fisher``, model_utils.py:294-330).
+
+    Chunked over the batch to bound vmap memory; running mean uses the
+    reference's ``(i*F + g^2)/(i+1)`` accumulation per sample, implemented
+    as an exact mean over all samples.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y_onehot)
+    n = X.shape[0]
+    acc = None
+    seen = 0
+    for lo in range(0, n, chunk):
+        xs, ys = X[lo:lo + chunk], Y[lo:lo + chunk]
+        g = per_sample_grads(spec, params, xs, ys)
+        sq = jax.tree_util.tree_map(
+            lambda a: jnp.sum(a.astype(jnp.float32) ** 2, axis=0), g)
+        if acc is None:
+            acc = sq
+        else:
+            acc = jax.tree_util.tree_map(jnp.add, acc, sq)
+        seen += xs.shape[0]
+    return jax.tree_util.tree_map(lambda a: a / seen, acc)
+
+
+# --------------------------------------------------------------------------- #
+# alternative shrinkage modes (reference NNAL_tools.py:778-831)
+# --------------------------------------------------------------------------- #
+def shrink_gradient_pytree(grads: dict, spec, method: str = "sum",
+                           rng=None, nppl: int = 0) -> np.ndarray:
+    """Shrink a full gradient pytree ``{layer: {W, b}}`` host-side; 'sum'
+    (mean of entries/layer), 'max' (entry of max magnitude), 'rand'
+    (random subsample of nppl entries/layer)."""
+    out = []
+    names = [l.name for l in spec.layers if l.name in grads
+             and "W" in grads[l.name]]
+    for n in names:
+        gw = np.asarray(grads[n]["W"]).ravel()
+        gb = np.asarray(grads[n]["b"]).ravel()
+        cat = np.concatenate([gw, gb])
+        if method == "sum":
+            out.append(cat.sum() / cat.size)
+        elif method == "max":
+            out.append(cat[np.argmax(np.abs(cat))])
+        elif method == "rand":
+            idx = rng.choice(cat.size, size=min(nppl, cat.size),
+                             replace=False)
+            out.extend(cat[idx])
+        else:
+            raise ValueError(method)
+    return np.asarray(out)

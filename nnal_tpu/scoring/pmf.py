@@ -1,0 +1,42 @@
+"""Sampling query batches from an optimal query PMF.
+
+Numerically mirrors the reference ``sample_query_dstr``
+(NNAL_tools.py:844-896): cumsum-searchsorted draws, with-replacement draws
+deduplicated via ``unique`` (so fewer than k may return), without-replacement
+draws renormalized after each removal.  Host-side by design — k is tiny and
+the PMF comes off-device once per AL round.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+
+def sample_query_pmf(q_pmf, k: int, rng, replacement: bool = True) -> np.ndarray:
+    q = np.array(q_pmf, dtype=np.float64).ravel()
+    if q.min() < -0.01:
+        warnings.warn("optimal q has significant negative values")
+    q[q < 0] = 0.0
+
+    if replacement:
+        draws = q.cumsum().searchsorted(rng.random(k))
+        draws = np.unique(draws)
+        draws[draws == len(q)] = len(q) - 1
+        return draws
+
+    rem = np.arange(len(q))
+    out = []
+    q = q.copy()
+    while len(out) < k and len(rem) > 0:
+        j = int(q.cumsum().searchsorted(rng.random(1))[0])
+        j = min(j, len(rem) - 1)
+        out.append(int(rem[j]))
+        rem = np.delete(rem, j)
+        q = np.delete(q, j)
+        if len(q) and q.sum() == 0:
+            q[:] = 1.0
+        if len(q):
+            q = q / q.sum()
+    return np.array(out, dtype=np.int64)

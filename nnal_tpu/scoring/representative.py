@@ -1,0 +1,116 @@
+"""Representativeness / diversity selection: rep-entropy and core-set.
+
+Reference mechanisms:
+* rep-entropy (NNAL.py:466-523, PW_NNAL.py:284-351): uncertainty-filter to B
+  candidates, then greedily add the candidate maximizing
+  ``sum_pool max_{q in Q} cos_sim(pool, q)``;
+* core-set (PW_NNAL.py:353-451): greedy k-center — track per-pool-sample max
+  similarity to the labeled set, repeatedly query the argmin, update with the
+  new query's similarity row (the reference streams features in 1000-chunks
+  and caches ``UT_sims.txt``).
+
+TPU-native shape: cosine-similarity tiles and the greedy updates are jitted
+device kernels (``lax.fori_loop`` over k inside one program), so the n x B
+similarity matrix never leaves HBM; the reference's 5000-chunk host tiling
+(PW_NNAL.py:1041-1136) becomes device-side tiling only when n is huge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def cosine_similarity(F1: jnp.ndarray, F2: jnp.ndarray) -> jnp.ndarray:
+    """(n1, n2) cosine similarities; features are rows."""
+    n1 = F1 / jnp.linalg.norm(F1, axis=1, keepdims=True)
+    n2 = F2 / jnp.linalg.norm(F2, axis=1, keepdims=True)
+    return jnp.dot(n1, n2.T, preferred_element_type=jnp.float32)
+
+
+def self_max_similarities(F: jnp.ndarray, tile: int = 4096) -> np.ndarray:
+    """Per-sample max cosine similarity to the *rest* of the set (reference
+    ``get_self_sims``, PW_NNAL.py:1041-1103), tiled to bound memory."""
+    F = jnp.asarray(F)
+    n = F.shape[0]
+    out = []
+    for lo in range(0, n, tile):
+        sims = cosine_similarity(F[lo:lo + tile], F)
+        cols = jnp.arange(lo, min(lo + tile, n))
+        rows = jnp.arange(sims.shape[0])
+        sims = sims.at[rows, cols].set(-jnp.inf)
+        out.append(np.asarray(jnp.max(sims, axis=1)))
+    return np.concatenate(out)
+
+
+def cross_max_similarities(F1, F2, tile: int = 4096) -> np.ndarray:
+    """Per-row-of-F1 max similarity to F2 (reference ``get_cross_sims``,
+    PW_NNAL.py:1105-1136)."""
+    F1, F2 = jnp.asarray(F1), jnp.asarray(F2)
+    out = []
+    for lo in range(0, F1.shape[0], tile):
+        sims = cosine_similarity(F1[lo:lo + tile], F2)
+        out.append(np.asarray(jnp.max(sims, axis=1)))
+    return np.concatenate(out)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def rep_entropy_select(sims: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Greedy max-representativeness over candidate columns.
+
+    ``sims``: (n_rest, B) similarities between the non-candidate pool and the
+    B uncertain candidates.  Iteratively add the candidate maximizing
+    ``sum_pool max(best_so_far, sims[:, j])`` (reference greedy,
+    PW_NNAL.py:330-349).  Returns k candidate positions.
+    """
+    B = sims.shape[1]
+
+    def body(i, carry):
+        best, chosen_mask, chosen = carry
+        # score for each candidate j: sum of elementwise max with current best
+        cand_scores = jnp.sum(jnp.maximum(best[:, None], sims), axis=0)
+        cand_scores = jnp.where(chosen_mask, -jnp.inf, cand_scores)
+        j = jnp.argmax(cand_scores)
+        best = jnp.maximum(best, sims[:, j])
+        chosen_mask = chosen_mask.at[j].set(True)
+        chosen = chosen.at[i].set(j)
+        return best, chosen_mask, chosen
+
+    init = (jnp.full((sims.shape[0],), -jnp.inf, sims.dtype),
+            jnp.zeros((B,), bool), jnp.zeros((k,), jnp.int32))
+    _, _, chosen = jax.lax.fori_loop(0, k, body, init)
+    return chosen
+
+
+@partial(jax.jit, static_argnames=("k",))
+def core_set_select(Fu_normed: jnp.ndarray, sims0: jnp.ndarray,
+                    k: int) -> jnp.ndarray:
+    """Greedy k-center on cosine similarity (reference PW_NNAL.py:416-447).
+
+    ``Fu_normed``: (n, d) L2-normalized pool features; ``sims0``: (n,) max
+    similarity of each pool sample to the labeled set (-inf if none).
+    Each step queries ``argmin(sims)``, then raises sims with the query's
+    similarity row and marks the query with +inf.
+    """
+    def body(i, carry):
+        sims, chosen = carry
+        q = jnp.argmin(sims)
+        s_row = jnp.dot(Fu_normed, Fu_normed[q],
+                        preferred_element_type=jnp.float32)
+        sims = jnp.maximum(sims, s_row)
+        sims = sims.at[q].set(jnp.inf)
+        chosen = chosen.at[i].set(q)
+        return sims, chosen
+
+    init = (sims0, jnp.zeros((k,), jnp.int32))
+    _, chosen = jax.lax.fori_loop(0, k, body, init)
+    return chosen
+
+
+def normalize_rows(F) -> jnp.ndarray:
+    F = jnp.asarray(F)
+    return F / jnp.linalg.norm(F, axis=1, keepdims=True)

@@ -1,0 +1,174 @@
+"""Golden-math tests for the scoring layer against NumPy oracles
+(SURVEY.md §4 item 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnal_tpu.scoring.pmf import sample_query_pmf
+from nnal_tpu.scoring.sdp import fi_query_distribution, solve_a_optimal, trace_inverse
+from nnal_tpu.scoring.uncertainty import (
+    bald_from_mc,
+    binary_uncertainty_filter,
+    running_average,
+    shannon_entropy,
+    uncertainty_filter,
+)
+
+
+def _oracle_entropy(P):
+    P = P.copy()
+    P[P == 0] += 1e-8
+    return -np.sum(P * np.log(P), axis=1)
+
+
+def test_entropy_matches_oracle():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(40, 5))
+    P = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    ours = np.asarray(shannon_entropy(jnp.asarray(P, jnp.float32)))
+    np.testing.assert_allclose(ours, _oracle_entropy(P), rtol=1e-5)
+
+
+def test_uncertainty_filter_rank_parity():
+    rng = np.random.default_rng(1)
+    P = rng.dirichlet(np.ones(4), size=100)
+    B = 20
+    ours = np.asarray(uncertainty_filter(jnp.asarray(P, jnp.float32), B))
+    oracle = np.argsort(-_oracle_entropy(P), kind="stable")[:B]
+    np.testing.assert_array_equal(np.sort(ours), np.sort(oracle))
+
+
+def test_binary_filter_rank_parity():
+    rng = np.random.default_rng(2)
+    p1 = rng.random(200)
+    B = 30
+    ours = np.asarray(binary_uncertainty_filter(jnp.asarray(p1, jnp.float32),
+                                                B))
+    oracle = np.argsort(np.abs(p1 - 0.5), kind="stable")[:B]
+    np.testing.assert_array_equal(np.sort(ours), np.sort(oracle))
+
+
+def test_bald_oracle():
+    rng = np.random.default_rng(3)
+    mc = rng.random((8, 50))
+
+    # oracle: reference BALD accumulation (PW_NNAL.py:250-282)
+    av_posts, av_ents = 0, 0
+    for i in range(8):
+        posts = mc[i].copy()
+        av_posts = (posts + i * av_posts) / (i + 1)
+        neg = 1 - posts
+        posts[posts == 0] += 1e-6
+        neg[neg == 0] += 1e-6
+        ents = -posts * np.log(posts) - neg * np.log(neg)
+        av_ents = (ents + i * av_ents) / (i + 1)
+    avn = 1 - av_posts
+    ent_av = -av_posts * np.log(np.maximum(av_posts, 1e-6)) \
+        - avn * np.log(np.maximum(avn, 1e-6))
+    oracle = ent_av - av_ents
+
+    ours = np.asarray(bald_from_mc(jnp.asarray(mc, jnp.float32)))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-6)
+    # rank parity
+    np.testing.assert_array_equal(np.argsort(-ours)[:10],
+                                  np.argsort(-oracle)[:10])
+
+
+def test_running_average_matches_loop():
+    rng = np.random.default_rng(4)
+    xs = rng.random((5, 7))
+    avg = 0.0
+    for i in range(5):
+        avg = running_average(xs[i], avg, i)
+    np.testing.assert_allclose(np.asarray(avg), xs.mean(0), rtol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# PMF sampling (reference NNAL_tools.py:844-896)
+# --------------------------------------------------------------------------- #
+def test_pmf_sampling_statistics():
+    rng = np.random.default_rng(5)
+    q = np.array([0.7, 0.1, 0.1, 0.1, 0.0])
+    counts = np.zeros(5)
+    for _ in range(300):
+        draws = sample_query_pmf(q, 1, rng)
+        counts[draws] += 1
+    assert counts[0] > 150          # dominant mass wins
+    assert counts[4] == 0           # zero mass never drawn
+
+
+def test_pmf_without_replacement_exact_k():
+    rng = np.random.default_rng(6)
+    q = np.ones(10) / 10
+    draws = sample_query_pmf(q, 4, rng, replacement=False)
+    assert len(draws) == 4
+    assert len(np.unique(draws)) == 4
+
+
+def test_pmf_negative_clipped():
+    rng = np.random.default_rng(7)
+    q = np.array([0.5, -0.001, 0.5])
+    draws = sample_query_pmf(q, 2, rng)
+    assert 1 not in draws
+
+
+# --------------------------------------------------------------------------- #
+# SDP / A-optimal design (reference NNAL_tools.py:576-720)
+# --------------------------------------------------------------------------- #
+def test_a_optimal_symmetric_instance():
+    # two complementary designs -> optimum is exactly (1/2, 1/2)
+    A = np.stack([np.diag([1.0, 0.05]), np.diag([0.05, 1.0])])
+    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32), steps=800))
+    np.testing.assert_allclose(q, [0.5, 0.5], atol=5e-3)
+
+
+def test_a_optimal_beats_uniform_and_vertices():
+    rng = np.random.default_rng(8)
+    d, n = 4, 12
+    A = []
+    for _ in range(n):
+        g = rng.normal(size=(d, 2))
+        A.append(g @ g.T + 0.05 * np.eye(d))
+    A = np.stack(A)
+    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32), steps=800),
+                   dtype=np.float64)
+    assert q.min() >= -1e-6
+    np.testing.assert_allclose(q.sum(), 1.0, atol=1e-5)
+    f_opt = trace_inverse(q, A)
+    f_unif = trace_inverse(np.full(n, 1 / n), A)
+    assert f_opt <= f_unif + 1e-6
+    # scipy cross-check: SLSQP on the same objective
+    from scipy.optimize import minimize
+
+    def obj(qq):
+        return trace_inverse(np.abs(qq) / np.abs(qq).sum(), A)
+
+    res = minimize(obj, np.full(n, 1 / n), method="Nelder-Mead",
+                   options={"maxiter": 4000, "fatol": 1e-10})
+    assert f_opt <= res.fun * 1.02 + 1e-6
+
+
+def test_a_optimal_peak_cap():
+    # one dominant design; cap forces spreading
+    A = np.stack([np.eye(3) * 5, np.eye(3) * 0.2, np.eye(3) * 0.2,
+                  np.eye(3) * 0.2])
+    k = 2
+    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32),
+                                   cap=1.0 / k, steps=600))
+    assert q.max() <= 0.5 + 1e-5
+    np.testing.assert_allclose(q.sum(), 1.0, atol=1e-5)
+
+
+def test_fi_query_distribution_wrapper():
+    rng = np.random.default_rng(9)
+    A = [np.eye(3) * (0.1 + rng.random()) for _ in range(6)]
+    q = fi_query_distribution(A, 0.0, None, 3)
+    assert q.shape == (6,)
+    np.testing.assert_allclose(q.sum(), 1.0, atol=1e-6)
+    # with representativeness term
+    F = rng.normal(size=(2, 6))
+    F -= F.mean(1, keepdims=True)
+    q2 = fi_query_distribution(A, 0.5, F, 3)
+    np.testing.assert_allclose(q2.sum(), 1.0, atol=1e-6)
