@@ -1,0 +1,86 @@
+"""Functional experiment front-end + CLI.
+
+Rebuild of ``expr_handler.py`` (reference expr_handler.py:11-160):
+``create_expr`` / ``create_run`` / ``do_expr`` and an argv main of the form
+
+    python -m nnal_tpu.cli.expr_handler <root_dir> <method> <nqueries> \
+        [key=val,key=val ...] [--synthetic]
+
+The reference's template + ``key=val`` overrides (type-preserving) are kept
+via :func:`nnal_tpu.core.config.set_parameters`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from nnal_tpu.core.config import ExperimentConfig, set_parameters
+from nnal_tpu.engine.pw_experiment import PWExperiment
+
+DEFAULT_PARS = {
+    "model_name": "PW",
+    "patch_shape": [15, 15, 1],
+    "grid_spacing": 3,
+    "k": 10,
+    "B": 100,
+    "ntb": 1024,
+    "b": 64,
+    "epochs": 1,
+    "MC_iters": 5,
+    "learning_rate": 1e-3,
+    "dropout_rate": 0.5,
+    "optimizer_name": "Adam",
+    "lambda_": 0.0,
+    "init_size": 8,
+    "seed": 0,
+}
+
+
+def create_expr(root_dir: str, overrides: str = "",
+                synthetic: bool = False) -> PWExperiment:
+    par_path = os.path.join(root_dir, "parameters.txt")
+    if os.path.exists(par_path):
+        expr = PWExperiment(root_dir)
+    else:
+        pars = set_parameters(DEFAULT_PARS, overrides)
+        expr = PWExperiment(root_dir, ExperimentConfig.from_pars(pars))
+    if synthetic:
+        from nnal_tpu.data.io import synthetic_subject
+
+        vols, mask = synthetic_subject(shape=(36, 36, 10), n_modalities=2,
+                                       seed=expr.config.seed)
+        expr.attach_subject(vols, mask)
+    if not os.path.exists(os.path.join(root_dir, "init_pool_inds.txt")):
+        expr.prep_data()
+    return expr
+
+
+def do_expr(root_dir: str, method: str, nqueries: int,
+            overrides: str = "", synthetic: bool = False) -> dict:
+    """add_method-if-missing + run_method (reference ``do_expr``,
+    expr_handler.py:11-28)."""
+    expr = create_expr(root_dir, overrides, synthetic)
+    method_dir = os.path.join(root_dir, method)
+    if not os.path.exists(os.path.join(method_dir, "curr_weights.npz")):
+        expr.add_method(method)
+    return expr.run_method(method, nqueries)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic = "--synthetic" in argv
+    argv = [a for a in argv if a != "--synthetic"]
+    if len(argv) < 3:
+        print(__doc__)
+        return 1
+    root_dir, method, nqueries = argv[0], argv[1], int(argv[2])
+    overrides = argv[3] if len(argv) > 3 else ""
+    res = do_expr(root_dir, method, nqueries, overrides, synthetic)
+    print(f"method={method} queries={res['n_queries']} "
+          f"perf={res['perf'].tolist()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,8 +100,12 @@ class MethodJournal:
         return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
     def n_queried(self) -> int:
-        return int(sum(len(load_inds(os.path.join(self.queries_dir, f"{i}.txt")))
-                       for i in self.query_iters()))
+        total = 0
+        for i in self.query_iters():
+            arr = load_inds(os.path.join(self.queries_dir, f"{i}.txt"))
+            # multi-subject journals store (voxel, subject) 2 x k matrices
+            total += arr.shape[-1] if arr.ndim == 2 else len(arr)
+        return int(total)
 
     # ------------------------------------------------------------- atomic state
     def save_state(self, *, round_id: int, rng_state: dict,

@@ -1,0 +1,200 @@
+"""Classification AL experiment (runs x methods).
+
+Rebuild of ``AL.Experiment`` (AL.py:16-753): an experiment root holds
+``parameters.txt`` plus numbered *runs*; each run fixes a random
+train/test/pool partition and an initial model; each *method* inside a run
+owns its membership/queries/metrics, resumable via the queries journal.
+Per round: query -> move to train -> retrain -> predict test -> append
+accuracy (reference run_method, AL.py:299-500).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.core.config import ExperimentConfig
+from nnal_tpu.core.journal import MethodJournal, load_inds, save_inds
+from nnal_tpu.core.rng import RngStream
+from nnal_tpu.data.batching import gen_batch_inds, make_onehot
+from nnal_tpu.evaluation.metrics import accuracy
+from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from nnal_tpu.models.cnn import init_cnn
+from nnal_tpu.models.specs import create_model
+from nnal_tpu.models.train import init_train_state, make_train_step
+from nnal_tpu.scoring.cls_strategies import ClsQueryContext, batched_forward, cls_query
+
+
+class Experiment:
+    """Classification AL over an in-memory ``(X, labels)`` dataset."""
+
+    def __init__(self, root_dir: str,
+                 config: Optional[ExperimentConfig] = None):
+        self.root_dir = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        par_path = os.path.join(root_dir, "parameters.txt")
+        if config is None:
+            config = ExperimentConfig.from_yaml(par_path)
+        else:
+            config.to_yaml(par_path)
+        self.config = config
+        self.rng = RngStream(config.seed)
+        self._X: Optional[np.ndarray] = None
+        self._labels: Optional[np.ndarray] = None
+
+    def attach_data(self, X, labels) -> None:
+        self._X = np.asarray(X, np.float32)
+        self._labels = np.asarray(labels, np.int64)
+
+    # ------------------------------------------------------------- runs
+    def _run_dir(self, run: int) -> str:
+        return os.path.join(self.root_dir, str(run))
+
+    def add_run(self) -> int:
+        """New run: random test/pool/init-train partition + fresh init
+        weights (reference ``add_run``, AL.py:148-241)."""
+        existing = [int(d) for d in os.listdir(self.root_dir)
+                    if d.isdigit()]
+        run = max(existing) + 1 if existing else 0
+        rdir = self._run_dir(run)
+        os.makedirs(rdir, exist_ok=True)
+
+        n = self._X.shape[0]
+        host = self.rng.fold(f"run{run}").host
+        perm = host.permutation(n)
+        n_test = int(self.config.query.test_ratio * n)
+        test = perm[:n_test]
+        rest = perm[n_test:]
+        init_size = self.config.query.init_size
+        train = rest[:init_size]
+        pool = rest[init_size:]
+        save_inds(os.path.join(rdir, "test_inds.txt"), test)
+        save_inds(os.path.join(rdir, "init_train_inds.txt"), train)
+        save_inds(os.path.join(rdir, "init_pool_inds.txt"), pool)
+
+        spec = self.build_model()
+        params, bn = init_cnn(spec, self.rng.fold(f"init{run}").next())
+        save_checkpoint(os.path.join(rdir, "init_weights.npz"), params,
+                        bn_state=bn)
+        return run
+
+    def build_model(self):
+        m = self.config.model
+        input_shape = tuple(self._X.shape[1:])
+        return create_model(m.model_name, nclass=m.nclass,
+                            dropout_rate=m.dropout_rate,
+                            patch_shape=input_shape,
+                            input_shape=input_shape)
+
+    # ------------------------------------------------------------- methods
+    def add_method(self, method_name: str, run: int):
+        rdir = self._run_dir(run)
+        j = MethodJournal(rdir, method_name)
+        train = load_inds(os.path.join(rdir, "init_train_inds.txt"))
+        pool = load_inds(os.path.join(rdir, "init_pool_inds.txt"))
+        j.init_membership(train, pool)
+        params, bn, _, _ = load_checkpoint(
+            os.path.join(rdir, "init_weights.npz"))
+        save_checkpoint(j.path("curr_weights.npz"), params, bn_state=bn)
+        return j
+
+    # ------------------------------------------------------------- training
+    def _retrain(self, spec, state, tx, train_inds, epochs: int):
+        m = self.config.model
+        step_fn = make_train_step(spec, tx)
+        host = self.rng.fold("retrain").host
+        jrng = self.rng.fold("retrain-dropout").next()
+        X, labels = self._X, self._labels
+        for _ in range(epochs):
+            for batch in gen_batch_inds(len(train_inds), m.b, host):
+                binds = train_inds[batch]
+                x = jnp.asarray(X[binds])
+                y = jnp.asarray(make_onehot(labels[binds], m.nclass))
+                key = jax.random.fold_in(jrng, state.step)
+                state.params, state.opt_state, _ = step_fn(
+                    state.params, state.opt_state, x, y, key,
+                    jnp.asarray(state.step))
+                state.step += 1
+        return state
+
+    # ------------------------------------------------------------- AL loop
+    def run_method(self, method_name: str, run: int,
+                   max_queries: int) -> Dict:
+        cfg = self.config
+        rdir = self._run_dir(run)
+        j = MethodJournal(rdir, method_name)
+        spec = self.build_model()
+        test_inds = load_inds(os.path.join(rdir, "test_inds.txt"))
+
+        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
+                                     cfg.model.learning_rate, bn_state=bn)
+        saved = j.load_state()
+        if saved is not None:
+            self.rng.restore(saved["rng"])
+        n_queries = j.n_queried()
+        round_id = len(j.query_iters())
+        train_inds, pool_inds = j.membership()
+        qrng = self.rng.fold(f"q-{method_name}-{run}")
+
+        while n_queries < max_queries and len(pool_inds) > 0:
+            k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
+            ctx = ClsQueryContext(
+                spec=spec, params=state.params, pool_x=self._X[pool_inds],
+                k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
+                batch=cfg.query.ntb)
+            q_pos = cls_query(ctx, method_name)
+            q_inds = pool_inds[q_pos]
+
+            j.record_queries(round_id, q_inds)
+            train_inds = np.concatenate([train_inds, q_inds])
+            pool_inds = np.delete(pool_inds, q_pos)
+            j.init_membership(train_inds, pool_inds)
+            n_queries += len(q_inds)
+            round_id += 1
+
+            state = self._retrain(spec, state, tx, train_inds,
+                                  cfg.model.epochs)
+
+            preds = batched_forward(spec, state.params, self._X[test_inds],
+                                    cfg.query.ntb,
+                                    ("prediction",))["prediction"]
+            acc = accuracy(preds, self._labels[test_inds])
+            j.append_eval([acc], "accs.txt")
+            with open(j.path("predicts.txt"), "a") as f:
+                f.write(" ".join(str(int(p)) for p in preds) + "\n")
+
+            save_checkpoint(j.path("curr_weights.npz"), state.params,
+                            bn_state=state.bn_state)
+            j.save_state(round_id=round_id, rng_state=self.rng.state(),
+                         n_train=len(train_inds), n_pool=len(pool_inds))
+
+        return {"n_queries": n_queries,
+                "accs": j.load_evals("accs.txt"),
+                "train_inds": train_inds, "pool_inds": pool_inds}
+
+    # ------------------------------------------------------------- analysis
+    def read_run(self, run: int, method_name: str) -> np.ndarray:
+        """Accuracy curve for one (run, method) (reference ``read_run``,
+        AL.py:590)."""
+        return MethodJournal(self._run_dir(run),
+                             method_name).load_evals("accs.txt")
+
+    def summarize_all(self, method_names) -> Dict[str, np.ndarray]:
+        """Mean accuracy curves across runs (reference ``summarize_all``,
+        AL.py:679)."""
+        runs = sorted(int(d) for d in os.listdir(self.root_dir)
+                      if d.isdigit())
+        out = {}
+        for m in method_names:
+            curves = [self.read_run(r, m) for r in runs
+                      if os.path.exists(os.path.join(self._run_dir(r), m))]
+            if curves:
+                L = min(len(c) for c in curves)
+                out[m] = np.mean([c[:L] for c in curves], axis=0)
+        return out

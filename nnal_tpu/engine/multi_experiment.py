@@ -1,0 +1,272 @@
+"""Multi-subject ("universal") patch-wise AL experiment.
+
+Rebuild of ``PW_AL.Experiment_MultiImg`` (PW_AL.py:586-898): many training
+subjects, per-subject grid pools with NaN-mask exclusion, queries recorded
+as (voxel, subject) pairs, per-round wall-clock timing, ensemble support,
+and per-iteration weight checkpoints.  The pool sweep runs per subject
+through its own device-resident evaluator; global selection uses the same
+concatenate + ``global2local_inds`` algebra as the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.core.config import ExperimentConfig
+from nnal_tpu.core.journal import MethodJournal, load_inds, save_inds
+from nnal_tpu.core.rng import RngStream
+from nnal_tpu.data.batching import gen_batch_inds, make_onehot
+from nnal_tpu.data.indexing import global2local_inds, local2global_inds
+from nnal_tpu.data.patches import gather_labels, pad_volumes
+from nnal_tpu.data.samplers import generate_grid_samples
+from nnal_tpu.data.stats import multimg_stats
+from nnal_tpu.evaluation.metrics import f_measure
+from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from nnal_tpu.models.cnn import init_cnn
+from nnal_tpu.models.specs import create_model
+from nnal_tpu.models.train import init_train_state, make_train_step
+from nnal_tpu.scoring.pool_eval import PoolEvaluator
+from nnal_tpu.scoring.strategies import QueryContext, query_multimg
+
+
+class MultiImgExperiment:
+    """AL across multiple training subjects + a held-out test set."""
+
+    def __init__(self, root_dir: str,
+                 config: Optional[ExperimentConfig] = None):
+        self.root_dir = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        par_path = os.path.join(root_dir, "parameters.txt")
+        if config is None:
+            config = ExperimentConfig.from_yaml(par_path)
+        else:
+            config.to_yaml(par_path)
+        self.config = config
+        self.rng = RngStream(config.seed)
+        self.train_subjects: List = []   # [(vols, mask), ...]
+        self.test_subjects: List = []
+        self.ensemble_paths: List[str] = []
+
+    def attach_subjects(self, train_subjects, test_subjects=()) -> None:
+        self.train_subjects = list(train_subjects)
+        self.test_subjects = list(test_subjects)
+
+    # ------------------------------------------------------------- setup
+    def prep_data(self) -> None:
+        """Per-subject grid pools + cached stats (reference
+        PW_AL.py:622-637,698-707)."""
+        stats = multimg_stats(self.train_subjects)
+        np.savetxt(self._p("train_stats.txt"), stats)
+        if self.test_subjects:
+            np.savetxt(self._p("test_stats.txt"),
+                       multimg_stats(self.test_subjects))
+        for i, (vols, mask) in enumerate(self.train_subjects):
+            inds, labels = generate_grid_samples(
+                vols[0].shape, self.config.data.grid_spacing, mask)
+            save_inds(self._p(f"pool_inds_{i}.txt"), inds)
+            save_inds(self._p(f"pool_labels_{i}.txt"), labels)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root_dir, name)
+
+    def build_model(self):
+        m = self.config.model
+        d1, d2, d3 = m.patch_shape
+        nmod = len(self.train_subjects[0][0])
+        return create_model(m.model_name, nclass=m.nclass,
+                            dropout_rate=m.dropout_rate,
+                            patch_shape=(d1, d2, nmod * d3))
+
+    def _evaluators(self, spec, subjects, stats):
+        evs = []
+        for i, (vols, mask) in enumerate(subjects):
+            mu = stats[i, 0::2]
+            sd = stats[i, 1::2]
+            evs.append(PoolEvaluator(
+                spec, pad_volumes(vols, self.config.model.patch_shape),
+                mu, sd, tuple(self.config.model.patch_shape),
+                tuple(np.asarray(vols[0]).shape),
+                ntb=self.config.query.ntb))
+        return evs
+
+    def add_method(self, method_name: str):
+        j = MethodJournal(self.root_dir, method_name)
+        pools = [load_inds(self._p(f"pool_inds_{i}.txt"))
+                 for i in range(len(self.train_subjects))]
+        sizes = [len(p) for p in pools]
+        # membership is stored in the global index space
+        j.init_membership(np.zeros(0, np.int64),
+                          np.arange(int(np.sum(sizes)), dtype=np.int64))
+        spec = self.build_model()
+        init_w = self._p("init_weights.npz")
+        if not os.path.exists(init_w):
+            params, bn = init_cnn(spec, self.rng.fold("init-w").next())
+            save_checkpoint(init_w, params, bn_state=bn)
+        params, bn, _, _ = load_checkpoint(init_w)
+        save_checkpoint(j.path("curr_weights.npz"), params, bn_state=bn)
+        return j
+
+    # ------------------------------------------------------------- finetune
+    def finetune_multimg(self, spec, state, tx, per_subject_inds,
+                         epochs=None):
+        """Global batches drawn across subjects (reference
+        ``finetune_multimg``, PW_AL.py:1091-1150)."""
+        m = self.config.model
+        stats = np.loadtxt(self._p("train_stats.txt")).reshape(
+            len(self.train_subjects), -1)
+        evs = self._evaluators(spec, self.train_subjects, stats)
+        step_fn = make_train_step(spec, tx)
+        host = self.rng.fold("ft-multi").host
+        jrng = self.rng.fold("ft-multi-d").next()
+        epochs = m.epochs if epochs is None else epochs
+
+        sizes = [len(v) for v in per_subject_inds]
+        total = int(np.sum(sizes))
+        if total == 0:
+            return state
+        for _ in range(epochs):
+            for batch in gen_batch_inds(total, m.b, host):
+                local = global2local_inds(batch, sizes)
+                xs, ys = [], []
+                for si, li in enumerate(local):
+                    if len(li) == 0:
+                        continue
+                    vinds = np.asarray(per_subject_inds[si])[li]
+                    ev = evs[si]
+                    from nnal_tpu.data.patches import \
+                        gather_patches_normalized
+
+                    xs.append(np.asarray(gather_patches_normalized(
+                        ev.padded, jnp.asarray(vinds), ev.mu, ev.sd,
+                        ev.patch_shape, ev.orig_shape)))
+                    ys.append(np.asarray(gather_labels(
+                        self.train_subjects[si][1], vinds, ev.orig_shape)))
+                x = jnp.asarray(np.concatenate(xs))
+                y = jnp.asarray(make_onehot(np.concatenate(ys), m.nclass))
+                key = jax.random.fold_in(jrng, state.step)
+                state.params, state.opt_state, _ = step_fn(
+                    state.params, state.opt_state, x, y, key,
+                    jnp.asarray(state.step))
+                state.step += 1
+        return state
+
+    # ------------------------------------------------------------- test eval
+    def test_eval(self, spec, params) -> float:
+        """Aggregate F-measure over held-out subjects' grid voxels
+        (reference ``test_eval``, PW_AL.py:639-677)."""
+        if not self.test_subjects:
+            return float("nan")
+        stats = np.loadtxt(self._p("test_stats.txt")).reshape(
+            len(self.test_subjects), -1)
+        evs = self._evaluators(spec, self.test_subjects, stats)
+        preds, masks = {}, {}
+        for i, ev in enumerate(evs):
+            vols, mask = self.test_subjects[i]
+            inds, labels = generate_grid_samples(
+                np.asarray(vols[0]).shape, self.config.data.grid_spacing,
+                mask)
+            p = ev.evaluate(params, inds, ("prediction",))["prediction"]
+            preds[i] = p
+            masks[i] = labels
+        return f_measure(preds, masks)
+
+    # ------------------------------------------------------------- AL loop
+    def run_method(self, method_name: str, max_queries: int) -> Dict:
+        cfg = self.config
+        j = MethodJournal(self.root_dir, method_name)
+        spec = self.build_model()
+        stats = np.loadtxt(self._p("train_stats.txt")).reshape(
+            len(self.train_subjects), -1)
+        evs = self._evaluators(spec, self.train_subjects, stats)
+        pools = [load_inds(self._p(f"pool_inds_{i}.txt"))
+                 for i in range(len(self.train_subjects))]
+
+        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
+                                     cfg.model.learning_rate, bn_state=bn)
+        saved = j.load_state()
+        if saved is not None:
+            self.rng.restore(saved["rng"])
+        n_queries = j.n_queried()
+        round_id = len(j.query_iters())
+        train_g, pool_g = j.membership()   # global index space
+        qrng = self.rng.fold(f"q-{method_name}")
+        sizes = [len(p) for p in pools]
+
+        ensemble_params = None
+        if method_name in ("ensemble", "QBC-JS") and self.ensemble_paths:
+            ensemble_params = [load_checkpoint(p)[0]
+                               for p in self.ensemble_paths]
+
+        times_path = os.path.join(self.root_dir, "AL_running_times")
+        os.makedirs(times_path, exist_ok=True)
+
+        while n_queries < max_queries and len(pool_g) > 0:
+            k = min(cfg.query.k, max_queries - n_queries, len(pool_g))
+            # current per-subject pool views
+            local_pool = global2local_inds(pool_g, sizes)
+            contexts = []
+            for si in range(len(self.train_subjects)):
+                contexts.append(QueryContext(
+                    spec=spec, params=state.params, evaluator=evs[si],
+                    pool_inds=pools[si][local_pool[si]], k=k,
+                    rng=qrng.host, jax_rng=qrng.next(), B=cfg.query.B,
+                    MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
+                    ensemble_params=ensemble_params,
+                    raw_volume=np.asarray(self.train_subjects[si][0][0])))
+
+            t0 = time.time()
+            per_subject_q = query_multimg(contexts, method_name, k,
+                                          qrng.host)
+            dt = time.time() - t0
+            with open(os.path.join(times_path, f"dt_{round_id}"),
+                      "w") as f:
+                f.write(f"{dt:.4f}\n")
+
+            # map per-subject positions back to the global pool space
+            cursizes = [len(lp) for lp in local_pool]
+            q_global_pos = local2global_inds(per_subject_q, cursizes)
+            q_g = pool_g[q_global_pos]
+
+            # (voxel, subject) matrix journal (reference Q_mat,
+            # PW_AL.py:857-885)
+            subj_of = np.searchsorted(
+                np.cumsum(sizes), q_g, side="right")
+            voxels = []
+            for gi in q_g:
+                loc = global2local_inds([gi], sizes)
+                si = next(i for i, l in enumerate(loc) if len(l))
+                voxels.append(pools[si][loc[si][0]])
+            qmat = np.stack([np.asarray(voxels), subj_of])
+            np.savetxt(os.path.join(j.queries_dir, f"{round_id}.txt"),
+                       qmat, fmt="%d")
+
+            train_g = np.concatenate([train_g, q_g])
+            pool_g = np.setdiff1d(pool_g, q_g)
+            j.init_membership(train_g, pool_g)
+            n_queries += len(q_g)
+            round_id += 1
+
+            per_subject_train = global2local_inds(train_g, sizes)
+            train_vox = [pools[i][per_subject_train[i]]
+                         for i in range(len(pools))]
+            state = self.finetune_multimg(spec, state, tx, train_vox)
+
+            fm = self.test_eval(spec, state.params)
+            j.append_eval([fm])
+            save_checkpoint(j.path(f"curr_weights_{round_id}.npz"),
+                            state.params, bn_state=state.bn_state)
+            save_checkpoint(j.path("curr_weights.npz"), state.params,
+                            bn_state=state.bn_state)
+            j.save_state(round_id=round_id, rng_state=self.rng.state(),
+                         n_train=len(train_g), n_pool=len(pool_g))
+
+        return {"n_queries": n_queries, "perf": j.load_evals(),
+                "train_global": train_g, "pool_global": pool_g}

@@ -1,0 +1,256 @@
+"""Single-subject patch-wise AL experiment.
+
+Rebuild of ``PW_AL.Experiment`` (PW_AL.py:29-583): the root directory holds
+``parameters.txt`` (YAML config), pool/test index files, and one
+subdirectory per querying method with membership files, a ``queries/``
+journal, per-round F-measure appends and weight checkpoints.  The AL loop
+per round: query -> move queries from pool to train -> finetune -> predict
+test -> append F-measure -> checkpoint (reference run_method,
+PW_AL.py:278-498).  Crash-resume replays the ``queries/`` journal plus the
+atomic ``state.json`` record (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.core.config import ExperimentConfig
+from nnal_tpu.core.journal import MethodJournal, load_inds, save_inds
+from nnal_tpu.core.rng import RngStream
+from nnal_tpu.data.batching import gen_batch_inds, make_onehot
+from nnal_tpu.data.patches import (
+    gather_labels,
+    gather_patches_normalized,
+    pad_volumes,
+)
+from nnal_tpu.data.samplers import even_odd_slice_split, generate_grid_samples
+from nnal_tpu.data.stats import multimg_stats
+from nnal_tpu.evaluation.metrics import f_measure
+from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from nnal_tpu.models.cnn import init_cnn
+from nnal_tpu.models.specs import create_model
+from nnal_tpu.models.train import init_train_state, make_train_step
+from nnal_tpu.scoring.pool_eval import PoolEvaluator
+from nnal_tpu.scoring.strategies import QueryContext, cnn_query
+
+
+class PWExperiment:
+    """Patch-wise AL experiment over one subject's volumes."""
+
+    def __init__(self, root_dir: str, config: Optional[ExperimentConfig] = None):
+        self.root_dir = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        par_path = os.path.join(root_dir, "parameters.txt")
+        if config is None:
+            config = ExperimentConfig.from_yaml(par_path)
+        else:
+            config.to_yaml(par_path)
+        self.config = config
+        self.rng = RngStream(config.seed)
+        self._vols: Optional[List[np.ndarray]] = None
+        self._mask: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------- data
+    def attach_subject(self, vols, mask) -> None:
+        """Provide the subject volumes in memory (tests/synthetic) — the
+        path-based alternative loads via ``config.data.img_paths``."""
+        self._vols = [np.asarray(v) for v in vols]
+        self._mask = np.asarray(mask)
+
+    def _load_subject(self):
+        if self._vols is None:
+            from nnal_tpu.data.io import read_volume
+
+            self._vols = [read_volume(p) for p in self.config.data.img_paths]
+            self._mask = read_volume(self.config.data.mask_path)
+        return self._vols, self._mask
+
+    def prep_data(self) -> None:
+        """Grid-sample the subject; even axial slices feed the pool, the
+        full grid is the test set (reference ``prep_AL_data``,
+        PW_AL.py:978-1027).  NaN-masked voxels are discarded."""
+        vols, mask = self._load_subject()
+        inds, labels = generate_grid_samples(
+            vols[0].shape, self.config.data.grid_spacing, mask)
+        pool_inds, test_inds = even_odd_slice_split(inds, vols[0].shape)
+        lab_of = dict(zip(inds.tolist(), labels.tolist()))
+        save_inds(self._p("init_pool_inds.txt"), pool_inds)
+        save_inds(self._p("init_pool_labels.txt"),
+                  [lab_of[i] for i in pool_inds.tolist()])
+        save_inds(self._p("test_inds.txt"), test_inds)
+        save_inds(self._p("test_labels.txt"),
+                  [lab_of[i] for i in test_inds.tolist()])
+        stats = multimg_stats([(vols, mask)])
+        np.savetxt(self._p("train_stats.txt"), stats)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root_dir, name)
+
+    # ------------------------------------------------------------- model
+    def build_model(self):
+        m = self.config.model
+        d1, d2, d3 = m.patch_shape
+        nmod = len(self._load_subject()[0])
+        spec = create_model(m.model_name, nclass=m.nclass,
+                            dropout_rate=m.dropout_rate,
+                            patch_shape=(d1, d2, nmod * d3))
+        return spec
+
+    def _stats_arrays(self):
+        stats = np.loadtxt(self._p("train_stats.txt")).reshape(1, -1)
+        mu = stats[0, 0::2]
+        sd = stats[0, 1::2]
+        return mu, sd
+
+    def make_evaluator(self, spec) -> PoolEvaluator:
+        vols, _ = self._load_subject()
+        mu, sd = self._stats_arrays()
+        return PoolEvaluator(
+            spec, pad_volumes(vols, self.config.model.patch_shape), mu, sd,
+            tuple(self.config.model.patch_shape), tuple(vols[0].shape),
+            ntb=self.config.query.ntb)
+
+    # ------------------------------------------------------------- methods
+    def add_method(self, method_name: str, init_size: Optional[int] = None):
+        """Create a method directory with initial pool/train membership and
+        fresh (or shared-init) weights (reference ``add_method``,
+        PW_AL.py:230-276)."""
+        j = MethodJournal(self.root_dir, method_name)
+        pool = load_inds(self._p("init_pool_inds.txt"))
+        init_size = (self.config.query.init_size
+                     if init_size is None else init_size)
+        host = self.rng.fold(f"init-{method_name}").host
+        if init_size > 0:
+            pick = host.permutation(len(pool))[:init_size]
+            train = pool[pick]
+            pool = np.delete(pool, pick)
+        else:
+            train = np.zeros(0, dtype=np.int64)
+        j.init_membership(train, pool)
+
+        spec = self.build_model()
+        init_w = self._p("init_weights.npz")
+        if not os.path.exists(init_w):
+            params, bn = init_cnn(spec, self.rng.fold("init-weights").next())
+            save_checkpoint(init_w, params, bn_state=bn)
+        params, bn, _, _ = load_checkpoint(init_w)
+        save_checkpoint(j.path("curr_weights.npz"), params, bn_state=bn)
+        return j
+
+    # ------------------------------------------------------------- training
+    def finetune(self, spec, params_state, train_inds, *, epochs=None):
+        """Finetune on the labeled set (reference ``finetune``,
+        PW_AL.py:1030-1089): per epoch, random batches of gathered
+        normalized patches + one-hot labels through the jitted step."""
+        m = self.config.model
+        vols, mask = self._load_subject()
+        mu, sd = self._stats_arrays()
+        state, tx = params_state
+        step_fn = make_train_step(spec, tx)
+        padded = pad_volumes(vols, m.patch_shape)
+        orig_shape = tuple(vols[0].shape)
+        host = self.rng.fold("finetune").host
+        jrng = self.rng.fold("finetune-dropout").next()
+        epochs = m.epochs if epochs is None else epochs
+        labels_all = np.asarray(gather_labels(mask, train_inds, orig_shape))
+        for _ in range(epochs):
+            for batch in gen_batch_inds(len(train_inds), m.b, host):
+                binds = train_inds[batch]
+                x = gather_patches_normalized(
+                    padded, jnp.asarray(binds), mu, sd,
+                    tuple(m.patch_shape), orig_shape)
+                y = make_onehot(labels_all[batch], m.nclass)
+                key = jax.random.fold_in(jrng, state.step)
+                state.params, state.opt_state, loss = step_fn(
+                    state.params, state.opt_state, x, jnp.asarray(y), key,
+                    jnp.asarray(state.step))
+                state.step += 1
+        return state
+
+    # ------------------------------------------------------------- AL loop
+    def run_method(self, method_name: str, max_queries: int) -> Dict:
+        """The AL loop (reference ``run_method``, PW_AL.py:278-498),
+        resumable: replayed queries count toward ``max_queries``."""
+        import time
+
+        cfg = self.config
+        j = MethodJournal(self.root_dir, method_name)
+        spec = self.build_model()
+        vols, mask = self._load_subject()
+        orig_shape = tuple(vols[0].shape)
+        evaluator = self.make_evaluator(spec)
+        test_inds = load_inds(self._p("test_inds.txt"))
+        test_labels = load_inds(self._p("test_labels.txt"))
+
+        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state, tx = init_train_state(
+            spec, params, cfg.model.optimizer_name, cfg.model.learning_rate,
+            bn_state=bn)
+
+        saved = j.load_state()
+        if saved is not None:
+            self.rng.restore(saved["rng"])
+        n_queries = j.n_queried()
+        round_id = len(j.query_iters())
+
+        train_inds, pool_inds = j.membership()
+        qrng = self.rng.fold(f"query-{method_name}")
+
+        while n_queries < max_queries:
+            t0 = time.time()
+            k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
+            if cfg.query.iter_k:
+                k = min(k, cfg.query.iter_k[min(round_id,
+                                                len(cfg.query.iter_k) - 1)])
+            ctx = QueryContext(
+                spec=spec, params=state.params, evaluator=evaluator,
+                pool_inds=pool_inds, k=k, rng=qrng.host,
+                jax_rng=qrng.next(), B=cfg.query.B,
+                MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
+                train_inds=train_inds, raw_volume=vols[0])
+            q_pos = cnn_query(ctx, method_name)
+            q_inds = pool_inds[q_pos]
+
+            # bookkeeping: journal then membership (replayable order)
+            j.record_queries(round_id, q_inds)
+            train_inds = np.concatenate([train_inds, q_inds])
+            pool_inds = np.delete(pool_inds, q_pos)
+            j.init_membership(train_inds, pool_inds)
+            n_queries += len(q_inds)
+            round_id += 1
+
+            # finetune on the enlarged labeled set
+            state = self.finetune(spec, (state, tx), train_inds)
+
+            # test evaluation: F-measure appended per round
+            preds = evaluator.evaluate(state.params, test_inds,
+                                       ("prediction",))["prediction"]
+            fm = f_measure(preds, test_labels)
+            j.append_eval([fm])
+
+            dt = time.time() - t0
+            with open(j.path("query_times.txt"), "a") as f:
+                f.write(f"{round_id - 1} {dt:.3f}\n")
+
+            save_checkpoint(j.path("curr_weights.npz"), state.params,
+                            bn_state=state.bn_state)
+            j.save_state(round_id=round_id, rng_state=self.rng.state(),
+                         n_train=len(train_inds), n_pool=len(pool_inds))
+
+        return {
+            "n_queries": n_queries,
+            "train_inds": train_inds,
+            "pool_inds": pool_inds,
+            "perf": j.load_evals(),
+        }
+
+    def load_results(self, method_name: str) -> np.ndarray:
+        """Per-round F-measures (reference ``load_results``,
+        PW_AL.py:545-583)."""
+        return MethodJournal(self.root_dir, method_name).load_evals()

@@ -1,0 +1,107 @@
+"""Full-volume inference.
+
+Rebuild of the reference's two inference paths:
+
+* patch-wise full-slice evaluation — every voxel of selected slices scored
+  through the patch model (``full_slice_eval``/``full_model_probs``,
+  PW_analyze_results.py:390-772) — here driven through the
+  :class:`~nnal_tpu.scoring.pool_eval.PoolEvaluator` chunked sweep;
+* FCN slice-batched segmentation (``full_slice_segment``,
+  eval_utils.py:104-237) with ops prediction / posterior / MC-posterior /
+  loss / aleatoric sigma, and the multi-size model dict
+  (``models_dict_for_different_sizes``, eval_utils.py:413-439) — here
+  unnecessary as one spec re-jits per input shape, kept as a thin cache.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.data.indexing import expand_raveled_inds
+from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.scoring.pool_eval import PoolEvaluator
+
+
+def full_slice_patchwise(evaluator: PoolEvaluator, params,
+                         slices: Sequence[int],
+                         op: str = "prediction") -> Dict[int, np.ndarray]:
+    """Score every voxel of the given axial slices with the patch model.
+    Returns {slice_id: 2D array} (reference ``full_slice_eval``,
+    PW_analyze_results.py:673-770)."""
+    s = evaluator.orig_shape
+    out = {}
+    for z in slices:
+        inds2d = np.arange(s[0] * s[1])
+        inds3d = expand_raveled_inds(inds2d, z, 2, s)
+        vals = evaluator.evaluate(params, inds3d, (op,))[op]
+        out[z] = vals.reshape(s[0], s[1])
+    return out
+
+
+def full_volume_patchwise(evaluator: PoolEvaluator, params,
+                          op: str = "prediction") -> np.ndarray:
+    s = evaluator.orig_shape
+    planes = full_slice_patchwise(evaluator, params, range(s[2]), op)
+    return np.stack([planes[z] for z in range(s[2])], axis=2)
+
+
+class FCNInference:
+    """Slice-batched FCN inference (reference ``full_slice_segment``,
+    eval_utils.py:104-237).  The volume's axial slices are run through the
+    dense-prediction model in batches; MC-posterior averages ``T``
+    stochastic passes."""
+
+    def __init__(self, spec, batch: int = 4):
+        assert spec.fcn, "FCNInference requires a dense-prediction spec"
+        self.spec = spec
+        self.batch = batch
+
+    @partial(jax.jit, static_argnames=("self", "mc"))
+    def _run(self, params, x, mc, rng):
+        out = apply_cnn(self.spec, params, x, mc_dropout=mc,
+                        dropout_rng=rng)
+        return out.posteriors, out.prediction, out.log_sigma
+
+    def segment(self, params, vol_slices: np.ndarray, op: str = "prediction",
+                mc_T: int = 10, rng=None):
+        """``vol_slices``: (n, H, W, C) slice stack.  ``op`` in
+        {'prediction', 'posteriors', 'MC-posteriors', 'sigma'}."""
+        outs = []
+        n = vol_slices.shape[0]
+        rng = rng if rng is not None else jax.random.key(0)
+        for lo in range(0, n, self.batch):
+            xs = jnp.asarray(vol_slices[lo:lo + self.batch])
+            if op == "MC-posteriors":
+                acc = 0.0
+                for t in range(mc_T):
+                    post, _, _ = self._run(params, xs, True,
+                                           jax.random.fold_in(rng, t))
+                    acc = (post + t * acc) / (t + 1)
+                outs.append(np.asarray(acc))
+            else:
+                post, pred, sigma = self._run(params, xs, False, rng)
+                outs.append(np.asarray({"prediction": pred,
+                                        "posteriors": post,
+                                        "sigma": sigma}[op]))
+        return np.concatenate(outs, axis=0)
+
+
+class ShapeCachedFCN:
+    """Re-jit cache keyed by input spatial shape (replaces the reference's
+    ``models_dict_for_different_sizes``, eval_utils.py:413-439 — with XLA the
+    'models' are just compiled programs per shape)."""
+
+    def __init__(self, spec_factory):
+        self.spec_factory = spec_factory
+        self._cache: Dict = {}
+
+    def for_shape(self, shape) -> FCNInference:
+        shape = tuple(shape)
+        if shape not in self._cache:
+            self._cache[shape] = FCNInference(self.spec_factory(shape))
+        return self._cache[shape]

@@ -1,0 +1,126 @@
+"""Checkpointing: one atomic record per save + reference-h5 import shim.
+
+Rebuild of the reference's persistence (SURVEY.md §5.4): HDF5 layer-group
+weights (NN.py:379-419, NN_extended.py:670-736), assign-op reload machinery
+(obsolete under JAX — reload is just passing a new pytree), best-model
+tracking, and per-iteration weight files.  A checkpoint here is a single
+``.npz`` holding params, BN state, optional EMA-teacher params and the
+AL-loop state, written atomically.  ``load_reference_h5`` imports the
+reference's ``{layer}/{Weight,Bias}`` layout when h5py is available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
+                    teacher_params: Optional[Dict] = None,
+                    al_state: Optional[dict] = None) -> None:
+    """Atomic single-file checkpoint (tmpfile + rename), so an interrupted
+    save never corrupts the resume point (SURVEY.md §5.3)."""
+    payload = {}
+    payload.update(_flatten(params, "params/"))
+    if bn_state:
+        payload.update(_flatten(bn_state, "bn/"))
+    if teacher_params:
+        payload.update(_flatten(teacher_params, "teacher/"))
+    if al_state is not None:
+        payload["__al_state__"] = np.frombuffer(
+            json.dumps(al_state).encode(), dtype=np.uint8)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str):
+    """Returns (params, bn_state, teacher_params, al_state)."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    al_state = None
+    if "__al_state__" in flat:
+        al_state = json.loads(flat.pop("__al_state__").tobytes().decode())
+    groups = {"params": {}, "bn": {}, "teacher": {}}
+    for k, v in flat.items():
+        head, _, rest = k.partition("/")
+        groups.setdefault(head, {})[rest] = v
+    params = _unflatten(groups["params"])
+    bn = _unflatten(groups["bn"]) if groups["bn"] else None
+    teacher = _unflatten(groups["teacher"]) if groups["teacher"] else None
+    return params, bn, teacher, al_state
+
+
+def load_reference_h5(path: str, params_template: Dict) -> Dict:
+    """Import weights from the reference's HDF5 layout — one group per layer
+    with ``Weight``/``Bias`` datasets (NN.py:379-419).  Shapes are matched
+    against ``params_template``; FC weights are transposed if stored
+    feature-major.  Requires h5py."""
+    import h5py
+
+    out = jax.tree_util.tree_map(np.asarray, params_template)
+    with h5py.File(path, "r") as f:
+        for layer in f:
+            if layer not in out:
+                continue
+            grp = f[layer]
+            if "Weight" in grp:
+                w = np.asarray(grp["Weight"])
+                want = out[layer]["W"].shape
+                if w.shape != want and w.T.shape == want:
+                    w = w.T
+                if w.shape != want:
+                    raise ValueError(
+                        f"{layer}/Weight shape {w.shape} vs {want}")
+                out[layer]["W"] = w
+            if "Bias" in grp:
+                out[layer]["b"] = np.asarray(grp["Bias"]).reshape(
+                    out[layer]["b"].shape)
+    return out
+
+
+def save_reference_h5(path: str, params: Dict) -> None:
+    """Export to the reference's h5 layout for cross-framework comparison."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for layer, vals in params.items():
+            grp = f.create_group(layer)
+            if "W" in vals:
+                grp["Weight"] = np.asarray(vals["W"])
+            if "b" in vals:
+                grp["Bias"] = np.asarray(vals["b"])

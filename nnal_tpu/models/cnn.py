@@ -32,6 +32,7 @@ from nnal_tpu.models.specs import CNNSpec, Layer
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class CNNOutput:
     logits: jnp.ndarray            # (b, c) or (b, *spatial, c) for FCN

@@ -1,0 +1,140 @@
+"""Training: jitted step + step-bounded loop with metric tracking.
+
+Rebuilds the reference train loops — epoch-based ``train_graph_one_epoch``
+(NN.py:647), validated training with best-weights rollback (NN.py:744), and
+the v2 step-bounded ``train`` with periodic validation metrics, best-model
+checkpointing and teacher-EMA updates (NN_extended.py:928-1008) — around one
+jitted ``train_step`` whose gradient math (masking, PFT, weight decay,
+consistency) is fused into a single XLA program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.models.losses import (
+    consistency_loss,
+    cross_entropy,
+    fcn_cross_entropy,
+    weight_decay_penalty,
+)
+from nnal_tpu.models.optim import apply_grad_mask, ema_update, make_optimizer
+
+
+@dataclass
+class TrainState:
+    params: Dict
+    opt_state: optax.OptState
+    step: int = 0
+    bn_state: Optional[Dict] = None
+    teacher_params: Optional[Dict] = None
+    metrics: Dict = field(default_factory=dict)  # name -> list of values
+
+
+def make_train_step(spec, tx: optax.GradientTransformation, *,
+                    fcn: bool = False, class_weights=None,
+                    focal_gamma=None, weight_decay: float = 0.0,
+                    grad_mask=None, consistency_coeff: Optional[Callable] = None,
+                    consistency_measure: str = "CE"):
+    """Build a jitted ``(state_params, opt_state, x, y, rng, step, [teacher])
+    -> (params, opt_state, loss)`` train step."""
+
+    def loss_fn(params, x, y, rng, teacher_params, step):
+        out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
+        if fcn:
+            base = fcn_cross_entropy(out.logits, y, class_weights,
+                                     focal_gamma)
+        else:
+            base = cross_entropy(out.logits, y, class_weights)
+        loss = base
+        if weight_decay > 0:
+            loss = loss + weight_decay_penalty(params, weight_decay)
+        if consistency_coeff is not None and teacher_params is not None:
+            t_out = apply_cnn(spec, teacher_params, x)
+            coeff = consistency_coeff(step)
+            loss = loss + coeff * consistency_loss(
+                out.logits, t_out.logits, consistency_measure)
+        return loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, x, y, rng, step, teacher_params=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, rng, teacher_params, step)
+        grads = apply_grad_mask(grads, grad_mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step_fn
+
+
+def init_train_state(spec, params, optimizer_name="SGD", learning_rate=1e-3,
+                     bn_state=None, mean_teacher: bool = False,
+                     **opt_kw) -> TrainState:
+    tx = make_optimizer(optimizer_name, learning_rate, **opt_kw)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        bn_state=bn_state,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params)
+        if mean_teacher else None,
+    ), tx
+
+
+def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
+          rng, eval_every: int = 0, eval_fn: Optional[Callable] = None,
+          metric_name: str = "valid", track_best: bool = False,
+          ema_decay: float = 0.999):
+    """Step-bounded loop (reference NN_extended.py:928-1008).
+
+    ``train_gen`` yields ``(x, y)`` host batches; ``eval_fn(params) ->
+    float`` is called every ``eval_every`` steps; when ``track_best`` the
+    best-metric parameters are retained (the reference's
+    ``max_model_pars.h5`` + ``max_valid_iter.txt``).
+    Returns the final state (with ``metrics`` filled) and the best params.
+    """
+    best_params = None
+    best_metric = -np.inf
+    history = state.metrics.setdefault(metric_name, [])
+    losses = state.metrics.setdefault("train_loss", [])
+
+    while state.step < step_limit:
+        x, y = next(train_gen)
+        key = jax.random.fold_in(rng, state.step)
+        state.params, state.opt_state, loss = step_fn(
+            state.params, state.opt_state, jnp.asarray(x), jnp.asarray(y),
+            key, jnp.asarray(state.step))
+        losses.append(float(loss))
+        if state.teacher_params is not None:
+            state.teacher_params = ema_update(state.teacher_params,
+                                              state.params, ema_decay)
+        state.step += 1
+        if eval_every and eval_fn and state.step % eval_every == 0:
+            m = float(eval_fn(state.params))
+            history.append(m)
+            if track_best and m > best_metric:
+                best_metric = m
+                best_params = jax.tree_util.tree_map(np.asarray,
+                                                     state.params)
+    return state, (best_params if best_params is not None else state.params)
+
+
+def validated_train(spec, state: TrainState, step_fn, train_gen, *,
+                    step_limit: int, rng, eval_fn, eval_every: int):
+    """Validated training with best-weights rollback (reference
+    ``validated_train``, NN.py:744): after the loop, parameters revert to
+    the best validation point."""
+    state, best = train(spec, state, step_fn, train_gen,
+                        step_limit=step_limit, rng=rng,
+                        eval_every=eval_every, eval_fn=eval_fn,
+                        track_best=True)
+    state.params = jax.tree_util.tree_map(jnp.asarray, best)
+    return state

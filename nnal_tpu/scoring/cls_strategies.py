@@ -1,0 +1,129 @@
+"""Classification (multi-class) query strategies.
+
+Rebuild of ``NNAL.CNN_query`` (NNAL.py:188-525): random, entropy, EGL
+(expected gradient length — repaired; the reference's path references
+undefined variables, SURVEY.md §2.9), FI with SDP, rep-entropy.  Operates on
+in-memory ``(X, labels)`` arrays through jitted batched forwards — the
+classification analogue of the patch-pool evaluator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.scoring.fisher import a_matrices_multiclass, refine_feature_matrix
+from nnal_tpu.scoring.gradients import shrunk_class_grads
+from nnal_tpu.scoring.pmf import sample_query_pmf
+from nnal_tpu.scoring.representative import cosine_similarity, rep_entropy_select
+from nnal_tpu.scoring.sdp import fi_query_distribution
+from nnal_tpu.scoring.uncertainty import shannon_entropy, uncertainty_filter
+
+
+@dataclass
+class ClsQueryContext:
+    spec: object
+    params: Dict
+    pool_x: np.ndarray               # (n, ...) candidate inputs
+    k: int
+    rng: np.random.Generator
+    B: int = 200
+    lambda_: float = 0.0
+    batch: int = 1024
+    extra: Dict = field(default_factory=dict)
+
+
+def batched_forward(spec, params, X, batch: int, what=("posteriors",)):
+    """Static-shape chunked forward over an array pool (the classification
+    analogue of PW_NN.batch_eval; reference idxBatch_posteriors,
+    NNAL_tools.py:382)."""
+    outs = {w: [] for w in what}
+    n = X.shape[0]
+    fwd = jax.jit(lambda p, x: apply_cnn(spec, p, x))
+    for lo in range(0, n, batch):
+        xs = np.asarray(X[lo:lo + batch])
+        pad = batch - xs.shape[0]
+        if pad > 0:
+            xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
+                                              xs.dtype)])
+        out = fwd(params, jnp.asarray(xs))
+        for w in what:
+            arr = np.asarray({"posteriors": out.posteriors,
+                              "prediction": out.prediction,
+                              "feature_layer": out.feature}[w])
+            outs[w].append(arr[:arr.shape[0] - pad] if pad else arr)
+    return {w: np.concatenate(v) for w, v in outs.items()}
+
+
+def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
+    """Returns positions into ``ctx.pool_x`` (reference NNAL.CNN_query)."""
+    n = ctx.pool_x.shape[0]
+
+    if method_name == "random":
+        return ctx.rng.permutation(n)[:ctx.k]
+
+    posts = batched_forward(ctx.spec, ctx.params, ctx.pool_x,
+                            ctx.batch)["posteriors"]
+
+    if method_name == "entropy":
+        ent = np.asarray(shannon_entropy(jnp.asarray(posts)))
+        return np.argsort(-ent, kind="stable")[:ctx.k]
+
+    B = min(ctx.B, n)
+    sel = np.asarray(uncertainty_filter(jnp.asarray(posts), B))
+
+    if method_name == "egl":
+        # expected gradient length: sum_c p_c ||shrunk grad_c||^2 over the
+        # uncertainty-filtered candidates (reference NNAL.py:234-292,
+        # repaired — its per-sample session loop referenced dead variables)
+        shrunk = shrunk_class_grads(ctx.spec, ctx.params,
+                                    jnp.asarray(ctx.pool_x[sel]))
+        norms = jnp.sum(shrunk ** 2, axis=-1)          # (B, c)
+        scores = np.asarray(jnp.sum(jnp.asarray(posts[sel]) * norms, axis=1))
+        return sel[np.argsort(-scores, kind="stable")[:ctx.k]]
+
+    if method_name == "fi":
+        shrunk = shrunk_class_grads(ctx.spec, ctx.params,
+                                    jnp.asarray(ctx.pool_x[sel]))
+        A = a_matrices_multiclass(shrunk, jnp.asarray(posts[sel],
+                                                      jnp.float32))
+        X_pool = None
+        if ctx.lambda_ > 0:
+            F = batched_forward(ctx.spec, ctx.params, ctx.pool_x[sel],
+                                ctx.batch,
+                                ("feature_layer",))["feature_layer"]
+            ref_F = refine_feature_matrix(F.T, B)
+            X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
+        q = fi_query_distribution(np.asarray(A), ctx.lambda_, X_pool, ctx.k)
+        picks = sample_query_pmf(q, ctx.k, ctx.rng, replacement=True)
+        return sel[picks]
+
+    if method_name == "rep-entropy":
+        F = batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
+                            ("feature_layer",))["feature_layer"]
+        rest = np.setdiff1d(np.arange(n), sel)
+        if len(rest) == 0:
+            return sel[:ctx.k]
+        sims = cosine_similarity(jnp.asarray(F[rest]), jnp.asarray(F[sel]))
+        chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
+        return sel[chosen]
+
+    raise ValueError(method_name)
+
+
+# --------------------------------------------------------------------------- #
+# softmax-regression FI harness (reference MNIST comparison, NNAL.py:18-186,
+# NNAL_tools.py:116-360): closed-form FI score for linear-softmax models
+# --------------------------------------------------------------------------- #
+@jax.jit
+def linear_softmax_fi_scores(X: jnp.ndarray, posts: jnp.ndarray):
+    """FI utility ``(||x||^2 + 1)(1 - ||p||^2)`` per sample (the closed form
+    the reference's MNIST harness ranks by)."""
+    xn = jnp.sum(X.reshape(X.shape[0], -1) ** 2, axis=1)
+    pn = jnp.sum(posts ** 2, axis=1)
+    return (xn + 1.0) * (1.0 - pn)

@@ -20,6 +20,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.flatten_util import ravel_pytree
 
 from nnal_tpu.models.cnn import apply_cnn
 
@@ -72,23 +73,30 @@ def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
     p0 = r0
     rs0 = _tree_dot(r0, r0)
 
+    # truncated CG: the CE Hessian is indefinite in general; on detecting
+    # non-positive curvature (p^T (H + damping) p <= 0) the iteration exits
+    # with the current iterate — standard Newton-CG behavior, matching the
+    # reference's fmin_ncg curvature handling.
     def cond(carry):
-        _, _, _, rs, i = carry
-        return jnp.logical_and(i < max_iter, rs > tol)
+        _, _, _, rs, i, done = carry
+        return jnp.logical_and(jnp.logical_and(i < max_iter, rs > tol),
+                               jnp.logical_not(done))
 
     def body(carry):
-        t, r, p, rs, i = carry
+        t, r, p, rs, i, done = carry
         Ap = matvec(p)
-        alpha = rs / jnp.maximum(_tree_dot(p, Ap), 1e-30)
+        pAp = _tree_dot(p, Ap)
+        neg_curv = pAp <= 1e-12
+        alpha = jnp.where(neg_curv, 0.0, rs / jnp.where(neg_curv, 1.0, pAp))
         t = jax.tree_util.tree_map(lambda a, b: a + alpha * b, t, p)
         r = jax.tree_util.tree_map(lambda a, b: a - alpha * b, r, Ap)
         rs_new = _tree_dot(r, r)
         beta = rs_new / jnp.maximum(rs, 1e-30)
         p = jax.tree_util.tree_map(lambda a, b: a + beta * b, r, p)
-        return t, r, p, rs_new, i + 1
+        return t, r, p, rs_new, i + 1, neg_curv
 
-    t, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (t0, r0, p0, rs0, jnp.asarray(0)))
+    t, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (t0, r0, p0, rs0, jnp.asarray(0), jnp.asarray(False)))
     return t
 
 
@@ -129,27 +137,27 @@ def scipy_newton_cg_s_test(spec, params, train_x, train_y, v,
     scipy, calling the jitted HVP for Hessian-vector products."""
     from scipy.optimize import fmin_ncg
 
-    flat_v, unravel = jax.flatten_util.ravel_pytree(v)
+    flat_v, unravel = ravel_pytree(v)
     train_x = jnp.asarray(train_x)
     train_y = jnp.asarray(train_y)
 
     def f(t):
         tt = unravel(jnp.asarray(t, jnp.float32))
         Ht = hvp(spec, params, train_x, train_y, tt)
-        flat_Ht, _ = jax.flatten_util.ravel_pytree(Ht)
+        flat_Ht, _ = ravel_pytree(Ht)
         return float(0.5 * np.dot(t, np.asarray(flat_Ht) + damping * t)
                      - np.dot(np.asarray(flat_v), t))
 
     def fprime(t):
         tt = unravel(jnp.asarray(t, jnp.float32))
         Ht = hvp(spec, params, train_x, train_y, tt)
-        flat_Ht, _ = jax.flatten_util.ravel_pytree(Ht)
+        flat_Ht, _ = ravel_pytree(Ht)
         return np.asarray(flat_Ht) + damping * t - np.asarray(flat_v)
 
     def fhess_p(t, p):
         pp = unravel(jnp.asarray(p, jnp.float32))
         Hp = hvp(spec, params, train_x, train_y, pp)
-        flat_Hp, _ = jax.flatten_util.ravel_pytree(Hp)
+        flat_Hp, _ = ravel_pytree(Hp)
         return np.asarray(flat_Hp) + damping * p
 
     t0 = np.asarray(flat_v)

@@ -62,7 +62,7 @@ def _lmo_capped_simplex(grad: jnp.ndarray, cap: float) -> jnp.ndarray:
     return s.astype(grad.dtype)
 
 
-@partial(jax.jit, static_argnames=("steps",))
+@partial(jax.jit, static_argnames=("steps", "rho", "cap"))
 def solve_a_optimal(A: jnp.ndarray, cap: float = 1.0,
                     lin: Optional[jnp.ndarray] = None,
                     F: Optional[jnp.ndarray] = None,

@@ -1,0 +1,285 @@
+"""Query-strategy dispatch for patch-wise active learning.
+
+Rebuild of ``PW_NNAL.CNN_query`` (PW_NNAL.py:18-166) and the multi-subject
+``query_multimg`` (PW_NNAL.py:169-627).  Each strategy consumes a
+:class:`QueryContext` (pool evaluator + model + pool indices) and returns
+positions into the pool index array.  All heavy math runs in jitted device
+programs; only final selections come back to host.
+
+Strategies (reference §2.3 inventory): random, ps-random, entropy,
+MC-entropy, BALD, rep-entropy, core-set, ensemble, QBC-JS, fi.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.data.indexing import global2local_inds
+from nnal_tpu.data.patches import gather_patches_normalized
+from nnal_tpu.data.samplers import high_variance_filter
+from nnal_tpu.scoring.fisher import fi_select
+from nnal_tpu.scoring.pool_eval import (
+    PoolEvaluator,
+    mc_average_posteriors,
+    mc_stack_posteriors,
+)
+from nnal_tpu.scoring.representative import (
+    core_set_select,
+    cosine_similarity,
+    cross_max_similarities,
+    normalize_rows,
+    rep_entropy_select,
+)
+from nnal_tpu.scoring.uncertainty import (
+    bald_from_mc,
+    binary_uncertainty_filter,
+    qbc_js_scores,
+)
+
+
+@dataclass
+class QueryContext:
+    """Everything a strategy needs for one subject."""
+
+    spec: object
+    params: Dict
+    evaluator: PoolEvaluator
+    pool_inds: np.ndarray                 # raveled voxel indices
+    k: int
+    rng: np.random.Generator              # host sampling
+    jax_rng: jax.Array                    # device stochastic passes
+    B: int = 200
+    MC_iters: int = 10
+    lambda_: float = 0.0
+    hv_threshold: float = 2.0
+    train_inds: Optional[np.ndarray] = None
+    labeled_evaluator: Optional[PoolEvaluator] = None
+    ensemble_params: Optional[List[Dict]] = None   # for ensemble/QBC-JS
+    raw_volume: Optional[np.ndarray] = None        # unpadded modality-0
+    extra: Dict = field(default_factory=dict)
+
+
+_STRATEGIES: Dict[str, Callable] = {}
+
+
+def register_strategy(name: str):
+    def deco(fn):
+        _STRATEGIES[name] = fn
+        return fn
+    return deco
+
+
+def cnn_query(ctx: QueryContext, method_name: str) -> np.ndarray:
+    """Dispatch (reference ``PW_NNAL.CNN_query``).  Returns positions into
+    ``ctx.pool_inds``."""
+    if method_name not in _STRATEGIES:
+        raise ValueError(f"unknown query method {method_name!r}; "
+                         f"available: {sorted(_STRATEGIES)}")
+    q = _STRATEGIES[method_name](ctx)
+    return np.asarray(q, dtype=np.int64)
+
+
+def _posteriors(ctx: QueryContext) -> np.ndarray:
+    return ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+                                  ("posteriors",))["posteriors"]
+
+
+@register_strategy("random")
+def _random(ctx: QueryContext):
+    n = len(ctx.pool_inds)
+    return ctx.rng.permutation(n)[:ctx.k]
+
+
+@register_strategy("ps-random")
+def _ps_random(ctx: QueryContext):
+    """Pseudo-random restricted to high-local-variance voxels (reference
+    PW_NNAL.py:37-48)."""
+    assert ctx.raw_volume is not None, "ps-random needs the raw volume"
+    valid = high_variance_filter(ctx.raw_volume,
+                                 ctx.evaluator.patch_shape,
+                                 ctx.hv_threshold, ctx.pool_inds)
+    pick = ctx.rng.permutation(len(valid))[:ctx.k]
+    return valid[pick]
+
+
+@register_strategy("entropy")
+def _entropy(ctx: QueryContext):
+    p1 = _posteriors(ctx)
+    return np.asarray(binary_uncertainty_filter(p1, ctx.k))
+
+
+@register_strategy("MC-entropy")
+def _mc_entropy(ctx: QueryContext):
+    avg = mc_average_posteriors(ctx.evaluator, ctx.params, ctx.pool_inds,
+                                ctx.MC_iters, ctx.jax_rng)
+    return np.asarray(binary_uncertainty_filter(avg, ctx.k))
+
+
+@register_strategy("BALD")
+def _bald(ctx: QueryContext):
+    mc = mc_stack_posteriors(ctx.evaluator, ctx.params, ctx.pool_inds,
+                             ctx.MC_iters, ctx.jax_rng)
+    scores = np.asarray(bald_from_mc(jnp.asarray(mc)))
+    return np.argsort(-scores, kind="stable")[:ctx.k]
+
+
+@register_strategy("rep-entropy")
+def _rep_entropy(ctx: QueryContext):
+    """Uncertainty filter to B, then greedy representativeness against the
+    remaining pool (reference PW_NNAL.py:284-351)."""
+    res = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+                                 ("posteriors", "feature_layer"))
+    p1, F = res["posteriors"], res["feature_layer"]
+    B = min(ctx.B, len(ctx.pool_inds))
+    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    rest = np.setdiff1d(np.arange(len(ctx.pool_inds)), sel)
+    if len(rest) == 0:
+        return sel[:ctx.k]
+    sims = cosine_similarity(jnp.asarray(F[rest]), jnp.asarray(F[sel]))
+    chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
+    return sel[chosen]
+
+
+@register_strategy("core-set")
+def _core_set(ctx: QueryContext):
+    """Greedy k-center on pool features vs labeled features (reference
+    PW_NNAL.py:353-451)."""
+    F_u = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+                                 ("feature_layer",))["feature_layer"]
+    Fn = normalize_rows(F_u)
+    if ctx.train_inds is not None and len(ctx.train_inds) > 0:
+        lab_ev = ctx.labeled_evaluator or ctx.evaluator
+        F_t = lab_ev.evaluate(ctx.params, ctx.train_inds,
+                              ("feature_layer",))["feature_layer"]
+        sims0 = jnp.asarray(cross_max_similarities(F_u, F_t))
+    else:
+        sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
+    chosen = np.asarray(core_set_select(Fn, sims0,
+                                        min(ctx.k, F_u.shape[0])))
+    return chosen
+
+
+def _committee_posteriors(ctx: QueryContext) -> np.ndarray:
+    """(E, n) pool posteriors across the ensemble (reference
+    PW_NNAL.py:453-545: pre-trained weight sets, or re-finetuned copies)."""
+    assert ctx.ensemble_params, "ensemble methods need ensemble_params"
+    rows = []
+    for p in ctx.ensemble_params:
+        rows.append(ctx.evaluator.evaluate(p, ctx.pool_inds,
+                                           ("posteriors",))["posteriors"])
+    return np.stack(rows)
+
+
+@register_strategy("ensemble")
+def _ensemble(ctx: QueryContext):
+    """Average committee posteriors -> binary uncertainty (reference
+    PW_NNAL.py:453-490), with the reference's running average."""
+    posts = _committee_posteriors(ctx)
+    avg = 0.0
+    for i in range(posts.shape[0]):
+        avg = (posts[i] + i * avg) / (i + 1)
+    return np.asarray(binary_uncertainty_filter(avg, ctx.k))
+
+
+@register_strategy("QBC-JS")
+def _qbc_js(ctx: QueryContext):
+    posts = _committee_posteriors(ctx)
+    scores = np.asarray(qbc_js_scores(jnp.asarray(posts)))
+    return np.argsort(-scores, kind="stable")[:ctx.k]
+
+
+@register_strategy("fi")
+def _fi(ctx: QueryContext):
+    """Fisher-information querying (reference PW_NNAL.py:89-163)."""
+    p1 = _posteriors(ctx)
+    B = min(ctx.B, len(ctx.pool_inds))
+    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    cand_inds = ctx.pool_inds[sel]
+    ev = ctx.evaluator
+    patches = gather_patches_normalized(
+        ev.padded, jnp.asarray(cand_inds), ev.mu, ev.sd, ev.patch_shape,
+        ev.orig_shape)
+    feats = None
+    if ctx.lambda_ > 0:
+        feats = ev.evaluate(ctx.params, cand_inds,
+                            ("feature_layer",))["feature_layer"]
+    picks = fi_select(ctx.spec, ctx.params, np.asarray(patches), p1[sel],
+                      ctx.k, ctx.rng, lambda_=ctx.lambda_, features=feats)
+    return sel[picks]
+
+
+# --------------------------------------------------------------------------- #
+# multi-subject dispatch (reference query_multimg, PW_NNAL.py:169-627)
+# --------------------------------------------------------------------------- #
+def query_multimg(contexts: Sequence[QueryContext], method_name: str,
+                  k: int, rng) -> List[np.ndarray]:
+    """Query across subjects: score each subject's pool with its own
+    evaluator, select globally, return per-subject local positions.
+
+    The reference concatenates per-subject scores and splits selections with
+    ``global2local_inds``; identical index algebra is used here.
+    """
+    sizes = [len(c.pool_inds) for c in contexts]
+
+    if method_name == "random":
+        n = int(np.sum(sizes))
+        pick = rng.permutation(n)[:k]
+        return global2local_inds(pick, sizes)
+
+    if method_name in ("entropy", "MC-entropy", "BALD", "ensemble",
+                       "QBC-JS"):
+        all_scores = []
+        for c in contexts:
+            if method_name == "entropy":
+                p1 = _posteriors(c)
+                s = np.abs(p1 - 0.5)
+            elif method_name == "MC-entropy":
+                avg = mc_average_posteriors(c.evaluator, c.params,
+                                            c.pool_inds, c.MC_iters,
+                                            c.jax_rng)
+                s = np.abs(avg - 0.5)
+            elif method_name == "BALD":
+                mc = mc_stack_posteriors(c.evaluator, c.params, c.pool_inds,
+                                         c.MC_iters, c.jax_rng)
+                s = -np.asarray(bald_from_mc(jnp.asarray(mc)))
+            else:
+                posts = _committee_posteriors(c)
+                if method_name == "ensemble":
+                    avg = 0.0
+                    for i in range(posts.shape[0]):
+                        avg = (posts[i] + i * avg) / (i + 1)
+                    s = np.abs(avg - 0.5)
+                else:
+                    s = -np.asarray(qbc_js_scores(jnp.asarray(posts)))
+            all_scores.append(s)
+        cat = np.concatenate(all_scores)
+        pick = np.argsort(cat, kind="stable")[:k]
+        return global2local_inds(pick, sizes)
+
+    if method_name == "ps-random":
+        valid_per = [high_variance_filter(c.raw_volume,
+                                          c.evaluator.patch_shape,
+                                          c.hv_threshold, c.pool_inds)
+                     for c in contexts]
+        vsizes = [len(v) for v in valid_per]
+        pick = rng.permutation(int(np.sum(vsizes)))[:k]
+        local = global2local_inds(pick, vsizes)
+        return [valid_per[i][local[i]] for i in range(len(contexts))]
+
+    if method_name in ("rep-entropy", "core-set", "fi"):
+        # delegate to per-subject machinery on the concatenated candidate
+        # space; see engine.multi_experiment for the orchestration
+        raise NotImplementedError(
+            f"{method_name} multi-subject path lives in "
+            "engine.multi_experiment")
+
+    raise ValueError(method_name)
+
+
+def available_strategies() -> List[str]:
+    return sorted(_STRATEGIES)

@@ -1,0 +1,115 @@
+"""Superpixel-level querying.
+
+Rebuild of the reference's superpixel path (``SuPix_query`` +
+``superpix_scoring``, PW_NNAL.py:883-1021; PW_AL.py:1168-1293) which is
+*broken* in the reference (it calls missing ``PW_AL.batch_eval_wlines`` /
+``create_dict``, SURVEY.md §2.9) — reconstructed here from its evident
+intent: SLIC-oversegment each slice, score each superpixel by the minimum
+pixel uncertainty inside it, query whole superpixels.
+
+skimage is not available in this image, so SLIC is implemented directly
+(k-means in (intensity, x, y) space with compactness weighting); the
+per-superpixel min-intensity reduction replaces ``regionprops``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def slic_2d(img: np.ndarray, n_segments: int = 100,
+            compactness: float = 10.0, n_iter: int = 10) -> np.ndarray:
+    """SLIC superpixels for one 2D slice.  Returns an int label map.
+
+    Standard SLIC: seeds on a regular grid, iterative assignment within a
+    2S x 2S window via distance d = d_color + (compactness/S) * d_xy,
+    then centroid update.  (Replaces skimage.segmentation.slic.)
+    """
+    img = np.asarray(img, dtype=np.float64)
+    H, W = img.shape
+    S = max(int(np.sqrt(H * W / n_segments)), 1)
+    ys = np.arange(S // 2, H, S)
+    xs = np.arange(S // 2, W, S)
+    centers = np.array([[img[y, x], y, x] for y in ys for x in xs])
+    n = len(centers)
+    yy, xx = np.mgrid[0:H, 0:W]
+    labels = np.zeros((H, W), dtype=np.int32)
+    dists = np.full((H, W), np.inf)
+    ratio = compactness / S
+
+    for _ in range(n_iter):
+        dists[:] = np.inf
+        for ci in range(n):
+            c_l, c_y, c_x = centers[ci]
+            y0, y1 = int(max(c_y - S, 0)), int(min(c_y + S + 1, H))
+            x0, x1 = int(max(c_x - S, 0)), int(min(c_x + S + 1, W))
+            patch = img[y0:y1, x0:x1]
+            dy = yy[y0:y1, x0:x1] - c_y
+            dx = xx[y0:y1, x0:x1] - c_x
+            d = np.abs(patch - c_l) + ratio * np.sqrt(dy * dy + dx * dx)
+            win = dists[y0:y1, x0:x1]
+            better = d < win
+            win[better] = d[better]
+            labels[y0:y1, x0:x1][better] = ci
+        # centroid update
+        for ci in range(n):
+            sel = labels == ci
+            if sel.any():
+                centers[ci] = [img[sel].mean(), yy[sel].mean(),
+                               xx[sel].mean()]
+    return labels
+
+
+def oversegment_volume(vol: np.ndarray, n_segments: int = 100,
+                       compactness: float = 10.0) -> np.ndarray:
+    """Per-axial-slice SLIC labels, stacked to (H, W, D)."""
+    vol = np.asarray(vol)
+    return np.stack([slic_2d(vol[:, :, z], n_segments, compactness)
+                     for z in range(vol.shape[2])], axis=2)
+
+
+def superpix_scores(overseg: np.ndarray, inds: np.ndarray,
+                    scores: np.ndarray) -> np.ndarray:
+    """Extend pixel scores to superpixels: (D, max_label+1) matrix where
+    entry (z, j) is the MIN score among scored pixels inside superpixel j of
+    slice z; inf where a superpixel received no scored pixel (reference
+    ``superpix_scoring`` semantics, PW_NNAL.py:944-1021)."""
+    s = overseg.shape
+    x, y, z = np.unravel_index(np.asarray(inds, np.int64), s)
+    labels = overseg[x, y, z]
+    out = np.full((s[2], int(overseg.max()) + 1), np.inf)
+    np.minimum.at(out, (z, labels), np.asarray(scores))
+    return out
+
+
+def supix_query(overseg: np.ndarray, pool_inds: np.ndarray,
+                uncertainty: np.ndarray, k: int
+                ) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Select the k most-uncertain superpixels and return their member
+    voxels (reference ``SuPix_query`` + ``get_SuPix_inds``).
+
+    ``uncertainty``: per-pool-voxel score, LOWER = more uncertain (the
+    |p-0.5| convention).  Returns (qSuPix (2, k) [slice; label], member
+    voxel-index arrays)."""
+    sp = superpix_scores(overseg, pool_inds, uncertainty)
+    sp[np.isinf(sp)] = np.nan
+    flat_order = np.argsort(np.ravel(sp))  # NaNs sort last
+    picked = []
+    for f in flat_order:
+        z, lab = np.unravel_index(f, sp.shape)
+        if np.isnan(sp[z, lab]):
+            break
+        picked.append((z, lab))
+        if len(picked) == k:
+            break
+    q = np.array(picked, dtype=np.int64).T if picked else \
+        np.zeros((2, 0), np.int64)
+    members = []
+    for z, lab in picked:
+        m2d = np.flatnonzero(overseg[:, :, z].ravel() == lab)
+        from nnal_tpu.data.indexing import expand_raveled_inds
+
+        members.append(expand_raveled_inds(m2d, z, 2, overseg.shape))
+    return q, members

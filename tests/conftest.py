@@ -3,11 +3,19 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4 item 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the surrounding environment presets JAX_PLATFORMS=axon (the TPU
+# tunnel) and a baked sitecustomize force-sets jax_platforms="axon,cpu" at
+# jax import time, so the env var alone is not enough — the config must be
+# re-updated after importing jax, before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
