@@ -32,7 +32,7 @@ def main():
     spec = create_model("PW", nclass=2, dropout_rate=0.5,
                         patch_shape=(25, 25, 2))
     params, _ = init_cnn(spec, jax.random.key(0))
-    scorer = make_pool_scorer(spec, compute_dtype=jnp.bfloat16, with_fim=True)
+    scorer = make_pool_scorer(spec, with_fim=True)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     block = 8192 if on_tpu else 256
@@ -42,14 +42,17 @@ def main():
     patches = jnp.asarray(rng.normal(size=(block, 25, 25, 2)),
                           jnp.float32)
 
-    # compile + warmup
+    # compile + warmup (np.asarray forces real execution — under the axon
+    # tunnel block_until_ready returns before the device finishes)
     out = scorer(params, patches)
-    jax.block_until_ready(out["uncertainty"])
+    float(np.asarray(out["uncertainty"]).sum())
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(n_blocks):
         out = scorer(params, patches)
-    jax.block_until_ready(out["uncertainty"])
+        acc += float(np.asarray(out["uncertainty"]).sum()) \
+            + float(np.asarray(out["shrunk"]).ravel()[0])
     dt = time.perf_counter() - t0
 
     scored = block * n_blocks

@@ -95,7 +95,9 @@ def create_pw1(nclass: int, dropout_rate: float,
         _pool("max2", (2, 2)),
         _fc("fc1", 4096, dropout=dr),
         _fc("fc2", 4096, dropout=dr),
-        _fc("fc3", nclass, dropout=dr),
+        # head is linear ('M'): softmax runs on raw logits; dropout on the
+        # head output mirrors the reference's dropout list [6,7,8]
+        _fc("fc3", nclass, dropout=dr, op_order="M"),
     )
     # input: (d1, d2, m*d3) patches, channels-last
     return CNNSpec("PW1", layers, tuple(patch_shape), nclass,
@@ -123,7 +125,7 @@ def create_vgg(nclass: int, dropout_rate: float, version: int = 19,
                 layers.append(_conv(f"conv{ci}", ch, (3, 3)))
     layers += [_fc("fc1", 4096, dropout=dropout_rate),
                _fc("fc2", 4096, dropout=dropout_rate),
-               _fc("fc3", nclass)]
+               _fc("fc3", nclass, op_order="M")]
     return CNNSpec(f"VGG{version}", tuple(layers), tuple(input_shape), nclass,
                    feature_layer=len(layers) - 2)
 
@@ -150,7 +152,7 @@ def create_densenet_2block(nclass: int, growth: int = 12, depth: int = 4,
             layers.append(_pool("trans_pool", (2, 2)))
             prev = ["trans_pool"]
     layers.append(_pool("gap", (2, 2)))
-    layers.append(_fc("fc_out", nclass))
+    layers.append(_fc("fc_out", nclass, op_order="M"))
     return CNNSpec("DenseNet2B", tuple(layers), tuple(input_shape), nclass,
                    feature_layer=len(layers) - 2)
 

@@ -1,0 +1,101 @@
+"""Pallas kernel: tiled cosine-similarity max-reduction.
+
+Core-set and rep-entropy need ``max_j sim(pool_i, ref_j)`` over huge pools
+(reference tiles 5000-wide chunks on host, PW_NNAL.py:1041-1136).  The XLA
+path materializes an (n, m) similarity block per tile in HBM; this kernel
+keeps each (TILE_N, TILE_M) block in VMEM — one MXU matmul per tile, a
+running row-max accumulator, nothing but the final (n,) vector ever leaving
+VMEM for HBM.
+
+Inputs are pre-normalized rows (cosine == dot).  Grid is (n_tiles, m_tiles);
+m is the inner (fastest) axis so the accumulator tile stays resident while
+reference tiles stream through.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 512
+TILE_M = 512
+
+
+def _make_rowmax_kernel(m_valid: int):
+    """Kernel closure over the true (unpadded) reference count, so padded
+    columns are masked to -inf before the row max."""
+
+    def kernel(pool_ref, ref_ref, out_ref):
+        j = pl.program_id(1)
+        block = jnp.dot(pool_ref[:], ref_ref[:].T,
+                        preferred_element_type=jnp.float32)
+        col = j * TILE_M + jax.lax.broadcasted_iota(
+            jnp.int32, block.shape, dimension=1)
+        block = jnp.where(col < m_valid, block, -jnp.inf)
+        row_max = jnp.max(block, axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = row_max
+
+        @pl.when(j > 0)
+        def _():
+            out_ref[:] = jnp.maximum(out_ref[:], row_max)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def max_similarity_pallas(pool_normed: jnp.ndarray, ref_normed: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(n,) max dot-product of each pool row against all reference rows.
+
+    Rows must be L2-normalized.  Shapes are padded to tile multiples; the
+    reference padding rows are zero (dot = 0), which is only correct when a
+    true max can exceed 0 — callers padding with zeros must mask, so padding
+    reference rows are filled with -1 direction instead (dot >= -1 bounds
+    cosine from below).
+    """
+    n, d = pool_normed.shape
+    m = ref_normed.shape[0]
+    n_pad = -n % TILE_N
+    m_pad = -m % TILE_M
+    pool_p = jnp.pad(pool_normed.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    ref_p = jnp.pad(ref_normed.astype(jnp.float32), ((0, m_pad), (0, 0)))
+
+    grid = (pool_p.shape[0] // TILE_N, ref_p.shape[0] // TILE_M)
+    out = pl.pallas_call(
+        _make_rowmax_kernel(m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N,), lambda i, j: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pool_p.shape[0],), jnp.float32),
+        interpret=interpret,
+    )(pool_p, ref_p)
+    return out[:n]
+
+
+def max_similarity(pool_feats, ref_feats, use_pallas: bool | None = None):
+    """Normalize + max-similarity; Pallas on TPU, XLA fallback elsewhere
+    (same contract as scoring.representative.cross_max_similarities)."""
+    pool = jnp.asarray(pool_feats)
+    ref = jnp.asarray(ref_feats)
+    pool_n = pool / jnp.linalg.norm(pool, axis=1, keepdims=True)
+    ref_n = ref / jnp.linalg.norm(ref, axis=1, keepdims=True)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        return max_similarity_pallas(pool_n, ref_n)
+    return jnp.max(jnp.dot(pool_n, ref_n.T,
+                           preferred_element_type=jnp.float32), axis=1)

@@ -43,15 +43,115 @@ def layer_sizes(spec, params) -> np.ndarray:
                      for n in grad_param_layers(spec, params)])
 
 
+def _apply_with_eps(spec, params, x, E):
+    """Forward pass with a per-sample epsilon injected into every parameter
+    layer: layer l behaves as if ``W_l + E[i,l]*1`` and ``b_l + E[i,l]*1``
+    for sample i.
+
+    The perturbation is *linear* in eps — ``conv(h, W + e) = conv(h, W) +
+    e * (conv(h, ones) + 1)`` and ``(W + e)^T h + (b + e) = z + e *
+    (sum(h) + 1)`` — so it costs one cheap extra reduction per layer, and
+    ``d logits / d E`` at E=0 is exactly the per-sample entry-sum gradient.
+    Supports the conv/pool/fc layer family (PW1/VGG-style specs).
+    """
+    from nnal_tpu.models.cnn import _act, _dimension_numbers
+
+    rank = spec.spatial_rank
+    act = _act(spec.activation)
+    h = x
+    li = 0
+    for layer in spec.layers:
+        if layer.kind == "conv":
+            p = params[layer.name]
+            dn = jax.lax.conv_dimension_numbers(
+                h.shape, p["W"].shape, _dimension_numbers(rank))
+            z = jax.lax.conv_general_dilated(
+                h, p["W"].astype(h.dtype), layer.strides, layer.padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32) + p["b"]
+            ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
+            wsum = jax.lax.conv_general_dilated(
+                h, ones, layer.strides, layer.padding,
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    h.shape, ones.shape, _dimension_numbers(rank)),
+                preferred_element_type=jnp.float32)
+            e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
+            z = z + e * (wsum + 1.0)
+            h = act(z) if "A" in layer.op_order else z
+            li += 1
+        elif layer.kind == "fc":
+            p = params[layer.name]
+            h2 = h.reshape(h.shape[0], -1)
+            z = jnp.dot(h2, p["W"].astype(h2.dtype),
+                        preferred_element_type=jnp.float32) + p["b"]
+            s = jnp.sum(h2, axis=1, keepdims=True)
+            z = z + E[:, li:li + 1] * (s + 1.0)
+            h = act(z) if "A" in layer.op_order else z
+            li += 1
+        elif layer.kind in ("pool", "avgpool"):
+            from nnal_tpu.models.cnn import _main_op
+
+            h = _main_op(spec, layer, {}, h, rank)
+        else:
+            raise NotImplementedError(
+                f"eps-injected forward does not support {layer.kind!r}; "
+                "use shrunk_class_grads_persample")
+    return h  # logits
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def shrunk_class_grads(spec, params, x: jnp.ndarray) -> jnp.ndarray:
+    """(b, c, L) 'sum'-shrunk class gradients (see
+    :func:`shrunk_class_grads_with_logits`)."""
+    return shrunk_class_grads_with_logits(spec, params, x)[0]
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray):
     """'sum'-shrunk per-class log-posterior gradients for a patch batch.
 
     Returns ``(b, c, L)``: per layer, ``mean of entries of
     d log p(y=c|x_i) / d theta_layer`` — bit-matching the reference's
-    ``shrink_gradient(..., 'sum')`` output, computed without ever
-    materializing a full per-sample gradient.
+    ``shrink_gradient(..., 'sum')`` (NNAL_tools.py:778-831).
+
+    TPU-native fast path: gradients w.r.t. a per-sample epsilon matrix
+    injected into ONE batch forward (see :func:`_apply_with_eps`) — each
+    class costs a single batch backward pass, versus the reference's one
+    sess.run per sample per class (PW_NNAL.py:738-816).
     """
+    names = grad_param_layers(spec, params)
+    sizes = jnp.asarray(layer_sizes(spec, params), jnp.float32)
+    nclass = spec.nclass
+    b = x.shape[0]
+    E0 = jnp.zeros((b, len(names)), jnp.float32)
+
+    def class_sum(E, c):
+        logits = _apply_with_eps(spec, params, x, E)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # sum over samples: d/dE[i, l] touches only sample i's logp
+        return jnp.sum(logp[:, c]), logits
+
+    g = jax.grad(class_sum, has_aux=True)
+    # classes 1..c-1 via backward passes; class 0 from the softmax
+    # zero-sum identity sum_c p_c * grad(log p_c) = 0, which holds exactly
+    # per sample — saving one full backward pass (for binary: halving them)
+    grads_rest, logits = jax.vmap(lambda c: g(E0, c))(
+        jnp.arange(1, nclass))                   # (c-1, b, L), (c-1, b, C)
+    logits = logits[0]
+    posts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (b, C)
+    weighted = jnp.einsum("cb,cbl->bl", jnp.transpose(posts[:, 1:]),
+                          grads_rest)
+    p0 = jnp.clip(posts[:, 0], 1e-12)
+    g0 = -weighted / p0[:, None]                  # (b, L)
+    grads = jnp.concatenate([g0[None], grads_rest], axis=0)  # (c, b, L)
+    return jnp.transpose(grads, (1, 0, 2)) / sizes, logits
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def shrunk_class_grads_persample(spec, params, x: jnp.ndarray) -> jnp.ndarray:
+    """Oracle implementation: vmapped per-sample parameter perturbation
+    (slow; kept for parity tests and for specs the fast path does not
+    support, e.g. BN/skip architectures)."""
     names = grad_param_layers(spec, params)
     sizes = jnp.asarray(layer_sizes(spec, params), jnp.float32)
     nclass = spec.nclass

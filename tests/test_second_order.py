@@ -37,6 +37,17 @@ def tiny_spec():
     return CNNSpec("tiny", layers, (6, 6, 1), 2, feature_layer=2)
 
 
+def test_fast_shrunk_grads_match_persample():
+    from nnal_tpu.scoring.gradients import shrunk_class_grads_persample
+
+    spec = tiny_spec()
+    params, _ = init_cnn(spec, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 6, 6, 1))
+    fast = np.asarray(shrunk_class_grads(spec, params, x))
+    oracle = np.asarray(shrunk_class_grads_persample(spec, params, x))
+    np.testing.assert_allclose(fast, oracle, rtol=2e-3, atol=1e-6)
+
+
 def test_shrunk_grads_match_explicit():
     spec = tiny_spec()
     params, _ = init_cnn(spec, jax.random.key(0))
