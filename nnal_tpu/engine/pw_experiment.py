@@ -54,6 +54,9 @@ class PWExperiment:
         self.rng = RngStream(config.seed)
         self._vols: Optional[List[np.ndarray]] = None
         self._mask: Optional[np.ndarray] = None
+        # ensemble/QBC-JS committee: list of checkpoint paths (reference
+        # pretrained_paths + model_holder, PW_AL.py:780-845)
+        self.ensemble_paths: List[str] = []
 
     # ------------------------------------------------------------- data
     def attach_subject(self, vols, mask) -> None:
@@ -213,7 +216,9 @@ class PWExperiment:
                 pool_inds=pool_inds, k=k, rng=qrng.host,
                 jax_rng=qrng.next(), B=cfg.query.B,
                 MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
-                train_inds=train_inds, raw_volume=vols[0])
+                train_inds=train_inds, raw_volume=vols[0],
+                ensemble_params=self._ensemble_params(),
+                extra={"mask": mask})
             q_pos = cnn_query(ctx, method_name)
             q_inds = pool_inds[q_pos]
 
@@ -249,6 +254,12 @@ class PWExperiment:
             "pool_inds": pool_inds,
             "perf": j.load_evals(),
         }
+
+    def _ensemble_params(self):
+        if not self.ensemble_paths:
+            return None
+        return [jax.tree_util.tree_map(jnp.asarray, load_checkpoint(p)[0])
+                for p in self.ensemble_paths]
 
     def load_results(self, method_name: str) -> np.ndarray:
         """Per-round F-measures (reference ``load_results``,

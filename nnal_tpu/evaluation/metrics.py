@@ -65,6 +65,12 @@ def binary_f1(preds, labels) -> float:
     return f_measure(np.asarray(preds), np.asarray(labels))
 
 
+def dice(preds, labels) -> float:
+    """Dice coefficient — identical to binary F1 on hard masks (the
+    segmentation-community name used by BASELINE.md's config #4)."""
+    return binary_f1(preds, labels)
+
+
 def multi_f1(preds, labels, nclass: int):
     """Per-class F1 + macro average (reference ``multi_F1_score``)."""
     f1s = []

@@ -111,7 +111,7 @@ def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
         key = jax.random.fold_in(rng, state.step)
         state.params, state.opt_state, loss = step_fn(
             state.params, state.opt_state, jnp.asarray(x), jnp.asarray(y),
-            key, jnp.asarray(state.step))
+            key, jnp.asarray(state.step), state.teacher_params)
         losses.append(float(loss))
         if state.teacher_params is not None:
             state.teacher_params = ema_update(state.teacher_params,

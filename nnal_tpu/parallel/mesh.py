@@ -28,7 +28,15 @@ def default_mesh_shape(n_devices: int, model_parallel: int = 1
 def make_mesh(n_devices: Optional[int] = None,
               model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        # the default backend (e.g. the single-chip axon tunnel) is too
+        # small — fall back to the CPU backend, whose virtual device count
+        # honors --xla_force_host_platform_device_count
+        devices = jax.devices("cpu")
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have "
+                             f"{len(devices)}")
         devices = devices[:n_devices]
     dp, mp = default_mesh_shape(len(devices), model_parallel)
     arr = np.asarray(devices).reshape(dp, mp)

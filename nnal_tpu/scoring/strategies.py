@@ -193,6 +193,46 @@ def _qbc_js(ctx: QueryContext):
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
+@register_strategy("influence")
+def _influence(ctx: QueryContext):
+    """Influence-function querying (driver config #4; reference
+    ``Influence.PW_sample_influence``, Influence.py:369-453): s_test =
+    (H_train + damping)^-1 grad L(labeled set); candidates ranked by the
+    magnitude of their influence ``|<grad L(z), s_test>|`` — the pool
+    samples whose labels would move the current model most."""
+    from nnal_tpu.data.patches import gather_labels
+    from nnal_tpu.data.batching import make_onehot
+    from nnal_tpu.scoring.influence import influence_scores, s_test
+
+    assert ctx.train_inds is not None and len(ctx.train_inds) > 0, \
+        "influence querying needs a labeled set"
+    ev = ctx.evaluator
+    mask = ctx.extra.get("mask")
+    assert mask is not None, "influence querying needs the label mask"
+
+    tr = gather_patches_normalized(ev.padded,
+                                   jnp.asarray(ctx.train_inds), ev.mu,
+                                   ev.sd, ev.patch_shape, ev.orig_shape)
+    tr_y = make_onehot(np.asarray(gather_labels(mask, ctx.train_inds,
+                                                ev.orig_shape),
+                                  np.int64), ctx.spec.nclass)
+    damping = ctx.extra.get("damping", 0.1)
+    st = s_test(ctx.spec, ctx.params, tr, tr_y, tr, tr_y, damping=damping)
+
+    # candidate scores at their current pseudo-labels (model predictions)
+    B = min(ctx.B, len(ctx.pool_inds))
+    p1 = _posteriors(ctx)
+    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    cand = ctx.pool_inds[sel]
+    cx = gather_patches_normalized(ev.padded, jnp.asarray(cand), ev.mu,
+                                   ev.sd, ev.patch_shape, ev.orig_shape)
+    pseudo = (p1[sel] > 0.5).astype(np.int64)
+    cy = make_onehot(pseudo, ctx.spec.nclass)
+    scores = influence_scores(ctx.spec, ctx.params, st, cx, cy)
+    order = np.argsort(-np.abs(scores), kind="stable")[:ctx.k]
+    return sel[order]
+
+
 @register_strategy("fi")
 def _fi(ctx: QueryContext):
     """Fisher-information querying (reference PW_NNAL.py:89-163)."""
@@ -271,12 +311,90 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         local = global2local_inds(pick, vsizes)
         return [valid_per[i][local[i]] for i in range(len(contexts))]
 
-    if method_name in ("rep-entropy", "core-set", "fi"):
-        # delegate to per-subject machinery on the concatenated candidate
-        # space; see engine.multi_experiment for the orchestration
-        raise NotImplementedError(
-            f"{method_name} multi-subject path lives in "
-            "engine.multi_experiment")
+    if method_name == "rep-entropy":
+        # features + posteriors per subject, global uncertainty filter,
+        # greedy representativeness on the concatenated feature space
+        # (reference PW_NNAL.py:284-351)
+        F, p1 = [], []
+        for c in contexts:
+            r = c.evaluator.evaluate(c.params, c.pool_inds,
+                                     ("posteriors", "feature_layer"))
+            F.append(r["feature_layer"])
+            p1.append(r["posteriors"])
+        F = np.concatenate(F)
+        p1 = np.concatenate(p1)
+        B = min(contexts[0].B, len(p1))
+        sel = np.asarray(binary_uncertainty_filter(p1, B))
+        rest = np.setdiff1d(np.arange(len(p1)), sel)
+        if len(rest) == 0:
+            pick = sel[:k]
+        else:
+            sims = cosine_similarity(jnp.asarray(F[rest]),
+                                     jnp.asarray(F[sel]))
+            chosen = np.asarray(rep_entropy_select(sims, min(k, B)))
+            pick = sel[chosen]
+        return global2local_inds(pick, sizes)
+
+    if method_name == "core-set":
+        # concatenated pool features vs all subjects' labeled features
+        # (reference PW_NNAL.py:353-451 with its 1000-chunk streaming)
+        F_u = np.concatenate([
+            c.evaluator.evaluate(c.params, c.pool_inds,
+                                 ("feature_layer",))["feature_layer"]
+            for c in contexts])
+        Fn = normalize_rows(F_u)
+        sims0 = np.full((F_u.shape[0],), -np.inf, np.float32)
+        any_labeled = False
+        for c in contexts:
+            if c.train_inds is not None and len(c.train_inds) > 0:
+                F_t = c.evaluator.evaluate(
+                    c.params, c.train_inds,
+                    ("feature_layer",))["feature_layer"]
+                sims0 = np.maximum(sims0,
+                                   cross_max_similarities(F_u, F_t))
+                any_labeled = True
+        sims0 = jnp.asarray(sims0) if any_labeled else \
+            jnp.full((F_u.shape[0],), -jnp.inf)
+        pick = np.asarray(core_set_select(Fn, sims0,
+                                          min(k, F_u.shape[0])))
+        return global2local_inds(pick, sizes)
+
+    if method_name == "fi":
+        # global uncertainty filter, per-subject patch gather + shrunk
+        # grads, concatenated A-matrices -> one SDP -> PMF sampling
+        # (reference PW_NNAL.py:547-627)
+        p1 = np.concatenate([_posteriors(c) for c in contexts])
+        B = min(contexts[0].B, len(p1))
+        sel = np.asarray(binary_uncertainty_filter(p1, B))
+        sel_local = global2local_inds(sel, sizes)
+        from nnal_tpu.scoring.gradients import shrunk_class_grads
+        from nnal_tpu.scoring.fisher import a_matrices
+        from nnal_tpu.scoring.sdp import fi_query_distribution
+        from nnal_tpu.scoring.pmf import sample_query_pmf
+
+        A_list, order = [], []
+        for si, c in enumerate(contexts):
+            li = sel_local[si]
+            if len(li) == 0:
+                continue
+            cand = c.pool_inds[li]
+            ev = c.evaluator
+            patches = gather_patches_normalized(
+                ev.padded, jnp.asarray(cand), ev.mu, ev.sd,
+                ev.patch_shape, ev.orig_shape)
+            shrunk = shrunk_class_grads(c.spec, c.params, patches)
+            # posteriors of these candidates in subject-local order
+            base = int(np.sum(sizes[:si]))
+            pv = p1[base + li]
+            A_list.append(np.asarray(a_matrices(
+                shrunk, jnp.asarray(pv, jnp.float32), 1e-3)))
+            order.append(base + li)
+        A = np.concatenate(A_list)
+        order = np.concatenate(order)
+        q = fi_query_distribution(A, contexts[0].lambda_, None, k)
+        draws = sample_query_pmf(q, k, rng, replacement=True)
+        pick = order[draws]
+        return global2local_inds(pick, sizes)
 
     raise ValueError(method_name)
 

@@ -1,0 +1,61 @@
+"""Multi-subject rep-entropy / core-set / fi / ensemble paths + single-
+subject ensemble/QBC-JS with a committee."""
+
+import numpy as np
+import pytest
+
+from nnal_tpu.core.config import ExperimentConfig
+from nnal_tpu.data.io import synthetic_subject
+from nnal_tpu.engine.multi_experiment import MultiImgExperiment
+from nnal_tpu.engine.pw_experiment import PWExperiment
+from nnal_tpu.models.checkpoint import save_checkpoint
+from nnal_tpu.models.cnn import init_cnn
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ExperimentConfig.from_pars({
+        "model_name": "PW", "nclass": 2, "patch_shape": (9, 9, 1),
+        "grid_spacing": 5, "k": 3, "B": 12, "ntb": 256, "b": 32,
+        "epochs": 1, "MC_iters": 2, "learning_rate": 3e-4,
+        "optimizer_name": "Adam", "dropout_rate": 0.2, "init_size": 6,
+    })
+
+
+@pytest.mark.parametrize("method", ["rep-entropy", "core-set", "fi"])
+def test_multi_subject_advanced_methods(tmp_path, cfg, method):
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    expr = MultiImgExperiment(str(tmp_path / method), cfg)
+    expr.attach_subjects(subs)
+    expr.prep_data()
+    expr.add_method(method)
+    res = expr.run_method(method, 3)
+    assert res["n_queries"] >= 1
+    # membership stays disjoint in the global index space
+    assert len(np.intersect1d(res["train_global"], res["pool_global"])) == 0
+
+
+def test_single_subject_ensemble_and_qbc(tmp_path, cfg):
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    expr = PWExperiment(str(tmp_path / "ens"), cfg)
+    expr.attach_subject(vols, mask)
+    expr.prep_data()
+    spec = expr.build_model()
+
+    # committee of 3 random initializations
+    import jax
+
+    for i in range(3):
+        params, bn = init_cnn(spec, jax.random.key(100 + i))
+        save_checkpoint(str(tmp_path / f"member{i}.npz"), params,
+                        bn_state=bn)
+    expr.ensemble_paths = [str(tmp_path / f"member{i}.npz")
+                           for i in range(3)]
+
+    for method in ["ensemble", "QBC-JS"]:
+        expr.add_method(method)
+        res = expr.run_method(method, 3)
+        assert res["n_queries"] == 3
+        assert np.isfinite(res["perf"]).all()
