@@ -70,3 +70,22 @@ class StreamingMoments:
     @property
     def std(self) -> float:
         return float(np.sqrt(self.var))
+
+
+class StreamingHistogram:
+    """Fixed-bin streaming histogram of patch intensities (the histogram
+    half of reference ``get_mean_var``, patch_utils.py:1006-1084)."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 100):
+        self.edges = np.linspace(lo, hi, bins + 1)
+        self.counts = np.zeros(bins, dtype=np.int64)
+
+    def update(self, x) -> None:
+        c, _ = np.histogram(np.asarray(x).ravel(), bins=self.edges)
+        self.counts += c
+
+    @property
+    def density(self) -> np.ndarray:
+        total = self.counts.sum()
+        width = np.diff(self.edges)
+        return self.counts / (total * width) if total else self.counts * 0.0

@@ -67,9 +67,10 @@ def _conv(name, out, k, op_order="MA", strides=None, dropout=0.0, sources=(),
                  combine, dropout)
 
 
-def _pool(name, size):
+def _pool(name, size, strides=None):
     size = tuple(size) if isinstance(size, (tuple, list)) else (size, size)
-    return Layer(name, "pool", None, size, size, "SAME")
+    return Layer(name, "pool", None, size,
+                 tuple(strides) if strides else size, "SAME")
 
 
 def _fc(name, out, dropout=0.0, op_order="MA"):
@@ -211,11 +212,37 @@ def create_tiramisu103(nclass: int, input_shape,
                    feature_layer=len(layers) - 2, fcn=True)
 
 
+def create_alexnet(nclass: int, dropout_rate: float = 0.5,
+                   input_shape=(227, 227, 3)) -> CNNSpec:
+    """AlexNet-shaped spec (reference wraps an external pretrained Kratzert
+    AlexNet, NN.py:1033-1232, with a hard-coded module path that is not
+    vendored; here the architecture is a first-class spec — weights can be
+    imported through the h5 shim)."""
+    layers = (
+        _conv("conv1", 96, (11, 11), strides=(4, 4), padding="VALID"),
+        _pool("max1", (3, 3), strides=(2, 2)),
+        _conv("conv2", 256, (5, 5)),
+        _pool("max2", (3, 3), strides=(2, 2)),
+        _conv("conv3", 384, (3, 3)),
+        _conv("conv4", 384, (3, 3)),
+        _conv("conv5", 256, (3, 3)),
+        _pool("max5", (3, 3), strides=(2, 2)),
+        _fc("fc6", 4096, dropout=dropout_rate),
+        _fc("fc7", 4096, dropout=dropout_rate),
+        _fc("fc8", nclass, op_order="M"),
+    )
+    return CNNSpec("AlexNet", layers, tuple(input_shape), nclass,
+                   feature_layer=9)
+
+
 def create_model(model_name: str, *, nclass: int, dropout_rate: float = 0.5,
                  patch_shape=None, input_shape=None, **kw) -> CNNSpec:
     """Factory dispatch (reference ``create_model``, NN.py:1217-1246)."""
     if model_name in ("PW", "PW1"):
         return create_pw1(nclass, dropout_rate, patch_shape)
+    if model_name == "Alex":
+        return create_alexnet(nclass, dropout_rate,
+                              input_shape or (227, 227, 3))
     if model_name in ("VGG19", "VGG16"):
         return create_vgg(nclass, dropout_rate, int(model_name[3:]),
                           input_shape or (224, 224, 3))

@@ -193,6 +193,30 @@ def _qbc_js(ctx: QueryContext):
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
+@register_strategy("SuPix")
+def _supix(ctx: QueryContext):
+    """Superpixel querying (reconstructed; the reference's path is broken,
+    SURVEY.md §2.9): SLIC-oversegment the first modality, score pool voxels
+    by |p-0.5|, pick the k superpixels whose minimum member uncertainty is
+    lowest, and query all their pool members (whole-superpixel labels)."""
+    from nnal_tpu.scoring.superpixel import oversegment_volume, supix_query
+
+    overseg = ctx.extra.get("overseg")
+    if overseg is None:
+        assert ctx.raw_volume is not None
+        overseg = oversegment_volume(ctx.raw_volume,
+                                     ctx.extra.get("n_segments", 64))
+        ctx.extra["overseg"] = overseg
+    p1 = _posteriors(ctx)
+    unc = np.abs(p1 - 0.5)
+    _, members = supix_query(overseg, ctx.pool_inds, unc, ctx.k)
+    if not members:
+        return np.zeros(0, dtype=np.int64)
+    wanted = np.unique(np.concatenate(members))
+    # positions of pool voxels inside the selected superpixels
+    return np.flatnonzero(np.isin(ctx.pool_inds, wanted))
+
+
 @register_strategy("influence")
 def _influence(ctx: QueryContext):
     """Influence-function querying (driver config #4; reference
