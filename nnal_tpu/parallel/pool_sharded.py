@@ -1,0 +1,82 @@
+"""Sharded pool scoring: the 1M-patch campaign path (driver config #5).
+
+The pool's padded volumes are replicated (they are small relative to HBM);
+the *candidate index set* is sharded over the ``data`` axis.  Each shard
+gathers + scores its slice of the pool in one program (fused gather ->
+forward -> uncertainty), runs a local top-k, and the k*n_shards candidates
+are all-gathered and reduced — the SURVEY §2.7 "pool sharding" design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nnal_tpu.data.patches import gather_patches_normalized
+from nnal_tpu.models.cnn import apply_cnn
+
+
+def make_sharded_pool_selector(spec, mesh: Mesh, patch_shape, orig_shape,
+                               k: int, ntb_per_shard: int = 4096):
+    """Build ``(params, padded, mu, sd, inds) -> (scores, global_positions)``
+    selecting the k most-uncertain pool voxels across the mesh.
+
+    ``inds`` is the full raveled index vector, padded by the caller to a
+    multiple of ``data_parallelism``; sentinel index 0 positions are masked
+    via the companion ``valid`` vector.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    dp = mesh.shape["data"]
+
+    def local(params, padded, mu, sd, inds, valid):
+        x = gather_patches_normalized(padded, inds, mu, sd,
+                                      tuple(patch_shape),
+                                      tuple(orig_shape))
+        out = apply_cnn(spec, params, x)
+        unc = jnp.abs(out.posteriors[:, 1] - 0.5)
+        score = jnp.where(valid, -unc, -jnp.inf)   # larger = more uncertain
+        vals, idx = jax.lax.top_k(score, k)
+        shard = jax.lax.axis_index("data")
+        gidx = idx + shard * inds.shape[0]
+        all_vals = jax.lax.all_gather(vals, "data", tiled=True)
+        all_idx = jax.lax.all_gather(gidx, "data", tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        return top_vals, all_idx[pos]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False)
+
+    @jax.jit
+    def select(params, padded, mu, sd, inds, valid):
+        return sharded(params, padded, mu, sd, inds, valid)
+
+    def run(params, padded, mu, sd, pool_inds: np.ndarray
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(pool_inds)
+        pad = -n % dp
+        inds = np.concatenate([np.asarray(pool_inds, np.int64),
+                               np.zeros(pad, np.int64)])
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        inds_sh = jax.device_put(jnp.asarray(inds),
+                                 NamedSharding(mesh, P("data")))
+        valid_sh = jax.device_put(jnp.asarray(valid),
+                                  NamedSharding(mesh, P("data")))
+        rep = NamedSharding(mesh, P())
+        vals, gpos = select(
+            jax.device_put(params, rep), jax.device_put(padded, rep),
+            jax.device_put(jnp.asarray(np.asarray(mu, np.float32)), rep),
+            jax.device_put(jnp.asarray(np.asarray(sd, np.float32)), rep),
+            inds_sh, valid_sh)
+        gpos = np.asarray(gpos)
+        return np.asarray(vals), gpos
+
+    return run
