@@ -35,7 +35,7 @@ def main():
     scorer = make_pool_scorer(spec, with_fim=True)
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    block = 8192 if on_tpu else 256
+    block = 16384 if on_tpu else 256
     n_blocks = 8 if on_tpu else 2
 
     rng = np.random.default_rng(0)
@@ -47,12 +47,12 @@ def main():
     out = scorer(params, patches)
     float(np.asarray(out["uncertainty"]).sum())
 
+    # dispatch all blocks first so executions queue back-to-back on the
+    # device stream, then materialize — steady-state scoring throughput
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(n_blocks):
-        out = scorer(params, patches)
-        acc += float(np.asarray(out["uncertainty"]).sum()) \
-            + float(np.asarray(out["shrunk"]).ravel()[0])
+    outs = [scorer(params, patches) for _ in range(n_blocks)]
+    acc = sum(float(np.asarray(o["uncertainty"]).sum())
+              + float(np.asarray(o["shrunk"]).ravel()[0]) for o in outs)
     dt = time.perf_counter() - t0
 
     scored = block * n_blocks
@@ -60,7 +60,8 @@ def main():
     print(json.dumps({
         "metric": "pool_patches_scored_per_sec_per_chip",
         "value": round(rate, 1),
-        "unit": "patches/s/chip (posterior+diag-FIM, PW1 25x25x2, bf16)",
+        "unit": "patches/s/chip (posterior+diag-FIM, PW1 25x25x2, "
+                "f32 storage / bf16 MXU passes)",
         "vs_baseline": round(rate / BASELINE_PATCHES_PER_SEC_PER_CHIP, 3),
     }))
 

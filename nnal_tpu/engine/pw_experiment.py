@@ -255,6 +255,53 @@ class PWExperiment:
             "perf": j.load_evals(),
         }
 
+    def finetune_wpool(self, spec, params_state, train_inds, pool_inds,
+                       n_pseudo: int, *, epochs=None, threshold=0.9):
+        """Finetune on labels + confident pseudo-labeled pool samples
+        (reference ``finetune_wpool``, PW_AL.py:500-543)."""
+        from nnal_tpu.scoring.pseudo import confident_samples
+
+        spec_ev = self.make_evaluator(spec)
+        state, tx = params_state
+        p1 = spec_ev.evaluate(state.params, pool_inds,
+                              ("posteriors",))["posteriors"]
+        conf_inds, pseudo, _ = confident_samples(p1, pool_inds, n_pseudo,
+                                                 threshold)
+        # train with the union; pseudo-labels override the mask for the
+        # confident samples by temporarily patching a label lookup
+        vols, mask = self._load_subject()
+        patched = np.array(mask, dtype=np.float64)
+        x, y, z = np.unravel_index(conf_inds, patched.shape)
+        patched[x, y, z] = pseudo
+        orig_mask = self._mask
+        self._mask = patched
+        try:
+            all_inds = np.concatenate([train_inds, conf_inds])
+            return self.finetune(spec, (state, tx), all_inds,
+                                 epochs=epochs)
+        finally:
+            self._mask = orig_mask
+
+    def modify_parameters(self, **kw) -> None:
+        """In-place config edits persisted back to parameters.txt
+        (reference ``modify_parameters``, PW_AL.py:71-89)."""
+        from nnal_tpu.core.config import ExperimentConfig
+
+        pars = self.config.pars
+        pars.update(kw)
+        self.config = ExperimentConfig.from_pars(pars)
+        self.config.to_yaml(self._p("parameters.txt"))
+
+    def reset_method(self, method_name: str) -> None:
+        """Wipe a method's state back to the initial membership/weights
+        (reference ``reset_method``, AL.py:502-534)."""
+        import shutil
+
+        mdir = os.path.join(self.root_dir, method_name)
+        if os.path.exists(mdir):
+            shutil.rmtree(mdir)
+        self.add_method(method_name)
+
     def _ensemble_params(self):
         if not self.ensemble_paths:
             return None
