@@ -1,0 +1,141 @@
+"""Benchmark suite — the five BASELINE.json driver configs.
+
+Each config prints one JSON line.  Run all: ``python benchmarks/bench_suite.py``
+or one: ``python benchmarks/bench_suite.py 3``.  The headline metric
+(config 3's fused posterior+diag-FIM throughput) is what repo-root
+``bench.py`` reports to the driver.
+
+Configs (BASELINE.md):
+  1. entropy-query AL loop, small CNN, single-subject 2D patch pool
+  2. patch-wise segmentation AL, MC-dropout uncertainty, one subject
+  3. Fisher-information (diag-FIM) scoring over a 100K-patch pool
+  4. influence-function (HVP) round + Dice eval
+  5. multi-subject sharded pool scoring over the device mesh
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _emit(config, metric, value, unit, **extra):
+    print(json.dumps({"config": config, "metric": metric,
+                      "value": round(value, 2), "unit": unit, **extra}))
+
+
+def _expr(tmp, overrides, method, nq):
+    from nnal_tpu.cli.expr_handler import do_expr
+
+    t0 = time.perf_counter()
+    res = do_expr(tmp, method, nq, overrides, synthetic=True)
+    return time.perf_counter() - t0, res
+
+
+def config1(root):
+    ov = ("patch_shape=[15,15,1],grid_spacing=2,k=10,B=100,ntb=2048,b=64,"
+          "epochs=1,init_size=16")
+    dt, res = _expr(os.path.join(root, "c1"), ov, "entropy", 20)
+    _emit(1, "entropy_AL_round_latency", dt / 2, "s/round",
+          rounds=2, final_f=float(res["perf"][-1]))
+
+
+def config2(root):
+    ov = ("patch_shape=[15,15,1],grid_spacing=2,k=10,B=100,ntb=2048,b=64,"
+          "epochs=1,init_size=16,MC_iters=5")
+    dt, res = _expr(os.path.join(root, "c2"), ov, "MC-entropy", 20)
+    _emit(2, "mc_dropout_AL_round_latency", dt / 2, "s/round",
+          MC_iters=5)
+
+
+def config3():
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_model
+    from nnal_tpu.ops.scoring_fused import make_pool_scorer
+
+    spec = create_model("PW", nclass=2, dropout_rate=0.5,
+                        patch_shape=(25, 25, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    scorer = make_pool_scorer(spec, with_fim=True)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    block = 16384 if on_tpu else 512
+    n_blocks = max(1, 100_000 // block) if on_tpu else 2
+    patches = jnp.asarray(np.random.default_rng(0).normal(
+        size=(block, 25, 25, 2)), jnp.float32)
+    out = scorer(params, patches)
+    float(np.asarray(out["uncertainty"]).sum())
+    t0 = time.perf_counter()
+    outs = [scorer(params, patches) for _ in range(n_blocks)]
+    _ = [float(np.asarray(o["uncertainty"]).sum()) for o in outs]
+    dt = time.perf_counter() - t0
+    _emit(3, "fim_pool_scoring_throughput", block * n_blocks / dt,
+          "patches/s/chip", pool=block * n_blocks)
+
+
+def config4(root):
+    ov = ("patch_shape=[9,9,1],grid_spacing=3,k=8,B=64,ntb=1024,b=32,"
+          "epochs=1,init_size=12")
+    dt, res = _expr(os.path.join(root, "c4"), ov, "influence", 8)
+    _emit(4, "influence_round_latency", dt, "s/round",
+          dice=float(res["perf"][-1]))
+
+
+def config5():
+    from nnal_tpu.data.io import synthetic_subject
+    from nnal_tpu.data.patches import pad_volumes
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_pw1
+    from nnal_tpu.parallel.mesh import make_mesh
+    from nnal_tpu.parallel.pool_sharded import make_sharded_pool_selector
+
+    n_dev = max(len(jax.devices()), len(jax.devices("cpu")))
+    mesh = make_mesh(min(n_dev, 8) if n_dev >= 8 else None,
+                     model_parallel=1)
+    spec = create_pw1(2, 0.0, (15, 15, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, _ = synthetic_subject(shape=(96, 96, 64), n_modalities=2, seed=0)
+    patch_shape = (15, 15, 1)
+    padded = pad_volumes(vols, patch_shape)
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    n_pool = 64_000 if jax.devices()[0].platform == "tpu" else 4_000
+    pool = np.random.default_rng(0).choice(
+        np.prod(vols[0].shape), size=n_pool, replace=False)
+    run = make_sharded_pool_selector(spec, mesh, patch_shape,
+                                     vols[0].shape, k=64)
+    run(params, padded, mu, sd, pool)          # compile
+    t0 = time.perf_counter()
+    vals, gpos = run(params, padded, mu, sd, pool)
+    np.asarray(vals)
+    dt = time.perf_counter() - t0
+    _emit(5, "sharded_pool_select_latency", dt, "s",
+          pool=n_pool, mesh=dict(mesh.shape))
+
+
+def main():
+    import tempfile
+
+    which = set(sys.argv[1:]) or {"1", "2", "3", "4", "5"}
+    with tempfile.TemporaryDirectory() as root:
+        if "1" in which:
+            config1(root)
+        if "2" in which:
+            config2(root)
+        if "3" in which:
+            config3()
+        if "4" in which:
+            config4(root)
+        if "5" in which:
+            config5()
+
+
+if __name__ == "__main__":
+    main()

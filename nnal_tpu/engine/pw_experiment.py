@@ -205,6 +205,10 @@ class PWExperiment:
         train_inds, pool_inds = j.membership()
         qrng = self.rng.fold(f"query-{method_name}")
 
+        from nnal_tpu.core.profiling import PhaseTimer
+
+        timer = PhaseTimer(j.path("phases.jsonl"))
+
         while n_queries < max_queries:
             t0 = time.time()
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
@@ -219,7 +223,8 @@ class PWExperiment:
                 train_inds=train_inds, raw_volume=vols[0],
                 ensemble_params=self._ensemble_params(),
                 extra={"mask": mask})
-            q_pos = cnn_query(ctx, method_name)
+            with timer.phase("score_select"):
+                q_pos = cnn_query(ctx, method_name)
             q_inds = pool_inds[q_pos]
 
             # bookkeeping: journal then membership (replayable order)
@@ -231,13 +236,17 @@ class PWExperiment:
             round_id += 1
 
             # finetune on the enlarged labeled set
-            state = self.finetune(spec, (state, tx), train_inds)
+            with timer.phase("train"):
+                state = self.finetune(spec, (state, tx), train_inds)
 
             # test evaluation: F-measure appended per round
-            preds = evaluator.evaluate(state.params, test_inds,
-                                       ("prediction",))["prediction"]
-            fm = f_measure(preds, test_labels)
+            with timer.phase("eval"):
+                preds = evaluator.evaluate(state.params, test_inds,
+                                           ("prediction",))["prediction"]
+                fm = f_measure(preds, test_labels)
             j.append_eval([fm])
+            timer.commit_round(round_id - 1, n_train=len(train_inds),
+                               n_pool=len(pool_inds), f_measure=fm)
 
             dt = time.time() - t0
             with open(j.path("query_times.txt"), "a") as f:

@@ -49,8 +49,16 @@ def self_max_similarities(F: jnp.ndarray, tile: int = 4096) -> np.ndarray:
 
 def cross_max_similarities(F1, F2, tile: int = 4096) -> np.ndarray:
     """Per-row-of-F1 max similarity to F2 (reference ``get_cross_sims``,
-    PW_NNAL.py:1105-1136)."""
+    PW_NNAL.py:1105-1136).  On TPU with large pools, routes through the
+    Pallas VMEM-resident row-max kernel; XLA tiling otherwise."""
+    import jax
+
     F1, F2 = jnp.asarray(F1), jnp.asarray(F2)
+    if (jax.devices()[0].platform == "tpu"
+            and F1.shape[0] * F2.shape[0] > 1 << 22):
+        from nnal_tpu.ops.similarity_pallas import max_similarity
+
+        return np.asarray(max_similarity(F1, F2, use_pallas=True))
     out = []
     for lo in range(0, F1.shape[0], tile):
         sims = cosine_similarity(F1[lo:lo + tile], F2)
