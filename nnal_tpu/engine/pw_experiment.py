@@ -154,7 +154,14 @@ class PWExperiment:
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
         state, tx = params_state
-        step_fn = make_train_step(spec, tx)
+        grad_mask = None
+        if m.train_layers:
+            # partial training by layer name (reference train_mask /
+            # var_list filtering, NN.py:557, NN_extended.py:1398)
+            from nnal_tpu.models.optim import layer_train_mask
+
+            grad_mask = layer_train_mask(state.params, m.train_layers)
+        step_fn = make_train_step(spec, tx, grad_mask=grad_mask)
         padded = pad_volumes(vols, m.patch_shape)
         orig_shape = tuple(vols[0].shape)
         host = self.rng.fold("finetune").host
