@@ -51,6 +51,9 @@ class ModelConfig:
     grad_layers: list = field(default_factory=list)
     init_weights_path: Optional[str] = None
     pre_weights_path: Optional[str] = None
+    # 'auto' weights CE by inverse class frequency of the labeled set
+    # (reference bin_class_weights hyper, NN_extended.py:24-63)
+    class_weights: Optional[Any] = "auto"
     dtype: str = "float32"            # compute dtype for the forward pass
     param_dtype: str = "float32"
 

@@ -161,13 +161,24 @@ class PWExperiment:
             from nnal_tpu.models.optim import layer_train_mask
 
             grad_mask = layer_train_mask(state.params, m.train_layers)
-        step_fn = make_train_step(spec, tx, grad_mask=grad_mask)
-        padded = pad_volumes(vols, m.patch_shape)
         orig_shape = tuple(vols[0].shape)
+        labels_all = np.asarray(gather_labels(mask, train_inds, orig_shape))
+        cw = getattr(m, "class_weights", None)
+        if isinstance(cw, str) and cw == "auto":
+            # inverse-frequency weights over the current labeled set
+            # (reference class-cost weighting, PW_AL.py:1060-1088 one-hots
+            # weighted by class costs)
+            counts = np.bincount(labels_all.astype(np.int64),
+                                 minlength=m.nclass).astype(np.float64)
+            inv = counts.sum() / np.maximum(counts, 1.0)
+            cw = (inv / inv.sum() * m.nclass).astype(np.float32)
+        step_fn = make_train_step(spec, tx, grad_mask=grad_mask,
+                                  class_weights=None if cw is None
+                                  else jnp.asarray(cw))
+        padded = pad_volumes(vols, m.patch_shape)
         host = self.rng.fold("finetune").host
         jrng = self.rng.fold("finetune-dropout").next()
         epochs = m.epochs if epochs is None else epochs
-        labels_all = np.asarray(gather_labels(mask, train_inds, orig_shape))
         for _ in range(epochs):
             for batch in gen_batch_inds(len(train_inds), m.b, host):
                 binds = train_inds[batch]
