@@ -1,9 +1,11 @@
 """Benchmark: pool patches scored/sec/chip (posterior + diag-FIM).
 
-Driver metric (BASELINE.md): maximize patches/sec/chip for fused
-posterior + diag-FIM pool scoring on the flagship PW1 model;
-``vs_baseline`` is measured against the BASELINE.json north star —
-a 1M-patch pool scored in <2 s on a v5e-8 slice, i.e. 62,500
+Measures the FULL pool-scoring pipeline on a 1M-patch grid pool —
+im2col patch extraction from device-resident padded volumes
+(scoring/grid_eval.py) fused with the posterior + 'sum'-shrunk-gradient
+diag-FIM program (ops/scoring_fused.py, epsilon-injection fast path) — on
+the flagship PW1 model.  ``vs_baseline`` is against the BASELINE.json north
+star: a 1M-patch pool scored in <2 s on a v5e-8 slice = 62,500
 patches/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -13,56 +15,79 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
-# allow `python bench.py` from anywhere
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from nnal_tpu.data.io import synthetic_subject  # noqa: E402
+from nnal_tpu.data.patches import pad_volumes  # noqa: E402
 from nnal_tpu.models.cnn import init_cnn  # noqa: E402
 from nnal_tpu.models.specs import create_model  # noqa: E402
-from nnal_tpu.ops.scoring_fused import make_pool_scorer  # noqa: E402
+from nnal_tpu.ops.scoring_fused import pool_score_fused  # noqa: E402
 
 BASELINE_PATCHES_PER_SEC_PER_CHIP = 1_000_000 / 2.0 / 8
 
 
 def main():
-    spec = create_model("PW", nclass=2, dropout_rate=0.5,
-                        patch_shape=(25, 25, 2))
-    params, _ = init_cnn(spec, jax.random.key(0))
-    scorer = make_pool_scorer(spec, with_fim=True)
-
     on_tpu = jax.devices()[0].platform == "tpu"
-    block = 16384 if on_tpu else 256
-    n_blocks = 8 if on_tpu else 2
+    shape = (256, 256, 64) if on_tpu else (32, 32, 4)
+    g = 2
+    d1 = d2 = 25 if on_tpu else 9
+    m = 2
 
-    rng = np.random.default_rng(0)
-    patches = jnp.asarray(rng.normal(size=(block, 25, 25, 2)),
-                          jnp.float32)
+    spec = create_model("PW", nclass=2, dropout_rate=0.5,
+                        patch_shape=(d1, d2, m))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, _ = synthetic_subject(shape=shape, n_modalities=m, seed=0)
+    padded = pad_volumes(vols, (d1, d2, 1))
+    slices = jnp.transpose(padded, (3, 1, 2, 0))   # (D3, D1p, D2p, m)
+    mu = jnp.asarray([float(v.mean()) for v in vols], jnp.float32)
+    sd = jnp.asarray([float(v.std()) for v in vols], jnp.float32)
+
+    @partial(jax.jit, static_argnames=())
+    def score_zchunk(params, block):
+        patches = jax.lax.conv_general_dilated_patches(
+            block, filter_shape=(d1, d2), window_strides=(g, g),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        zc, nx, ny, _ = patches.shape
+        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
+        x = (x - mu) / sd
+        out = pool_score_fused(spec, params, x, with_fim=True)
+        # reduce on-device: only selection-sized data should leave HBM
+        return (jnp.sum(out["uncertainty"]),
+                jnp.sum(out["shrunk"][:, :, 0]))
+
+    z_chunk = 2 if on_tpu else 2
+    nz = shape[2]
+    nx = len(range(0, shape[0], g))
+    ny = len(range(0, shape[1], g))
+    n_pool = nx * ny * nz
 
     # compile + warmup (np.asarray forces real execution — under the axon
     # tunnel block_until_ready returns before the device finishes)
-    out = scorer(params, patches)
-    float(np.asarray(out["uncertainty"]).sum())
+    u, s = score_zchunk(params, slices[:z_chunk])
+    float(np.asarray(u))
 
-    # dispatch all blocks first so executions queue back-to-back on the
-    # device stream, then materialize — steady-state scoring throughput
     t0 = time.perf_counter()
-    outs = [scorer(params, patches) for _ in range(n_blocks)]
-    acc = sum(float(np.asarray(o["uncertainty"]).sum())
-              + float(np.asarray(o["shrunk"]).ravel()[0]) for o in outs)
+    outs = [score_zchunk(params, slices[z0:z0 + z_chunk])
+            for z0 in range(0, nz - nz % z_chunk, z_chunk)]
+    acc = sum(float(np.asarray(u)) + float(np.asarray(s))
+              for u, s in outs)
     dt = time.perf_counter() - t0
 
-    scored = block * n_blocks
+    scored = nx * ny * (nz - nz % z_chunk)
     rate = scored / dt
     print(json.dumps({
         "metric": "pool_patches_scored_per_sec_per_chip",
         "value": round(rate, 1),
-        "unit": "patches/s/chip (posterior+diag-FIM, PW1 25x25x2, "
-                "f32 storage / bf16 MXU passes)",
+        "unit": "patches/s/chip (im2col extract + posterior + diag-FIM, "
+                "PW1 25x25x2)",
         "vs_baseline": round(rate / BASELINE_PATCHES_PER_SEC_PER_CHIP, 3),
+        "pool": scored,
     }))
 
 

@@ -113,10 +113,20 @@ class PWExperiment:
     def make_evaluator(self, spec) -> PoolEvaluator:
         vols, _ = self._load_subject()
         mu, sd = self._stats_arrays()
-        return PoolEvaluator(
-            spec, pad_volumes(vols, self.config.model.patch_shape), mu, sd,
-            tuple(self.config.model.patch_shape), tuple(vols[0].shape),
-            ntb=self.config.query.ntb)
+        patch_shape = tuple(self.config.model.patch_shape)
+        padded = pad_volumes(vols, patch_shape)
+        if patch_shape[2] == 1:
+            # grid pools sweep via im2col — the fast TPU path (arbitrary
+            # window gathers measure ~3K patches/s; im2col is vectorized)
+            from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+            return GridPoolEvaluator(
+                spec, padded, mu, sd, patch_shape, tuple(vols[0].shape),
+                grid_spacing=self.config.data.grid_spacing,
+                ntb=self.config.query.ntb)
+        return PoolEvaluator(spec, padded, mu, sd, patch_shape,
+                             tuple(vols[0].shape),
+                             ntb=self.config.query.ntb)
 
     # ------------------------------------------------------------- methods
     def add_method(self, method_name: str, init_size: Optional[int] = None):

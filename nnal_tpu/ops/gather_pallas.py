@@ -26,44 +26,46 @@ from nnal_tpu.data.patches import gather_patches_normalized
 BLOCK = 128  # patches per grid step
 
 
-def _gather_kernel(idx_ref, vol_ref, mu_ref, sd_ref, out_ref,
-                   scratch, sem):
-    """Grid: (n_blocks,).  idx_ref: prefetched (3, n) coordinates;
-    vol_ref: (m, D1p, D2p, D3p) in ANY/HBM; out block: (BLOCK, d1, d2,
-    m*d3) in VMEM; scratch: (2, m, d1, d2, d3) double buffer."""
-    i = pl.program_id(0)
-    m, d1, d2, d3 = scratch.shape[1:]
+def _make_gather_kernel(m: int, d1: int, d2: int, d3: int):
+    """Kernel factory (static dims closed over — Mosaic dislikes high-rank
+    reshapes, so normalization/writes run per modality on 3D slices with
+    SMEM scalar stats)."""
 
-    def dma(slot, p):
-        x = idx_ref[0, i * BLOCK + p]
-        y = idx_ref[1, i * BLOCK + p]
-        z = idx_ref[2, i * BLOCK + p]
-        return pltpu.make_async_copy(
-            vol_ref.at[:, pl.ds(x, d1), pl.ds(y, d2), pl.ds(z, d3)],
-            scratch.at[slot],
-            sem.at[slot],
-        )
+    def kernel(idx_ref, vol_ref, mu_ref, sd_ref, out_ref, scratch, sem):
+        # idx_ref: prefetched (3, n) coordinates; vol_ref: (m, D1p, D2p,
+        # D3p) in HBM; out block: (BLOCK, d1, d2, m*d3) in VMEM;
+        # scratch: (2, m, d1, d2, d3) double buffer
+        i = pl.program_id(0)
 
-    dma(0, 0).start()
+        def dma(slot, p):
+            x = idx_ref[0, i * BLOCK + p]
+            y = idx_ref[1, i * BLOCK + p]
+            z = idx_ref[2, i * BLOCK + p]
+            return pltpu.make_async_copy(
+                vol_ref.at[:, pl.ds(x, d1), pl.ds(y, d2), pl.ds(z, d3)],
+                scratch.at[slot],
+                sem.at[slot],
+            )
 
-    def body(p, _):
-        slot = p % 2
-        nxt = (p + 1) % 2
+        dma(0, 0).start()
 
-        @pl.when(p + 1 < BLOCK)
-        def _():
-            dma(nxt, p + 1).start()
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
 
-        dma(slot, p).wait()
-        patch = scratch[slot]                      # (m, d1, d2, d3)
-        patch = (patch - mu_ref[:][:, None, None, None]) \
-            / sd_ref[:][:, None, None, None]
-        # (m, d1, d2, d3) -> (d1, d2, m*d3)
-        patch = jnp.transpose(patch, (1, 2, 0, 3)).reshape(d1, d2, m * d3)
-        out_ref[p] = patch
-        return 0
+            @pl.when(p + 1 < BLOCK)
+            def _():
+                dma(nxt, p + 1).start()
 
-    jax.lax.fori_loop(0, BLOCK, body, 0)
+            dma(slot, p).wait()
+            for j in range(m):  # static unroll over modalities
+                pj = (scratch[slot, j] - mu_ref[j]) / sd_ref[j]
+                out_ref[p, :, :, j * d3:(j + 1) * d3] = pj
+            return 0
+
+        jax.lax.fori_loop(0, BLOCK, body, 0)
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("patch_shape", "orig_shape", "interpret"))
@@ -89,8 +91,8 @@ def gather_patches_pallas(padded: jnp.ndarray, inds: jnp.ndarray,
         grid=((n + n_pad) // BLOCK,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # volume stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # mu
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # sd
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # mu scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sd scalars
         ],
         out_specs=pl.BlockSpec((BLOCK, d1, d2, m * d3),
                                lambda i, idx_ref: (i, 0, 0, 0),
@@ -101,7 +103,7 @@ def gather_patches_pallas(padded: jnp.ndarray, inds: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        _gather_kernel,
+        _make_gather_kernel(m, d1, d2, d3),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n + n_pad, d1, d2, m * d3),
                                        jnp.float32),

@@ -1,0 +1,122 @@
+"""Grid-pool evaluation via im2col — the fast sweep path on TPU.
+
+Measured on a real v5e chip, arbitrary-index window gathers (XLA gather /
+vmapped dynamic_slice, and equivalents) top out near ~3K patches/s — they
+lower to scalar-indexed DMAs.  But AL pools here are *regular grids* over
+axial slices (reference ``prep_AL_data``/``gen_multimg_inds``,
+PW_AL.py:921-1027), and extracting every grid window of a slice is exactly
+``lax.conv_general_dilated_patches`` (im2col): vectorized strided copies,
+orders of magnitude faster.
+
+:class:`GridPoolEvaluator` scores the *whole grid* slice-by-slice in one
+jitted program (extract -> normalize -> forward), then selects the rows the
+caller asked for.  Indices that are not grid-aligned fall back to the
+dynamic-slice path transparently.  Requires ``patch_shape[2] == 1`` (the
+patch-wise workhorse layout).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.scoring.pool_eval import PoolEvaluator
+
+
+@partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
+                                   "ops", "mc"))
+def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
+                grid_spacing, ops, mc, rng):
+    """``slices_nhwc``: (zc, D1p, D2p, m) padded slices.  Extract all grid
+    windows, normalize, forward.  Returns per-op arrays of length
+    zc * nx * ny (grid order: z-major, then x, then y)."""
+    d1, d2, _ = patch_shape
+    m = slices_nhwc.shape[-1]
+    g = grid_spacing
+    patches = jax.lax.conv_general_dilated_patches(
+        slices_nhwc, filter_shape=(d1, d2), window_strides=(g, g),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # feature order is (C, fh, fw) -> model layout (d1, d2, m)
+    zc, nx, ny, _ = patches.shape
+    x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
+    x = (x - mu) / sd
+    out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=rng)
+    res = {}
+    for op in ops:
+        if op == "posteriors":
+            res[op] = out.posteriors[:, 1] if spec.nclass == 2 \
+                else out.posteriors
+        elif op == "posteriors_full":
+            res[op] = out.posteriors
+        elif op == "prediction":
+            res[op] = out.prediction
+        elif op == "feature_layer":
+            res[op] = out.feature
+        elif op == "logits":
+            res[op] = out.logits
+        else:
+            raise ValueError(op)
+    return res
+
+
+class GridPoolEvaluator(PoolEvaluator):
+    """Pool evaluator specialized for grid-sampled pools (d3 == 1)."""
+
+    def __init__(self, spec, padded, mu, sd, patch_shape, orig_shape,
+                 grid_spacing: int, ntb: int = 4096, z_chunk: int = 4):
+        super().__init__(spec, padded, mu, sd, patch_shape, orig_shape,
+                         ntb=ntb)
+        assert patch_shape[2] == 1, "grid evaluator requires d3 == 1"
+        self.grid_spacing = int(grid_spacing)
+        self.z_chunk = int(z_chunk)
+        s1, s2, s3 = orig_shape
+        self.nx = len(range(0, s1, self.grid_spacing))
+        self.ny = len(range(0, s2, self.grid_spacing))
+        self.nz = s3
+        # (D3, D1p, D2p, m) slice stack, device-resident
+        self._slices = jnp.transpose(self.padded, (3, 1, 2, 0))
+
+    def _grid_rows(self, inds: np.ndarray):
+        """Map raveled voxel indices -> full-grid row ids, or None if any
+        index is off-grid."""
+        s1, s2, s3 = self.orig_shape
+        g = self.grid_spacing
+        inds = np.asarray(inds, np.int64)
+        z = inds % s3
+        rem = inds // s3
+        y = rem % s2
+        x = rem // s2
+        if np.any(x % g) or np.any(y % g):
+            return None
+        return (z * self.nx + x // g) * self.ny + y // g
+
+    def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
+                 mc_rng=None) -> Dict[str, np.ndarray]:
+        rows = self._grid_rows(pool_inds)
+        if rows is None:
+            return super().evaluate(params, pool_inds, ops, mc_rng)
+        ops = tuple(ops)
+        mc = mc_rng is not None
+        rng = mc_rng if mc else jax.random.key(0)
+        chunks: Dict[str, list] = {op: [] for op in ops}
+        for z0 in range(0, self.nz, self.z_chunk):
+            block = self._slices[z0:z0 + self.z_chunk]
+            pad = self.z_chunk - block.shape[0]
+            if pad:
+                block = jnp.pad(block, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            crng = jax.random.fold_in(rng, z0) if mc else rng
+            res = _grid_chunk(self.spec, params, block, self.mu, self.sd,
+                              self.patch_shape, self.grid_spacing, ops, mc,
+                              crng)
+            rows_per = self.nx * self.ny
+            for op in ops:
+                arr = np.asarray(res[op])
+                keep = rows_per * min(self.z_chunk, self.nz - z0)
+                chunks[op].append(arr[:keep])
+        full = {op: np.concatenate(chunks[op], axis=0) for op in ops}
+        return {op: full[op][rows] for op in ops}

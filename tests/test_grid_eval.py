@@ -1,0 +1,77 @@
+"""GridPoolEvaluator (im2col sweep) vs the dynamic-slice oracle."""
+
+import jax
+import numpy as np
+
+from nnal_tpu.data.io import synthetic_subject
+from nnal_tpu.data.patches import pad_volumes
+from nnal_tpu.data.samplers import generate_grid_samples
+from nnal_tpu.models.cnn import init_cnn
+from nnal_tpu.models.specs import create_pw1
+from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+from nnal_tpu.scoring.pool_eval import PoolEvaluator
+
+
+def _setup(g=3, shape=(22, 26, 7), m=2):
+    vols, mask = synthetic_subject(shape=shape, n_modalities=m, seed=0)
+    patch_shape = (9, 9, 1)
+    spec = create_pw1(2, 0.0, (9, 9, m))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    padded = pad_volumes(vols, patch_shape)
+    grid_ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape,
+                                shape, grid_spacing=g, z_chunk=3)
+    slow_ev = PoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                            ntb=256)
+    inds, _ = generate_grid_samples(shape, g, mask)
+    return grid_ev, slow_ev, params, inds
+
+
+def test_grid_sweep_matches_dynamic_slice():
+    grid_ev, slow_ev, params, inds = _setup()
+    for ops in [("posteriors",), ("prediction", "feature_layer")]:
+        fast = grid_ev.evaluate(params, inds, ops)
+        slow = slow_ev.evaluate(params, inds, ops)
+        for op in ops:
+            np.testing.assert_allclose(fast[op], slow[op],
+                                       rtol=2e-4, atol=2e-5, err_msg=op)
+
+
+def test_grid_subset_and_order():
+    grid_ev, slow_ev, params, inds = _setup()
+    sub = inds[::5][::-1].copy()          # arbitrary order subset
+    fast = grid_ev.evaluate(params, sub, ("posteriors",))["posteriors"]
+    slow = slow_ev.evaluate(params, sub, ("posteriors",))["posteriors"]
+    np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-5)
+
+
+def test_offgrid_falls_back():
+    grid_ev, slow_ev, params, inds = _setup()
+    off = np.array([1, 8, 17])  # not grid-aligned
+    fast = grid_ev.evaluate(params, off, ("posteriors",))["posteriors"]
+    slow = slow_ev.evaluate(params, off, ("posteriors",))["posteriors"]
+    np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-5)
+
+
+def test_grid_mc_dropout_deterministic_per_key():
+    # needs a nonzero dropout rate for MC passes to differ
+    vols, mask = synthetic_subject(shape=(22, 26, 7), n_modalities=2,
+                                   seed=0)
+    patch_shape = (9, 9, 1)
+    spec = create_pw1(2, 0.4, (9, 9, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    grid_ev = GridPoolEvaluator(spec, pad_volumes(vols, patch_shape), mu,
+                                sd, patch_shape, (22, 26, 7),
+                                grid_spacing=3, z_chunk=3)
+    inds, _ = generate_grid_samples((22, 26, 7), 3, mask)
+    a = grid_ev.evaluate(params, inds[:50], ("posteriors",),
+                         mc_rng=jax.random.key(5))["posteriors"]
+    b = grid_ev.evaluate(params, inds[:50], ("posteriors",),
+                         mc_rng=jax.random.key(5))["posteriors"]
+    c = grid_ev.evaluate(params, inds[:50], ("posteriors",),
+                         mc_rng=jax.random.key(6))["posteriors"]
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
