@@ -94,29 +94,31 @@ def config5():
     from nnal_tpu.models.cnn import init_cnn
     from nnal_tpu.models.specs import create_pw1
     from nnal_tpu.parallel.mesh import make_mesh
-    from nnal_tpu.parallel.pool_sharded import make_sharded_pool_selector
+    from nnal_tpu.parallel.pool_sharded import make_sharded_grid_selector
 
     n_dev = max(len(jax.devices()), len(jax.devices("cpu")))
     mesh = make_mesh(min(n_dev, 8) if n_dev >= 8 else None,
                      model_parallel=1)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    shape = (256, 256, 64) if on_tpu else (32, 32, 8)
+    g = 2
     spec = create_pw1(2, 0.0, (15, 15, 2))
     params, _ = init_cnn(spec, jax.random.key(0))
-    vols, _ = synthetic_subject(shape=(96, 96, 64), n_modalities=2, seed=0)
+    vols, _ = synthetic_subject(shape=shape, n_modalities=2, seed=0)
     patch_shape = (15, 15, 1)
     padded = pad_volumes(vols, patch_shape)
     mu = np.array([v.mean() for v in vols])
     sd = np.array([v.std() for v in vols])
-    n_pool = 64_000 if jax.devices()[0].platform == "tpu" else 4_000
-    pool = np.random.default_rng(0).choice(
-        np.prod(vols[0].shape), size=n_pool, replace=False)
-    run = make_sharded_pool_selector(spec, mesh, patch_shape,
-                                     vols[0].shape, k=64)
-    run(params, padded, mu, sd, pool)          # compile
+    n_pool = (len(range(0, shape[0], g)) * len(range(0, shape[1], g))
+              * shape[2])
+    run = make_sharded_grid_selector(spec, mesh, patch_shape, shape, g,
+                                     k=64)
+    run(params, padded, mu, sd)                # compile
     t0 = time.perf_counter()
-    vals, gpos = run(params, padded, mu, sd, pool)
+    vals, rows = run(params, padded, mu, sd)
     np.asarray(vals)
     dt = time.perf_counter() - t0
-    _emit(5, "sharded_pool_select_latency", dt, "s",
+    _emit(5, "sharded_grid_pool_select_latency", dt, "s",
           pool=n_pool, mesh=dict(mesh.shape))
 
 

@@ -84,15 +84,23 @@ class MultiImgExperiment:
                             patch_shape=(d1, d2, nmod * d3))
 
     def _evaluators(self, spec, subjects, stats):
+        patch_shape = tuple(self.config.model.patch_shape)
         evs = []
         for i, (vols, mask) in enumerate(subjects):
             mu = stats[i, 0::2]
             sd = stats[i, 1::2]
-            evs.append(PoolEvaluator(
-                spec, pad_volumes(vols, self.config.model.patch_shape),
-                mu, sd, tuple(self.config.model.patch_shape),
-                tuple(np.asarray(vols[0]).shape),
-                ntb=self.config.query.ntb))
+            padded = pad_volumes(vols, patch_shape)
+            orig = tuple(np.asarray(vols[0]).shape)
+            if patch_shape[2] == 1:
+                from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+                evs.append(GridPoolEvaluator(
+                    spec, padded, mu, sd, patch_shape, orig,
+                    grid_spacing=self.config.data.grid_spacing,
+                    ntb=self.config.query.ntb))
+            else:
+                evs.append(PoolEvaluator(spec, padded, mu, sd, patch_shape,
+                                         orig, ntb=self.config.query.ntb))
         return evs
 
     def add_method(self, method_name: str):

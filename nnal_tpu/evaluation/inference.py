@@ -32,7 +32,16 @@ def full_slice_patchwise(evaluator: PoolEvaluator, params,
                          op: str = "prediction") -> Dict[int, np.ndarray]:
     """Score every voxel of the given axial slices with the patch model.
     Returns {slice_id: 2D array} (reference ``full_slice_eval``,
-    PW_analyze_results.py:673-770)."""
+    PW_analyze_results.py:673-770).
+
+    A grid evaluator is re-spaced to stride 1 so the dense sweep rides the
+    im2col fast path instead of per-voxel gathers.
+    """
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+    if isinstance(evaluator, GridPoolEvaluator) \
+            and evaluator.grid_spacing != 1:
+        evaluator = evaluator.with_spacing(1)
     s = evaluator.orig_shape
     out = {}
     for z in slices:

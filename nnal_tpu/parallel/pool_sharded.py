@@ -80,3 +80,84 @@ def make_sharded_pool_selector(spec, mesh: Mesh, patch_shape, orig_shape,
         return np.asarray(vals), gpos
 
     return run
+
+
+def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
+                               grid_spacing: int, k: int):
+    """Sharded im2col grid sweep: axial slices are sharded over the ``data``
+    axis; each shard extracts + scores its slice block with
+    ``conv_general_dilated_patches`` (the fast path — arbitrary-index
+    gathers measure ~3K patches/s on TPU), runs a local top-k over its grid
+    rows, and the candidates are all-gathered and reduced.
+
+    Returns ``run(params, padded, mu, sd) -> (scores, grid_rows)`` where
+    grid rows are z-major (z * nx + gx) * ny + gy over the full grid.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    d1, d2, d3 = patch_shape
+    assert d3 == 1
+    g = int(grid_spacing)
+    s1, s2, s3 = orig_shape
+    nx = len(range(0, s1, g))
+    ny = len(range(0, s2, g))
+    dp = mesh.shape["data"]
+    z_pad = -s3 % dp
+
+    def local(params, slices_block, mu, sd):
+        # slices_block: (zc, D1p, D2p, m) — this shard's slice range
+        patches = jax.lax.conv_general_dilated_patches(
+            slices_block, filter_shape=(d1, d2), window_strides=(g, g),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        zc = patches.shape[0]
+        m = slices_block.shape[-1]
+        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
+        x = (x - mu) / sd
+        out = apply_cnn(spec, params, x)
+        unc = jnp.abs(out.posteriors[:, 1] - 0.5)
+        shard = jax.lax.axis_index("data")
+        # mask padded z rows (global z >= s3)
+        row_z = jax.lax.broadcasted_iota(
+            jnp.int32, (zc * nx * ny, 1), 0)[:, 0] // (nx * ny)
+        global_z = row_z + shard * zc
+        score = jnp.where(global_z < s3, -unc, -jnp.inf)
+        vals, idx = jax.lax.top_k(score, k)
+        gidx = idx + shard * (zc * nx * ny)
+        all_vals = jax.lax.all_gather(vals, "data", tiled=True)
+        all_idx = jax.lax.all_gather(gidx, "data", tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        return top_vals, all_idx[pos]
+
+    sharded = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False))
+
+    def run(params, padded, mu, sd):
+        slices = jnp.transpose(jnp.asarray(padded), (3, 1, 2, 0))
+        if z_pad:
+            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        rep = NamedSharding(mesh, P())
+        vals, rows = sharded(
+            jax.device_put(params, rep),
+            jax.device_put(slices, NamedSharding(mesh, P("data"))),
+            jax.device_put(jnp.asarray(np.asarray(mu, np.float32)), rep),
+            jax.device_put(jnp.asarray(np.asarray(sd, np.float32)), rep))
+        return np.asarray(vals), np.asarray(rows)
+
+    return run
+
+
+def grid_row_to_voxel(rows, orig_shape, grid_spacing: int) -> np.ndarray:
+    """Map full-grid row ids (z-major) back to raveled voxel indices."""
+    s1, s2, s3 = orig_shape
+    g = int(grid_spacing)
+    nx = len(range(0, s1, g))
+    ny = len(range(0, s2, g))
+    rows = np.asarray(rows, np.int64)
+    gy = rows % ny
+    rem = rows // ny
+    gx = rem % nx
+    z = rem // nx
+    return (gx * g * s2 + gy * g) * s3 + z

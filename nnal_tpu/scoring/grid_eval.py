@@ -95,6 +95,17 @@ class GridPoolEvaluator(PoolEvaluator):
             return None
         return (z * self.nx + x // g) * self.ny + y // g
 
+    def with_spacing(self, grid_spacing: int) -> "GridPoolEvaluator":
+        """Clone at a different grid spacing (e.g. stride-1 for full-slice
+        inference) sharing the device-resident volumes."""
+        ev = GridPoolEvaluator.__new__(GridPoolEvaluator)
+        ev.__dict__.update(self.__dict__)
+        ev.grid_spacing = int(grid_spacing)
+        s1, s2, _ = self.orig_shape
+        ev.nx = len(range(0, s1, ev.grid_spacing))
+        ev.ny = len(range(0, s2, ev.grid_spacing))
+        return ev
+
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
                  mc_rng=None) -> Dict[str, np.ndarray]:
         rows = self._grid_rows(pool_inds)

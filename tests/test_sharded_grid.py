@@ -1,0 +1,63 @@
+"""Sharded im2col grid sweep vs unsharded grid evaluator."""
+
+import jax
+import numpy as np
+import pytest
+
+from nnal_tpu.data.io import synthetic_subject
+from nnal_tpu.data.patches import pad_volumes
+from nnal_tpu.data.samplers import generate_grid_samples
+from nnal_tpu.models.cnn import init_cnn
+from nnal_tpu.models.specs import create_pw1
+from nnal_tpu.parallel.mesh import make_mesh
+from nnal_tpu.parallel.pool_sharded import (
+    grid_row_to_voxel,
+    make_sharded_grid_selector,
+)
+from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_grid_matches_unsharded():
+    mesh = make_mesh(8, model_parallel=1)
+    shape = (20, 24, 11)   # odd z to exercise padding
+    g = 2
+    patch_shape = (9, 9, 1)
+    vols, _ = synthetic_subject(shape=shape, n_modalities=2, seed=0)
+    spec = create_pw1(2, 0.0, (9, 9, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    padded = pad_volumes(vols, patch_shape)
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+
+    k = 9
+    run = make_sharded_grid_selector(spec, mesh, patch_shape, shape, g, k)
+    vals, rows = run(params, padded, mu, sd)
+    voxels = grid_row_to_voxel(rows, shape, g)
+
+    # unsharded oracle over the full grid
+    ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                           grid_spacing=g, z_chunk=4)
+    inds = generate_grid_samples(shape, g)
+    p1 = ev.evaluate(params, inds, ("posteriors",))["posteriors"]
+    oracle_pos = np.argsort(np.abs(p1 - 0.5), kind="stable")[:k]
+    oracle_vox = inds[oracle_pos]
+    np.testing.assert_array_equal(np.sort(voxels), np.sort(oracle_vox))
+
+
+def test_grid_row_roundtrip():
+    shape = (12, 14, 5)
+    g = 3
+    inds = generate_grid_samples(shape, g)
+    # row ids in z-major grid order are exactly 0..n-1 for the full grid
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+    x, y, z = np.unravel_index(inds, shape)
+    nx = len(range(0, shape[0], g))
+    ny = len(range(0, shape[1], g))
+    rows = (z * nx + x // g) * ny + y // g
+    back = grid_row_to_voxel(rows, shape, g)
+    np.testing.assert_array_equal(back, inds)
