@@ -83,12 +83,17 @@ def make_sharded_pool_selector(spec, mesh: Mesh, patch_shape, orig_shape,
 
 
 def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
-                               grid_spacing: int, k: int):
+                               grid_spacing: int, k: int,
+                               z_inner: int = 2):
     """Sharded im2col grid sweep: axial slices are sharded over the ``data``
     axis; each shard extracts + scores its slice block with
     ``conv_general_dilated_patches`` (the fast path — arbitrary-index
     gathers measure ~3K patches/s on TPU), runs a local top-k over its grid
     rows, and the candidates are all-gathered and reduced.
+
+    The shard-local sweep streams ``z_inner`` slices at a time through a
+    ``lax.map`` so HBM holds one chunk of patch activations regardless of
+    pool size (a 1M-patch block would otherwise materialize ~30 GB).
 
     Returns ``run(params, padded, mu, sd) -> (scores, grid_rows)`` where
     grid rows are z-major (z * nx + gx) * ny + gy over the full grid.
@@ -102,29 +107,44 @@ def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
     nx = len(range(0, s1, g))
     ny = len(range(0, s2, g))
     dp = mesh.shape["data"]
-    z_pad = -s3 % dp
+    z_pad = -s3 % (dp * z_inner)
+    rows_per_step = z_inner * nx * ny
 
     def local(params, slices_block, mu, sd):
         # slices_block: (zc, D1p, D2p, m) — this shard's slice range
-        patches = jax.lax.conv_general_dilated_patches(
-            slices_block, filter_shape=(d1, d2), window_strides=(g, g),
-            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        zc = patches.shape[0]
+        zc = slices_block.shape[0]
+        nsteps = zc // z_inner
         m = slices_block.shape[-1]
-        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
-        x = (x - mu) / sd
-        out = apply_cnn(spec, params, x)
-        unc = jnp.abs(out.posteriors[:, 1] - 0.5)
         shard = jax.lax.axis_index("data")
-        # mask padded z rows (global z >= s3)
-        row_z = jax.lax.broadcasted_iota(
-            jnp.int32, (zc * nx * ny, 1), 0)[:, 0] // (nx * ny)
-        global_z = row_z + shard * zc
-        score = jnp.where(global_z < s3, -unc, -jnp.inf)
-        vals, idx = jax.lax.top_k(score, k)
-        gidx = idx + shard * (zc * nx * ny)
-        all_vals = jax.lax.all_gather(vals, "data", tiled=True)
-        all_idx = jax.lax.all_gather(gidx, "data", tiled=True)
+        blocks = slices_block.reshape((nsteps, z_inner)
+                                      + slices_block.shape[1:])
+
+        def score_step(args):
+            step, blk = args
+            patches = jax.lax.conv_general_dilated_patches(
+                blk, filter_shape=(d1, d2), window_strides=(g, g),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = patches.reshape(rows_per_step, m, d1, d2
+                                ).transpose(0, 2, 3, 1)
+            x = (x - mu) / sd
+            out = apply_cnn(spec, params, x)
+            unc = jnp.abs(out.posteriors[:, 1] - 0.5)
+            row_z = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_per_step, 1), 0)[:, 0] // (nx * ny)
+            global_z = row_z + step * z_inner + shard * zc
+            score = jnp.where(global_z < s3, -unc, -jnp.inf)
+            vals, idx = jax.lax.top_k(score, k)
+            return vals, idx + step * rows_per_step
+
+        steps = jnp.arange(nsteps)
+        vals, idxs = jax.lax.map(score_step, (steps, blocks))
+        vals = vals.reshape(-1)
+        idxs = idxs.reshape(-1)
+        lvals, lpos = jax.lax.top_k(vals, k)
+        lidx = idxs[lpos] + shard * (zc * nx * ny)
+        all_vals = jax.lax.all_gather(lvals, "data", tiled=True)
+        all_idx = jax.lax.all_gather(lidx, "data", tiled=True)
         top_vals, pos = jax.lax.top_k(all_vals, k)
         return top_vals, all_idx[pos]
 
