@@ -48,7 +48,10 @@ def create_expr(root_dir: str, overrides: str = "",
     if synthetic:
         from nnal_tpu.data.io import synthetic_subject
 
-        vols, mask = synthetic_subject(shape=(36, 36, 10), n_modalities=2,
+        shape = tuple(getattr(expr.config, "synthetic_shape", (36, 36, 10)))
+        blobs = int(getattr(expr.config, "synthetic_blobs", 3))
+        vols, mask = synthetic_subject(shape=shape, n_modalities=2,
+                                       n_blobs=blobs,
                                        seed=expr.config.seed)
         expr.attach_subject(vols, mask)
     if not os.path.exists(os.path.join(root_dir, "init_pool_inds.txt")):
@@ -65,6 +68,24 @@ def do_expr(root_dir: str, method: str, nqueries: int,
     if not os.path.exists(os.path.join(method_dir, "curr_weights.npz")):
         expr.add_method(method)
     return expr.run_method(method, nqueries)
+
+
+def print_parameters(root_dir: str) -> None:
+    """Pretty-print an experiment's parameters (reference
+    ``print_parameters``, expr_handler.py:124-138)."""
+    import yaml
+
+    with open(os.path.join(root_dir, "parameters.txt")) as f:
+        pars = yaml.safe_load(f)
+    for key in sorted(pars):
+        print(f"{key:>20}: {pars[key]}")
+
+
+def create_run(root_dir: str, overrides: str = "",
+               synthetic: bool = False):
+    """Alias of :func:`create_expr` kept for reference front-end parity
+    (expr_handler.py:43-89 — a 'run' is an experiment directory here)."""
+    return create_expr(root_dir, overrides, synthetic)
 
 
 def main(argv=None):
