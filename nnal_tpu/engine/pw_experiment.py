@@ -158,8 +158,17 @@ class PWExperiment:
     # ------------------------------------------------------------- training
     def finetune(self, spec, params_state, train_inds, *, epochs=None):
         """Finetune on the labeled set (reference ``finetune``,
-        PW_AL.py:1030-1089): per epoch, random batches of gathered
-        normalized patches + one-hot labels through the jitted step."""
+        PW_AL.py:1030-1089).
+
+        TPU-native shape: the labeled set is gathered + normalized ONCE,
+        then every epoch's batches run inside a single jitted ``lax.scan``
+        (one device dispatch per AL round instead of one per batch — the
+        per-dispatch latency dominated training on tunneled TPUs)."""
+        from nnal_tpu.models.train import (
+            build_batch_index_matrix,
+            make_scanned_finetune,
+        )
+
         m = self.config.model
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
@@ -182,25 +191,47 @@ class PWExperiment:
                                  minlength=m.nclass).astype(np.float64)
             inv = counts.sum() / np.maximum(counts, 1.0)
             cw = (inv / inv.sum() * m.nclass).astype(np.float32)
-        step_fn = make_train_step(spec, tx, grad_mask=grad_mask,
-                                  class_weights=None if cw is None
-                                  else jnp.asarray(cw))
+
         padded = pad_volumes(vols, m.patch_shape)
         host = self.rng.fold("finetune").host
         jrng = self.rng.fold("finetune-dropout").next()
         epochs = m.epochs if epochs is None else epochs
-        for _ in range(epochs):
-            for batch in gen_batch_inds(len(train_inds), m.b, host):
-                binds = train_inds[batch]
-                x = gather_patches_normalized(
-                    padded, jnp.asarray(binds), mu, sd,
-                    tuple(m.patch_shape), orig_shape)
-                y = make_onehot(labels_all[batch], m.nclass)
-                key = jax.random.fold_in(jrng, state.step)
-                state.params, state.opt_state, loss = step_fn(
-                    state.params, state.opt_state, x, jnp.asarray(y), key,
-                    jnp.asarray(state.step))
-                state.step += 1
+        if len(train_inds) == 0 or epochs == 0:
+            return state
+
+        # bucket the gathered set so shapes (and hence compiles) are stable
+        # across AL rounds as the labeled set grows
+        bucket = 256
+        n = len(train_inds)
+        n_bucket = -(-n // bucket) * bucket
+        tr = np.concatenate([np.asarray(train_inds, np.int64),
+                             np.zeros(n_bucket - n, np.int64)])
+        x_all = gather_patches_normalized(
+            padded, jnp.asarray(tr), mu, sd, tuple(m.patch_shape),
+            orig_shape)
+        y_pad = np.concatenate([labels_all,
+                                np.zeros(n_bucket - n, np.int64)])
+        y_all = jnp.asarray(make_onehot(y_pad, m.nclass))
+        idx_mat, w_mat = build_batch_index_matrix(n, m.b, epochs, host,
+                                                  bucket=bucket)
+
+        # cache the jitted runner: a fresh closure per round would recompile
+        # every AL round even at identical shapes
+        cache = getattr(self, "_ft_runners", None)
+        if cache is None:
+            cache = self._ft_runners = {}
+        ck = (id(tx), m.b, grad_mask is not None)
+        if ck not in cache:
+            cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
+                                              grad_mask=grad_mask)
+        run = cache[ck]
+        cw_vec = jnp.ones((m.nclass,), jnp.float32) if cw is None \
+            else jnp.asarray(cw, jnp.float32)
+        key = jax.random.fold_in(jrng, state.step)
+        state.params, state.opt_state, losses = run(
+            state.params, state.opt_state, x_all, y_all,
+            jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
+        state.step += int(idx_mat.shape[0])
         return state
 
     # ------------------------------------------------------------- AL loop

@@ -127,6 +127,89 @@ def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
     return state, (best_params if best_params is not None else state.params)
 
 
+def make_scanned_finetune(spec, tx, *, batch_size: int,
+                          grad_mask=None):
+    """Whole-epoch finetuning as ONE jitted ``lax.scan`` over a precomputed
+    (steps, b) batch-index matrix into device-resident training patches.
+
+    The per-batch Python loop costs one device dispatch per batch — on a
+    tunneled TPU that latency dominates training.  Here the labeled set is
+    gathered once per AL round and every epoch's steps run inside a single
+    program.  Ragged tail batches are padded and masked with per-sample
+    weights, which reproduces the plain mean over real samples exactly.
+    Returns ``fn(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng)
+    -> (params, opt_state, losses)``; ``cw`` is a per-class weight vector
+    (traced, so per-round 'auto' weights never trigger recompiles).
+    """
+    from nnal_tpu.models.optim import apply_grad_mask
+
+    def loss_fn(params, x, y, w, cw, rng):
+        out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
+        logp = jax.nn.log_softmax(out.logits, axis=-1)
+        per = -jnp.sum(y * logp, axis=-1)
+        per = per * jnp.sum(y * cw, axis=-1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng):
+        def step(carry, sc):
+            params, opt_state = carry
+            idx, w, i = sc
+            x = x_all[idx]
+            y = y_all[idx]
+            key = jax.random.fold_in(rng, i)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w, cw,
+                                                      key)
+            grads = apply_grad_mask(grads, grad_mask)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # all-masked padding steps are exact no-ops
+            do = jnp.sum(w) > 0
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(do, new, old), new_params,
+                params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(do, new, old), new_opt,
+                opt_state)
+            return (params, opt_state), loss
+
+        steps = jnp.arange(idx_mat.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (idx_mat, w_mat, steps))
+        return params, opt_state, losses
+
+    return run
+
+
+def build_batch_index_matrix(n: int, batch_size: int, epochs: int, rng,
+                             bucket: int = 256):
+    """(steps, b) index matrix + (steps, b) validity weights with the same
+    shuffled partition semantics as ``gen_batch_inds`` (ragged tails padded
+    with index 0, weight 0).
+
+    Shapes are BUCKETED so the jitted scan compiles once per bucket rather
+    than once per AL round: the step count is padded with all-masked no-op
+    steps up to the count a ``bucket``-multiple-sized set would need.
+    """
+    from nnal_tpu.data.batching import gen_batch_inds
+
+    rows, weights = [], []
+    for _ in range(epochs):
+        for batch in gen_batch_inds(n, batch_size, rng):
+            pad = batch_size - len(batch)
+            rows.append(np.concatenate([batch,
+                                        np.zeros(pad, np.int64)]))
+            weights.append(np.concatenate([np.ones(len(batch), np.float32),
+                                           np.zeros(pad, np.float32)]))
+    if bucket:
+        n_bucket = int(-(-n // bucket)) * bucket
+        steps_target = epochs * (-(-n_bucket // batch_size) + 1)
+        while len(rows) < steps_target:
+            rows.append(np.zeros(batch_size, np.int64))
+            weights.append(np.zeros(batch_size, np.float32))
+    return np.stack(rows), np.stack(weights)
+
+
 def validated_train(spec, state: TrainState, step_fn, train_gen, *,
                     step_limit: int, rng, eval_fn, eval_every: int):
     """Validated training with best-weights rollback (reference

@@ -64,6 +64,51 @@ def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
     return res
 
 
+@partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
+                                   "z_inner", "ops", "mc"))
+def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
+                     grid_spacing, z_inner, ops, mc, rng):
+    """Whole-volume grid sweep in ONE program: ``lax.map`` over z-chunks of
+    ``z_inner`` slices.  Only small per-patch outputs (scores/predictions)
+    are supported — that's the point: a single device dispatch per sweep
+    instead of one per chunk (per-dispatch latency dominates on tunneled
+    TPUs)."""
+    d1, d2, _ = patch_shape
+    g = grid_spacing
+    m = slices_padded.shape[-1]
+    nz_p = slices_padded.shape[0]
+    nsteps = nz_p // z_inner
+    blocks = slices_padded.reshape((nsteps, z_inner)
+                                   + slices_padded.shape[1:])
+
+    def one(args):
+        step, blk = args
+        patches = jax.lax.conv_general_dilated_patches(
+            blk, filter_shape=(d1, d2), window_strides=(g, g),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        zc, nx, ny, _ = patches.shape
+        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
+        x = (x - mu) / sd
+        key = jax.random.fold_in(rng, step) if mc else rng
+        out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=key)
+        res = []
+        for op in ops:
+            if op == "posteriors":
+                res.append(out.posteriors[:, 1] if spec.nclass == 2
+                           else out.posteriors)
+            elif op == "prediction":
+                res.append(out.prediction)
+            else:
+                raise ValueError(op)
+        return tuple(res)
+
+    outs = jax.lax.map(one, (jnp.arange(nsteps), blocks))
+    return tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
+
+
+_SCAN_OPS = {"posteriors", "prediction"}
+
+
 class GridPoolEvaluator(PoolEvaluator):
     """Pool evaluator specialized for grid-sampled pools (d3 == 1)."""
 
@@ -114,6 +159,20 @@ class GridPoolEvaluator(PoolEvaluator):
         ops = tuple(ops)
         mc = mc_rng is not None
         rng = mc_rng if mc else jax.random.key(0)
+        if set(ops) <= _SCAN_OPS:
+            # small outputs: one dispatch for the whole volume
+            z_pad = -self.nz % self.z_chunk
+            slices = self._slices
+            if z_pad:
+                slices = jnp.pad(slices,
+                                 ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+            outs = _grid_sweep_scan(self.spec, params, slices, self.mu,
+                                    self.sd, self.patch_shape,
+                                    self.grid_spacing, self.z_chunk, ops,
+                                    mc, rng)
+            n_valid = self.nz * self.nx * self.ny
+            return {op: np.asarray(o)[:n_valid][rows]
+                    for op, o in zip(ops, outs)}
         chunks: Dict[str, list] = {op: [] for op in ops}
         for z0 in range(0, self.nz, self.z_chunk):
             block = self._slices[z0:z0 + self.z_chunk]
