@@ -38,6 +38,9 @@ def save_inds(path: str, inds) -> None:
 
 
 def load_inds(path: str) -> np.ndarray:
+    if os.path.getsize(path) == 0:
+        # empty membership files are routine (e.g. init_size=0)
+        return np.zeros(0, dtype=np.int64)
     arr = np.atleast_1d(np.loadtxt(path, dtype=np.int64))
     return arr
 

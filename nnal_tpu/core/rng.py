@@ -9,6 +9,8 @@ draws), so whole experiments are replayable from one seed.
 
 from __future__ import annotations
 
+import hashlib
+
 import jax
 import numpy as np
 
@@ -26,9 +28,16 @@ class RngStream:
         return sub
 
     def fold(self, tag: str) -> "RngStream":
-        """Deterministically derive an independent child stream."""
-        child_seed = int(np.uint32(hash((self.seed, tag)) & 0xFFFFFFFF))
-        return RngStream(child_seed)
+        """Deterministically derive an independent child stream.
+
+        The derivation is a keyed blake2b over ``(seed, tag)`` — NOT Python's
+        built-in ``hash``, whose per-process salting would make a
+        crash-resumed campaign in a fresh interpreter draw different streams
+        than the original run (the replayable-journal property of
+        SURVEY.md §5.2-5.3 depends on this being process-stable).
+        """
+        h = hashlib.blake2b(f"{self.seed}|{tag}".encode(), digest_size=4)
+        return RngStream(int.from_bytes(h.digest(), "little"))
 
     def next_n(self, n: int):
         self._key, *subs = jax.random.split(self._key, n + 1)

@@ -105,9 +105,17 @@ class Experiment:
     # ------------------------------------------------------------- training
     def _retrain(self, spec, state, tx, train_inds, epochs: int):
         m = self.config.model
-        step_fn = make_train_step(spec, tx)
-        host = self.rng.fold("retrain").host
-        jrng = self.rng.fold("retrain-dropout").next()
+        # cache the jitted step across AL rounds: a fresh closure per round
+        # recompiles every round (per-round latency on a tunneled TPU)
+        cache = getattr(self, "_step_fns", None)
+        if cache is None:
+            cache = self._step_fns = {}
+        if id(tx) not in cache:
+            cache[id(tx)] = make_train_step(spec, tx)
+        step_fn = cache[id(tx)]
+        # per-call streams keyed by the replay-stable optimizer step
+        host = self.rng.fold(f"retrain-{state.step}").host
+        jrng = self.rng.fold(f"retrain-dropout-{state.step}").next()
         X, labels = self._X, self._labels
         for _ in range(epochs):
             for batch in gen_batch_inds(len(train_inds), m.b, host):
@@ -130,20 +138,26 @@ class Experiment:
         spec = self.build_model()
         test_inds = load_inds(os.path.join(rdir, "test_inds.txt"))
 
-        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        from nnal_tpu.models.checkpoint import restore_opt_state
+
+        ckpt = j.path("curr_weights.npz")
+        params, bn, _, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
                                      cfg.model.learning_rate, bn_state=bn)
+        state.opt_state = restore_opt_state(ckpt, state.opt_state)
+        if al_state is not None:
+            state.step = int(al_state.get("step", 0))
         saved = j.load_state()
         if saved is not None:
             self.rng.restore(saved["rng"])
         n_queries = j.n_queried()
         round_id = len(j.query_iters())
         train_inds, pool_inds = j.membership()
-        qrng = self.rng.fold(f"q-{method_name}-{run}")
 
         while n_queries < max_queries and len(pool_inds) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
+            qrng = self.rng.fold(f"q-{method_name}-{run}-{round_id}")
             ctx = ClsQueryContext(
                 spec=spec, params=state.params, pool_x=self._X[pool_inds],
                 k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
@@ -170,7 +184,9 @@ class Experiment:
                 f.write(" ".join(str(int(p)) for p in preds) + "\n")
 
             save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state)
+                            bn_state=state.bn_state,
+                            opt_state=state.opt_state,
+                            al_state={"step": int(state.step)})
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 

@@ -129,9 +129,15 @@ class MultiImgExperiment:
         stats = np.loadtxt(self._p("train_stats.txt")).reshape(
             len(self.train_subjects), -1)
         evs = self._evaluators(spec, self.train_subjects, stats)
-        step_fn = make_train_step(spec, tx)
-        host = self.rng.fold("ft-multi").host
-        jrng = self.rng.fold("ft-multi-d").next()
+        cache = getattr(self, "_step_fns", None)
+        if cache is None:
+            cache = self._step_fns = {}
+        if id(tx) not in cache:
+            cache[id(tx)] = make_train_step(spec, tx)
+        step_fn = cache[id(tx)]
+        # per-call streams keyed by the replay-stable optimizer step
+        host = self.rng.fold(f"ft-multi-{state.step}").host
+        jrng = self.rng.fold(f"ft-multi-d-{state.step}").next()
         epochs = m.epochs if epochs is None else epochs
 
         sizes = [len(v) for v in per_subject_inds]
@@ -195,17 +201,22 @@ class MultiImgExperiment:
         pools = [load_inds(self._p(f"pool_inds_{i}.txt"))
                  for i in range(len(self.train_subjects))]
 
-        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        from nnal_tpu.models.checkpoint import restore_opt_state
+
+        ckpt = j.path("curr_weights.npz")
+        params, bn, _, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
                                      cfg.model.learning_rate, bn_state=bn)
+        state.opt_state = restore_opt_state(ckpt, state.opt_state)
+        if al_state is not None:
+            state.step = int(al_state.get("step", 0))
         saved = j.load_state()
         if saved is not None:
             self.rng.restore(saved["rng"])
         n_queries = j.n_queried()
         round_id = len(j.query_iters())
         train_g, pool_g = j.membership()   # global index space
-        qrng = self.rng.fold(f"q-{method_name}")
         sizes = [len(p) for p in pools]
 
         ensemble_params = None
@@ -218,6 +229,8 @@ class MultiImgExperiment:
 
         while n_queries < max_queries and len(pool_g) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_g))
+            # per-round stateless stream (replayable on crash-resume)
+            qrng = self.rng.fold(f"q-{method_name}-{round_id}")
             # current per-subject pool views
             local_pool = global2local_inds(pool_g, sizes)
             contexts = []
@@ -272,7 +285,9 @@ class MultiImgExperiment:
             save_checkpoint(j.path(f"curr_weights_{round_id}.npz"),
                             state.params, bn_state=state.bn_state)
             save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state)
+                            bn_state=state.bn_state,
+                            opt_state=state.opt_state,
+                            al_state={"step": int(state.step)})
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_g), n_pool=len(pool_g))
 

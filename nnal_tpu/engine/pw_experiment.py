@@ -193,8 +193,11 @@ class PWExperiment:
             cw = (inv / inv.sum() * m.nclass).astype(np.float32)
 
         padded = pad_volumes(vols, m.patch_shape)
-        host = self.rng.fold("finetune").host
-        jrng = self.rng.fold("finetune-dropout").next()
+        # derive per-call streams from the replay-stable optimizer step so a
+        # crash-resumed campaign shuffles/drops identically to an
+        # uninterrupted one (no long-lived child cursor to lose)
+        host = self.rng.fold(f"finetune-{state.step}").host
+        jrng = self.rng.fold(f"finetune-dropout-{state.step}").next()
         epochs = m.epochs if epochs is None else epochs
         if len(train_inds) == 0 or epochs == 0:
             return state
@@ -249,11 +252,18 @@ class PWExperiment:
         test_inds = load_inds(self._p("test_inds.txt"))
         test_labels = load_inds(self._p("test_labels.txt"))
 
-        params, bn, _, _ = load_checkpoint(j.path("curr_weights.npz"))
+        from nnal_tpu.models.checkpoint import restore_opt_state
+
+        ckpt = j.path("curr_weights.npz")
+        params, bn, _, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(
             spec, params, cfg.model.optimizer_name, cfg.model.learning_rate,
             bn_state=bn)
+        # resume mid-campaign with the exact optimizer moments + step
+        state.opt_state = restore_opt_state(ckpt, state.opt_state)
+        if al_state is not None:
+            state.step = int(al_state.get("step", 0))
 
         saved = j.load_state()
         if saved is not None:
@@ -262,7 +272,6 @@ class PWExperiment:
         round_id = len(j.query_iters())
 
         train_inds, pool_inds = j.membership()
-        qrng = self.rng.fold(f"query-{method_name}")
 
         from nnal_tpu.core.profiling import PhaseTimer
 
@@ -274,6 +283,9 @@ class PWExperiment:
             if cfg.query.iter_k:
                 k = min(k, cfg.query.iter_k[min(round_id,
                                                 len(cfg.query.iter_k) - 1)])
+            # per-round stateless stream: replayable from (seed, method,
+            # round) alone, so a resumed process queries identically
+            qrng = self.rng.fold(f"query-{method_name}-{round_id}")
             ctx = QueryContext(
                 spec=spec, params=state.params, evaluator=evaluator,
                 pool_inds=pool_inds, k=k, rng=qrng.host,
@@ -312,7 +324,9 @@ class PWExperiment:
                 f.write(f"{round_id - 1} {dt:.3f}\n")
 
             save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state)
+                            bn_state=state.bn_state,
+                            opt_state=state.opt_state,
+                            al_state={"step": int(state.step)})
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 

@@ -69,12 +69,16 @@ class FCNInference:
         assert spec.fcn, "FCNInference requires a dense-prediction spec"
         self.spec = spec
         self.batch = batch
+        # close over the spec rather than jitting a bound method — hashing
+        # ``self`` as a static arg invites silent recompiles
 
-    @partial(jax.jit, static_argnames=("self", "mc"))
-    def _run(self, params, x, mc, rng):
-        out = apply_cnn(self.spec, params, x, mc_dropout=mc,
-                        dropout_rng=rng)
-        return out.posteriors, out.prediction, out.log_sigma
+        @partial(jax.jit, static_argnums=(2,))
+        def _run(params, x, mc, rng):
+            out = apply_cnn(spec, params, x, mc_dropout=mc,
+                            dropout_rng=rng)
+            return out.posteriors, out.prediction, out.log_sigma
+
+        self._run = _run
 
     def segment(self, params, vol_slices: np.ndarray, op: str = "prediction",
                 mc_T: int = 10, rng=None):

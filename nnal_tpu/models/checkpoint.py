@@ -44,15 +44,25 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
 
 def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
                     teacher_params: Optional[Dict] = None,
-                    al_state: Optional[dict] = None) -> None:
+                    al_state: Optional[dict] = None,
+                    opt_state=None) -> None:
     """Atomic single-file checkpoint (tmpfile + rename), so an interrupted
-    save never corrupts the resume point (SURVEY.md §5.3)."""
+    save never corrupts the resume point (SURVEY.md §5.3).
+
+    ``opt_state`` may be any optax state pytree; its leaves are stored
+    positionally (``opt/<i>``) and re-attached at load time to a freshly
+    ``tx.init``-ed state of the same structure, so a resumed finetune
+    continues with identical Adam moments (bit-identical replay)."""
     payload = {}
     payload.update(_flatten(params, "params/"))
     if bn_state:
         payload.update(_flatten(bn_state, "bn/"))
     if teacher_params:
         payload.update(_flatten(teacher_params, "teacher/"))
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            payload[f"opt/{i:04d}"] = np.asarray(leaf)
     if al_state is not None:
         payload["__al_state__"] = np.frombuffer(
             json.dumps(al_state).encode(), dtype=np.uint8)
@@ -83,6 +93,24 @@ def load_checkpoint(path: str):
     bn = _unflatten(groups["bn"]) if groups["bn"] else None
     teacher = _unflatten(groups["teacher"]) if groups["teacher"] else None
     return params, bn, teacher, al_state
+
+
+def restore_opt_state(path: str, opt_state):
+    """Re-attach checkpointed optimizer-state leaves (``opt/<i>`` entries)
+    onto a freshly initialized state of identical structure.  Returns the
+    input unchanged when the checkpoint predates opt-state saving."""
+    with np.load(path, allow_pickle=False) as z:
+        keys = sorted(k for k in z.files if k.startswith("opt/"))
+        if not keys:
+            return opt_state
+        saved = [z[k] for k in keys]
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    if len(saved) != len(leaves):
+        raise ValueError(f"checkpoint has {len(saved)} opt leaves, "
+                         f"state needs {len(leaves)}")
+    new = [np.asarray(s, dtype=np.asarray(l).dtype).reshape(np.shape(l))
+           for s, l in zip(saved, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, new)
 
 
 def load_reference_h5(path: str, params_template: Dict) -> Dict:
