@@ -73,6 +73,14 @@ class QueryConfig:
     init_size: int = 0
     test_ratio: float = 0.2
     shrink_method: str = "sum"
+    # ensemble/QBC-JS committee (reference PW_AL.py:780-845: 7 pretrained
+    # weight files at round 0, re-finetuned copies afterwards; the size and
+    # paths were hard-coded there, config keys here)
+    n_ensemble: int = 5
+    pretrained_paths: list = field(default_factory=list)
+    # core-set labeled bootstrap grid spacing over held-out subjects
+    # (reference gen_multimg_inds(labeled_paths, 50), PW_AL.py:809-822)
+    bootstrap_spacing: int = 50
 
 
 @dataclass

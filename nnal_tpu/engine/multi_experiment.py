@@ -51,11 +51,16 @@ class MultiImgExperiment:
         self.rng = RngStream(config.seed)
         self.train_subjects: List = []   # [(vols, mask), ...]
         self.test_subjects: List = []
+        self.held_subjects: List = []    # core-set labeled bootstrap pool
         self.ensemble_paths: List[str] = []
 
-    def attach_subjects(self, train_subjects, test_subjects=()) -> None:
+    def attach_subjects(self, train_subjects, test_subjects=(),
+                        held_subjects=()) -> None:
+        """``held_subjects`` seed core-set's labeled set before any queries
+        exist (reference PW_AL.py:809-822: 10 held-out subjects)."""
         self.train_subjects = list(train_subjects)
         self.test_subjects = list(test_subjects)
+        self.held_subjects = list(held_subjects)
 
     # ------------------------------------------------------------- setup
     def prep_data(self) -> None:
@@ -122,7 +127,7 @@ class MultiImgExperiment:
 
     # ------------------------------------------------------------- finetune
     def finetune_multimg(self, spec, state, tx, per_subject_inds,
-                         epochs=None):
+                         epochs=None, rng_tag: str = ""):
         """Global batches drawn across subjects (reference
         ``finetune_multimg``, PW_AL.py:1091-1150)."""
         m = self.config.model
@@ -136,8 +141,8 @@ class MultiImgExperiment:
             cache[id(tx)] = make_train_step(spec, tx)
         step_fn = cache[id(tx)]
         # per-call streams keyed by the replay-stable optimizer step
-        host = self.rng.fold(f"ft-multi-{state.step}").host
-        jrng = self.rng.fold(f"ft-multi-d-{state.step}").next()
+        host = self.rng.fold(f"ft-multi-{rng_tag}{state.step}").host
+        jrng = self.rng.fold(f"ft-multi-d-{rng_tag}{state.step}").next()
         epochs = m.epochs if epochs is None else epochs
 
         sizes = [len(v) for v in per_subject_inds]
@@ -169,6 +174,56 @@ class MultiImgExperiment:
                     jnp.asarray(state.step))
                 state.step += 1
         return state
+
+    # ------------------------------------------------------------- committee
+    def _build_committee(self, spec, state, tx, train_vox, round_id):
+        """Ensemble/QBC-JS lifecycle (reference PW_AL.py:780-845 model
+        holder + PW_NNAL.py:453-545): pre-trained weight sets before any
+        labels exist, per-round re-finetuned copies of the current model
+        afterwards.  Falls back to independent random inits at round 0 when
+        no pretrained paths are configured."""
+        from nnal_tpu.models.train import TrainState
+
+        q = self.config.query
+        n_labels = int(np.sum([len(v) for v in train_vox]))
+        if n_labels == 0:
+            paths = list(q.pretrained_paths) or list(self.ensemble_paths)
+            if paths:
+                return [jax.tree_util.tree_map(jnp.asarray,
+                                               load_checkpoint(p)[0])
+                        for p in paths]
+            return [init_cnn(spec, self.rng.fold(f"ens-init-{i}").next())[0]
+                    for i in range(q.n_ensemble)]
+        members = []
+        for i in range(q.n_ensemble):
+            params_i = jax.tree_util.tree_map(jnp.copy, state.params)
+            mstate = TrainState(params=params_i,
+                                opt_state=tx.init(params_i),
+                                step=state.step, bn_state=state.bn_state)
+            mstate = self.finetune_multimg(spec, mstate, tx, train_vox,
+                                           rng_tag=f"ens-{round_id}-{i}-")
+            members.append(mstate.params)
+        return members
+
+    def _bootstrap_features(self, spec, params) -> Optional[np.ndarray]:
+        """Labeled-set seed features for core-set before any queries exist:
+        grid samples over held-out subjects (reference PW_AL.py:809-822,
+        ``gen_multimg_inds(labeled_paths, 50)``)."""
+        if not self.held_subjects:
+            return None
+        stats = multimg_stats(self.held_subjects)
+        evs = self._evaluators(spec, self.held_subjects, stats)
+        feats = []
+        for i, ev in enumerate(evs):
+            vols, mask = self.held_subjects[i]
+            inds, _ = generate_grid_samples(
+                np.asarray(vols[0]).shape,
+                self.config.query.bootstrap_spacing, mask)
+            if len(inds) == 0:
+                continue
+            feats.append(ev.evaluate(params, inds,
+                                     ("feature_layer",))["feature_layer"])
+        return np.concatenate(feats) if feats else None
 
     # ------------------------------------------------------------- test eval
     def test_eval(self, spec, params) -> float:
@@ -219,11 +274,6 @@ class MultiImgExperiment:
         train_g, pool_g = j.membership()   # global index space
         sizes = [len(p) for p in pools]
 
-        ensemble_params = None
-        if method_name in ("ensemble", "QBC-JS") and self.ensemble_paths:
-            ensemble_params = [load_checkpoint(p)[0]
-                               for p in self.ensemble_paths]
-
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)
 
@@ -233,6 +283,21 @@ class MultiImgExperiment:
             qrng = self.rng.fold(f"q-{method_name}-{round_id}")
             # current per-subject pool views
             local_pool = global2local_inds(pool_g, sizes)
+            per_subject_train = global2local_inds(train_g, sizes)
+            train_vox = [pools[i][per_subject_train[i]]
+                         for i in range(len(pools))]
+
+            # method-specific labeled-set prep (reference PW_AL.py:805-845)
+            ensemble_params = None
+            if method_name in ("ensemble", "QBC-JS"):
+                ensemble_params = self._build_committee(
+                    spec, state, tx, train_vox, round_id)
+            extra = {}
+            if method_name == "core-set" and len(train_g) == 0:
+                bf = self._bootstrap_features(spec, state.params)
+                if bf is not None:
+                    extra["bootstrap_features"] = bf
+
             contexts = []
             for si in range(len(self.train_subjects)):
                 contexts.append(QueryContext(
@@ -241,7 +306,9 @@ class MultiImgExperiment:
                     rng=qrng.host, jax_rng=qrng.next(), B=cfg.query.B,
                     MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
                     ensemble_params=ensemble_params,
-                    raw_volume=np.asarray(self.train_subjects[si][0][0])))
+                    train_inds=train_vox[si],
+                    raw_volume=np.asarray(self.train_subjects[si][0][0]),
+                    extra=extra))
 
             t0 = time.time()
             per_subject_q = query_multimg(contexts, method_name, k,

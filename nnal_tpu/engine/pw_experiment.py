@@ -156,7 +156,8 @@ class PWExperiment:
         return j
 
     # ------------------------------------------------------------- training
-    def finetune(self, spec, params_state, train_inds, *, epochs=None):
+    def finetune(self, spec, params_state, train_inds, *, epochs=None,
+                 rng_tag: str = ""):
         """Finetune on the labeled set (reference ``finetune``,
         PW_AL.py:1030-1089).
 
@@ -196,8 +197,8 @@ class PWExperiment:
         # derive per-call streams from the replay-stable optimizer step so a
         # crash-resumed campaign shuffles/drops identically to an
         # uninterrupted one (no long-lived child cursor to lose)
-        host = self.rng.fold(f"finetune-{state.step}").host
-        jrng = self.rng.fold(f"finetune-dropout-{state.step}").next()
+        host = self.rng.fold(f"finetune-{rng_tag}{state.step}").host
+        jrng = self.rng.fold(f"finetune-dropout-{rng_tag}{state.step}").next()
         epochs = m.epochs if epochs is None else epochs
         if len(train_inds) == 0 or epochs == 0:
             return state
@@ -286,13 +287,19 @@ class PWExperiment:
             # per-round stateless stream: replayable from (seed, method,
             # round) alone, so a resumed process queries identically
             qrng = self.rng.fold(f"query-{method_name}-{round_id}")
+            if method_name in ("ensemble", "QBC-JS"):
+                with timer.phase("committee"):
+                    committee = self._build_committee(spec, state, tx,
+                                                      train_inds, round_id)
+            else:
+                committee = self._ensemble_params()
             ctx = QueryContext(
                 spec=spec, params=state.params, evaluator=evaluator,
                 pool_inds=pool_inds, k=k, rng=qrng.host,
                 jax_rng=qrng.next(), B=cfg.query.B,
                 MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
                 train_inds=train_inds, raw_volume=vols[0],
-                ensemble_params=self._ensemble_params(),
+                ensemble_params=committee,
                 extra={"mask": mask})
             with timer.phase("score_select"):
                 q_pos = cnn_query(ctx, method_name)
@@ -389,6 +396,40 @@ class PWExperiment:
             return None
         return [jax.tree_util.tree_map(jnp.asarray, load_checkpoint(p)[0])
                 for p in self.ensemble_paths]
+
+    def _build_committee(self, spec, state, tx, train_inds, round_id):
+        """Committee lifecycle for ensemble/QBC-JS (reference
+        PW_AL.py:780-845 + PW_NNAL.py:453-545): round 0 loads pre-trained
+        weight sets; later rounds re-finetune the current model
+        ``n_ensemble`` times on the labeled set, each member with its own
+        batch/dropout streams (the reference got member diversity from the
+        advancing global np.random state; here the streams are explicit
+        and replay-stable).  With no pretrained paths configured, round 0
+        falls back to independent random initializations so the method
+        works with zero manual setup."""
+        from nnal_tpu.models.train import TrainState
+
+        q = self.config.query
+        if len(train_inds) == 0:
+            paths = list(q.pretrained_paths) or list(self.ensemble_paths)
+            if paths:
+                return [jax.tree_util.tree_map(jnp.asarray,
+                                               load_checkpoint(p)[0])
+                        for p in paths]
+            return [init_cnn(spec, self.rng.fold(f"ens-init-{i}").next())[0]
+                    for i in range(q.n_ensemble)]
+        members = []
+        for i in range(q.n_ensemble):
+            # deep-copy: the scanned finetune donates its params/opt_state
+            # buffers, and the main state must survive the member runs
+            params_i = jax.tree_util.tree_map(jnp.copy, state.params)
+            mstate = TrainState(params=params_i,
+                                opt_state=tx.init(params_i),
+                                step=state.step, bn_state=state.bn_state)
+            mstate = self.finetune(spec, (mstate, tx), train_inds,
+                                   rng_tag=f"ens-{round_id}-{i}-")
+            members.append(mstate.params)
+        return members
 
     def load_results(self, method_name: str) -> np.ndarray:
         """Per-round F-measures (reference ``load_results``,

@@ -157,6 +157,11 @@ def _core_set(ctx: QueryContext):
         F_t = lab_ev.evaluate(ctx.params, ctx.train_inds,
                               ("feature_layer",))["feature_layer"]
         sims0 = jnp.asarray(cross_max_similarities(F_u, F_t))
+    elif ctx.extra.get("bootstrap_features") is not None:
+        # labeled-set bootstrap from held-out subjects (reference
+        # PW_AL.py:809-822)
+        sims0 = jnp.asarray(cross_max_similarities(
+            F_u, ctx.extra["bootstrap_features"]))
     else:
         sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
     chosen = np.asarray(core_set_select(Fn, sims0,
@@ -377,6 +382,12 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
                 sims0 = np.maximum(sims0,
                                    cross_max_similarities(F_u, F_t))
                 any_labeled = True
+        bf = contexts[0].extra.get("bootstrap_features")
+        if not any_labeled and bf is not None:
+            # core-set labeled bootstrap from held-out subjects
+            # (reference PW_AL.py:809-822)
+            sims0 = cross_max_similarities(F_u, bf)
+            any_labeled = True
         sims0 = jnp.asarray(sims0) if any_labeled else \
             jnp.full((F_u.shape[0],), -jnp.inf)
         pick = np.asarray(core_set_select(Fn, sims0,

@@ -59,3 +59,65 @@ def test_single_subject_ensemble_and_qbc(tmp_path, cfg):
         res = expr.run_method(method, 3)
         assert res["n_queries"] == 3
         assert np.isfinite(res["perf"]).all()
+
+
+def test_ensemble_lifecycle_zero_setup(tmp_path, cfg):
+    """run_method('ensemble'/'QBC-JS') with NO manual ensemble_paths:
+    round 0 builds the committee from independent inits, later rounds from
+    re-finetuned copies of the current model (reference lifecycle,
+    PW_AL.py:780-845 + PW_NNAL.py:453-545)."""
+    from nnal_tpu.core.config import ExperimentConfig
+
+    pars = dict(cfg.pars)
+    pars.update(init_size=0, n_ensemble=3, k=2)
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=1)
+    for method in ["ensemble", "QBC-JS"]:
+        expr = PWExperiment(str(tmp_path / f"zs-{method}"),
+                            ExperimentConfig.from_pars(pars))
+        expr.attach_subject(vols, mask)
+        expr.prep_data()
+        expr.add_method(method)
+        # 2 rounds: round 0 exercises the unlabeled (init) committee,
+        # round 1 the re-finetuned committee
+        res = expr.run_method(method, 4)
+        assert res["n_queries"] == 4
+        assert len(res["train_inds"]) == 4
+        assert np.isfinite(res["perf"]).all()
+
+
+def test_multi_ensemble_lifecycle_zero_setup(tmp_path, cfg):
+    pars = dict(cfg.pars)
+    pars.update(init_size=0, n_ensemble=2, k=2)
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    expr = MultiImgExperiment(str(tmp_path / "multi-ens"),
+                              ExperimentConfig.from_pars(pars))
+    expr.attach_subjects(subs)
+    expr.prep_data()
+    expr.add_method("ensemble")
+    res = expr.run_method("ensemble", 4)
+    assert res["n_queries"] == 4
+
+
+def test_multi_coreset_bootstrap_from_held_subjects(tmp_path, cfg):
+    """Core-set with an empty labeled set seeds similarities from held-out
+    subjects (reference PW_AL.py:809-822) instead of -inf."""
+    from nnal_tpu.core.config import ExperimentConfig
+
+    pars = dict(cfg.pars)
+    pars.update(init_size=0, bootstrap_spacing=5, k=3)
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    held = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=9)]
+    expr = MultiImgExperiment(str(tmp_path / "cs-boot"),
+                              ExperimentConfig.from_pars(pars))
+    expr.attach_subjects(subs, held_subjects=held)
+    expr.prep_data()
+    expr.add_method("core-set")
+    bf = expr._bootstrap_features(expr.build_model(),
+                                  init_cnn(expr.build_model(),
+                                           __import__("jax").random.key(0))[0])
+    assert bf is not None and bf.ndim == 2 and bf.shape[0] > 0
+    res = expr.run_method("core-set", 3)
+    assert res["n_queries"] == 3
