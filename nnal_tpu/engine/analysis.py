@@ -1,0 +1,115 @@
+"""Experiment-coupled analysis drivers.
+
+Rebuild of the experiment-level half of ``PW_analyze_results.py``:
+
+* ``test_scores_matrix`` (reference ``eval_MultimgAL``,
+  PW_analyze_results.py:801-863) — per-iteration weight checkpoints
+  evaluated against each test subject, accumulated resumably into
+  ``test_scores.txt``;
+* ``query_similarity_analysis`` (reference ``get_Qsims``,
+  PW_analyze_results.py:886-920) — per-round pairwise cosine similarity of
+  the queried patches' features;
+* ``full_test_slice_dcrf`` (reference PW_analyze_results.py:727-770) —
+  whole-volume DCRF evaluation driver over a set of experiments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnal_tpu.core.journal import MethodJournal, load_inds
+from nnal_tpu.evaluation.analysis import full_model_pred_dcrf
+from nnal_tpu.evaluation.metrics import f_measure
+from nnal_tpu.models.checkpoint import load_checkpoint
+
+
+def test_scores_matrix(expr, method_name: str,
+                       start_ind: int = 0) -> np.ndarray:
+    """(n_test_subjects, n_rounds) F-measures: round ``i``'s weight
+    checkpoint ``curr_weights_<i+1>.npz`` scored on every test subject's
+    grid, streamed resumably to ``<method>/test_scores.txt`` (reference
+    ``eval_MultimgAL``)."""
+    from nnal_tpu.data.samplers import generate_grid_samples
+    from nnal_tpu.data.stats import multimg_stats
+
+    j = MethodJournal(expr.root_dir, method_name)
+    spec = expr.build_model()
+    iters = j.query_iters()
+    qnum = len(iters)
+    imgnum = len(expr.test_subjects)
+    save_path = j.path("test_scores.txt")
+    if start_ind > 0 and os.path.exists(save_path):
+        scores = np.atleast_2d(np.loadtxt(save_path))
+    else:
+        scores = np.zeros((imgnum, qnum))
+
+    stats = multimg_stats(expr.test_subjects)
+    evs = expr._evaluators(spec, expr.test_subjects, stats)
+    for i in range(start_ind, qnum):
+        wpath = j.path(f"curr_weights_{iters[i] + 1}.npz")
+        if not os.path.exists(wpath):
+            continue
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        load_checkpoint(wpath)[0])
+        for s, ev in enumerate(evs):
+            vols, mask = expr.test_subjects[s]
+            inds, labels = generate_grid_samples(
+                np.asarray(vols[0]).shape, expr.config.data.grid_spacing,
+                mask)
+            preds = ev.evaluate(params, inds,
+                                ("prediction",))["prediction"]
+            scores[s, i] = f_measure(np.asarray(preds), labels)
+        np.savetxt(save_path, scores)
+    return scores
+
+
+def query_similarity_analysis(expr, method_name: str,
+                              params=None) -> List[np.ndarray]:
+    """Per-round (k, k) cosine-similarity matrices of the queried patches'
+    feature vectors (reference ``get_Qsims``)."""
+    j = MethodJournal(expr.root_dir, method_name)
+    spec = expr.build_model()
+    ev = expr.make_evaluator(spec)
+    if params is None:
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
+    sims = []
+    for it in j.query_iters():
+        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
+        if q.ndim == 2:          # multi-subject (voxel, subject) journals
+            q = q[0]
+        F = ev.evaluate(params, q, ("feature_layer",))["feature_layer"]
+        F = np.asarray(F)
+        norms = np.linalg.norm(F, axis=1, keepdims=True)
+        Fn = F / np.maximum(norms, 1e-12)
+        sims.append(Fn @ Fn.T)
+    return sims
+
+
+def full_test_slice_dcrf(experiments: Sequence, method_name: str = "random",
+                         slice_step: int = 2) -> dict:
+    """Whole-volume DCRF evaluation over several experiments (reference
+    ``full_test_slice_DCRF``): for each experiment, load the method's
+    current weights, refine every ``slice_step``-th axial slice with the
+    DenseCRF and save results under ``<method>/full_preds``."""
+    out = {}
+    for expr in experiments:
+        j = MethodJournal(expr.root_dir, method_name)
+        spec = expr.build_model()
+        ev = expr.make_evaluator(spec)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
+        vols, mask = expr._load_subject()
+        s3 = np.asarray(vols[0]).shape[2]
+        slice_inds = np.arange(1, s3, slice_step)
+        save_dir = j.path("full_preds")
+        _, f1 = full_model_pred_dcrf(ev, params, np.asarray(vols[0]),
+                                     np.asarray(mask), slice_inds,
+                                     save_dir=save_dir)
+        out[expr.root_dir] = f1
+    return out

@@ -28,7 +28,14 @@ TILE_M = 512
 
 def _make_rowmax_kernel(m_valid: int):
     """Kernel closure over the true (unpadded) reference count, so padded
-    columns are masked to -inf before the row max."""
+    columns are masked to -inf before the row max.
+
+    The accumulator block is ``(8, TILE_N)`` with all 8 sublanes carrying
+    the same row-max vector: real v5e Mosaic requires f32 block trailing
+    dims divisible by (8, 128) (a 1-D block fails layout verification, a
+    (1, TILE_N) block fails the sublane rule).  The 8x redundant write is
+    ~16 KB per tile — noise next to the MXU matmul; the caller keeps
+    sublane 0."""
 
     def kernel(pool_ref, ref_ref, out_ref):
         j = pl.program_id(1)
@@ -37,15 +44,16 @@ def _make_rowmax_kernel(m_valid: int):
         col = j * TILE_M + jax.lax.broadcasted_iota(
             jnp.int32, block.shape, dimension=1)
         block = jnp.where(col < m_valid, block, -jnp.inf)
-        row_max = jnp.max(block, axis=1)
+        row_max = jnp.broadcast_to(jnp.max(block, axis=1)[None, :],
+                                   out_ref.shape)
 
         @pl.when(j == 0)
         def _():
-            out_ref[:] = row_max
+            out_ref[:, :] = row_max
 
         @pl.when(j > 0)
         def _():
-            out_ref[:] = jnp.maximum(out_ref[:], row_max)
+            out_ref[:, :] = jnp.maximum(out_ref[:, :], row_max)
 
     return kernel
 
@@ -68,7 +76,8 @@ def max_similarity_pallas(pool_normed: jnp.ndarray, ref_normed: jnp.ndarray,
     pool_p = jnp.pad(pool_normed.astype(jnp.float32), ((0, n_pad), (0, 0)))
     ref_p = jnp.pad(ref_normed.astype(jnp.float32), ((0, m_pad), (0, 0)))
 
-    grid = (pool_p.shape[0] // TILE_N, ref_p.shape[0] // TILE_M)
+    n_tiles = pool_p.shape[0] // TILE_N
+    grid = (n_tiles, ref_p.shape[0] // TILE_M)
     out = pl.pallas_call(
         _make_rowmax_kernel(m),
         grid=grid,
@@ -78,12 +87,12 @@ def max_similarity_pallas(pool_normed: jnp.ndarray, ref_normed: jnp.ndarray,
             pl.BlockSpec((TILE_M, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda i, j: (i,),
+        out_specs=pl.BlockSpec((8, TILE_N), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pool_p.shape[0],), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE_N), jnp.float32),
         interpret=interpret,
     )(pool_p, ref_p)
-    return out[:n]
+    return out.reshape(n_tiles, 8, TILE_N)[:, 0, :].reshape(-1)[:n]
 
 
 def max_similarity(pool_feats, ref_feats, use_pallas: bool | None = None):

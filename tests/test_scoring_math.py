@@ -121,7 +121,7 @@ def test_pmf_negative_clipped():
 def test_a_optimal_symmetric_instance():
     # two complementary designs -> optimum is exactly (1/2, 1/2)
     A = np.stack([np.diag([1.0, 0.05]), np.diag([0.05, 1.0])])
-    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32), steps=800))
+    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32), steps=800)[0])
     np.testing.assert_allclose(q, [0.5, 0.5], atol=5e-3)
 
 
@@ -133,8 +133,8 @@ def test_a_optimal_beats_uniform_and_vertices():
         g = rng.normal(size=(d, 2))
         A.append(g @ g.T + 0.05 * np.eye(d))
     A = np.stack(A)
-    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32), steps=800),
-                   dtype=np.float64)
+    q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32),
+                                   steps=800)[0], dtype=np.float64)
     assert q.min() >= -1e-6
     np.testing.assert_allclose(q.sum(), 1.0, atol=1e-5)
     f_opt = trace_inverse(q, A)
@@ -157,7 +157,7 @@ def test_a_optimal_peak_cap():
                   np.eye(3) * 0.2])
     k = 2
     q = np.asarray(solve_a_optimal(jnp.asarray(A, jnp.float32),
-                                   cap=1.0 / k, steps=600))
+                                   cap=1.0 / k, steps=600)[0])
     assert q.max() <= 0.5 + 1e-5
     np.testing.assert_allclose(q.sum(), 1.0, atol=1e-5)
 
@@ -173,3 +173,58 @@ def test_fi_query_distribution_wrapper():
     F -= F.mean(1, keepdims=True)
     q2 = fi_query_distribution(A, 0.5, F, 3)
     np.testing.assert_allclose(q2.sum(), 1.0, atol=1e-6)
+
+
+def test_a_optimal_gap_and_scale_parity():
+    """B=200-scale instance: the FW solver must report a small duality gap
+    and rank-agree with a trusted host solver (projected gradient with
+    exact simplex projection, run to tight tolerance) — round-1 verdict
+    weak #5."""
+    rng = np.random.default_rng(11)
+    d, n = 7, 200
+    A = []
+    for _ in range(n):
+        g = rng.normal(size=(d, 2)) * rng.uniform(0.2, 2.0)
+        A.append(g @ g.T + 1e-3 * np.eye(d))
+    A = np.stack(A).astype(np.float64)
+
+    q_fw, gap = solve_a_optimal(jnp.asarray(A, jnp.float32), steps=4000,
+                                tol=1e-5)
+    q_fw = np.asarray(q_fw, np.float64)
+    gap = float(gap)
+    assert gap < 1e-3, f"duality gap {gap} not converged"
+
+    # trusted host reference: SLSQP with analytic gradient, f64
+    from scipy.optimize import minimize
+
+    def obj_grad(q):
+        M = np.einsum("n,nab->ab", q, A)
+        Minv = np.linalg.inv(M)
+        G = Minv @ Minv
+        return float(np.trace(Minv)), -np.einsum("ab,nab->n", G, A)
+
+    res = minimize(obj_grad, np.full(n, 1.0 / n), jac=True,
+                   method="SLSQP", bounds=[(0.0, 1.0)] * n,
+                   constraints=[{"type": "eq",
+                                 "fun": lambda q: q.sum() - 1.0,
+                                 "jac": lambda q: np.ones(n)}],
+                   options={"maxiter": 500, "ftol": 1e-12})
+    q_ref = np.maximum(res.x, 0.0)
+    q_ref /= q_ref.sum()
+
+    f_fw = trace_inverse(q_fw, A)
+    f_ref = trace_inverse(q_ref, A)
+    # objective parity within 1%
+    assert f_fw <= f_ref * 1.01 + 1e-9
+    # rank parity: the optimal supports coincide and carry the same mass
+    # in the same order (coords off the support are zeros in both — their
+    # relative "rank" is arbitrary, so compare supports, not top-k)
+    sup_fw = set(np.flatnonzero(q_fw > 1e-4))
+    sup_ref = set(np.flatnonzero(q_ref > 1e-4))
+    assert sup_fw == sup_ref, (sorted(sup_fw), sorted(sup_ref))
+    order_fw = [i for i in np.argsort(-q_fw) if i in sup_fw]
+    order_ref = [i for i in np.argsort(-q_ref) if i in sup_ref]
+    assert order_fw == order_ref
+    np.testing.assert_allclose(np.sort(q_fw)[::-1][:len(sup_fw)],
+                               np.sort(q_ref)[::-1][:len(sup_ref)],
+                               atol=2e-3)
