@@ -56,6 +56,16 @@ class ModelConfig:
     class_weights: Optional[Any] = "auto"
     dtype: str = "float32"            # compute dtype for the forward pass
     param_dtype: str = "float32"
+    # aleatoric (AU_4L) head: doubles the last layer into [logits, log-sigma]
+    # and trains the heteroscedastic logit-noise CE (reference AU hypers,
+    # NN_extended.py:24-63,1520-1562)
+    aleatoric: bool = False
+    mc_t: int = 10
+    # input perturbation for AU_4U output-perturbation uncertainty
+    # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
+    gaussian_noise_std: Optional[float] = 0.05
+    rotation_angle: Optional[float] = None
+    output_perturbation_measure: str = "CE"
 
 
 @dataclass

@@ -54,10 +54,20 @@ def prepare_batch_brvol(imgs: Sequence, masks: Sequence,
             mask_pl = np.asarray(masks[i])[:, :, z]
         else:
             zr = depth // 2
+            vols_i = [np.asarray(v) for v in imgs[i]]
+            mask_i = np.asarray(masks[i])
+            if nz < depth:
+                # thin sub-volumes (e.g. few queried slices) are
+                # edge-padded up to the depth margin
+                pad = depth - nz
+                vols_i = [np.pad(v, ((0, 0), (0, 0), (0, pad)),
+                                 mode="edge") for v in vols_i]
+                mask_i = np.pad(mask_i, ((0, 0), (0, 0), (0, pad)),
+                                mode="edge")
+                nz = depth
             z = int(rng.integers(zr, nz - zr))
-            planes = [np.asarray(v)[:, :, z - zr:z + zr + 1]
-                      for v in imgs[i]]
-            mask_pl = np.asarray(masks[i])[:, :, z]
+            planes = [v[:, :, z - zr:z + zr + 1] for v in vols_i]
+            mask_pl = mask_i[:, :, z]
 
         crop0, ih, iw = random_crop(planes[0], H, W, rng)
         planes = [crop0] + [random_crop(p, H, W, rng, ih, iw)[0]
@@ -183,6 +193,47 @@ class D3Holder(RegularHolder):
         return super().create_train_valid_gens(
             batch_size, img_shape, nclass, rng, n_labeled,
             depth=self.depth)
+
+
+def get_dat_for_ft(holder: RegularHolder, slice_img_inds,
+                   keep_unlabeled: bool = False) -> RegularHolder:
+    """Build a finetuning holder where queried slices of the unlabeled
+    subjects become labeled sub-volumes (reference ``get_dat_for_FT``,
+    datasets/data_holders.py:360-415): slice ``slice_img_inds[j]`` of
+    unlabeled subject ``j`` is 'expert-labeled' via the available ground
+    truth; with ``keep_unlabeled`` the remaining slices stay as unlabeled
+    subjects.  Valid subjects carry over; label remapping is baked in."""
+    assert len(slice_img_inds) == len(holder.unlabeled_inds), (
+        "one slice-index array per unlabeled subject required")
+    new_labeled = [holder.load(i) for i in holder.labeled_inds]
+    new_unlab = []
+    for j, si in enumerate(holder.unlabeled_inds):
+        sl = np.asarray(slice_img_inds[j], np.int64)
+        if len(sl) == 0:
+            continue
+        vols, mask = holder.load(si)
+        new_labeled.append(([np.asarray(v)[:, :, sl] for v in vols],
+                            mask[:, :, sl]))
+        if keep_unlabeled:
+            rest = np.delete(np.arange(mask.shape[2]), sl)
+            if len(rest):
+                new_unlab.append(([np.asarray(v)[:, :, rest]
+                                   for v in vols], mask[:, :, rest]))
+    valid = [holder.load(i) for i in holder.valid_inds]
+    subjects = new_labeled + new_unlab + valid
+    new = object.__new__(type(holder))
+    new.subjects = subjects
+    new.labeled_inds = list(range(len(new_labeled)))
+    new.unlabeled_inds = list(range(len(new_labeled),
+                                    len(new_labeled) + len(new_unlab)))
+    new.valid_inds = list(range(len(new_labeled) + len(new_unlab),
+                                len(subjects)))
+    new.test_inds = []
+    new.label_map = None      # holder.load already applied the remap
+    new._cache = {}
+    if isinstance(holder, D3Holder):
+        new.depth = holder.depth
+    return new
 
 
 def lesion_patch_gen(imgs, masks, legal_inds, square_patch_size: int,

@@ -43,12 +43,18 @@ class Experiment:
             config.to_yaml(par_path)
         self.config = config
         self.rng = RngStream(config.seed)
-        self._X: Optional[np.ndarray] = None
-        self._labels: Optional[np.ndarray] = None
+        self._pool = None
 
     def attach_data(self, X, labels) -> None:
-        self._X = np.asarray(X, np.float32)
-        self._labels = np.asarray(labels, np.int64)
+        from nnal_tpu.data.image_pool import InMemoryPool
+
+        self._pool = InMemoryPool(X, labels)
+
+    def attach_pool(self, pool) -> None:
+        """Attach a disk-backed pool (``data.image_pool.ImagePathPool`` —
+        reference ``load_winds`` path-list batching, NN.py:1479) or any
+        object with ``__len__``/``labels``/``input_shape``/``fetch``."""
+        self._pool = pool
 
     # ------------------------------------------------------------- runs
     def _run_dir(self, run: int) -> str:
@@ -63,7 +69,7 @@ class Experiment:
         rdir = self._run_dir(run)
         os.makedirs(rdir, exist_ok=True)
 
-        n = self._X.shape[0]
+        n = len(self._pool)
         host = self.rng.fold(f"run{run}").host
         perm = host.permutation(n)
         n_test = int(self.config.query.test_ratio * n)
@@ -84,7 +90,7 @@ class Experiment:
 
     def build_model(self):
         m = self.config.model
-        input_shape = tuple(self._X.shape[1:])
+        input_shape = tuple(self._pool.input_shape)
         return create_model(m.model_name, nclass=m.nclass,
                             dropout_rate=m.dropout_rate,
                             patch_shape=input_shape,
@@ -116,12 +122,14 @@ class Experiment:
         # per-call streams keyed by the replay-stable optimizer step
         host = self.rng.fold(f"retrain-{state.step}").host
         jrng = self.rng.fold(f"retrain-dropout-{state.step}").next()
-        X, labels = self._X, self._labels
         for _ in range(epochs):
             for batch in gen_batch_inds(len(train_inds), m.b, host):
                 binds = train_inds[batch]
-                x = jnp.asarray(X[binds])
-                y = jnp.asarray(make_onehot(labels[binds], m.nclass))
+                # per-batch fetch: in-memory arrays or disk-backed
+                # load_winds-style pools alike (reference NN.py:699,716)
+                xb, yb = self._pool.fetch(binds)
+                x = jnp.asarray(xb)
+                y = jnp.asarray(make_onehot(yb, m.nclass))
                 key = jax.random.fold_in(jrng, state.step)
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
@@ -158,8 +166,11 @@ class Experiment:
         while n_queries < max_queries and len(pool_inds) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
             qrng = self.rng.fold(f"q-{method_name}-{run}-{round_id}")
+            from nnal_tpu.data.image_pool import LazyPoolView
+
             ctx = ClsQueryContext(
-                spec=spec, params=state.params, pool_x=self._X[pool_inds],
+                spec=spec, params=state.params,
+                pool_x=LazyPoolView(self._pool, pool_inds),
                 k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
                 batch=cfg.query.ntb)
             q_pos = cls_query(ctx, method_name)
@@ -175,10 +186,11 @@ class Experiment:
             state = self._retrain(spec, state, tx, train_inds,
                                   cfg.model.epochs)
 
-            preds = batched_forward(spec, state.params, self._X[test_inds],
+            preds = batched_forward(spec, state.params,
+                                    LazyPoolView(self._pool, test_inds),
                                     cfg.query.ntb,
                                     ("prediction",))["prediction"]
-            acc = accuracy(preds, self._labels[test_inds])
+            acc = accuracy(preds, self._pool.labels[test_inds])
             j.append_eval([acc], "accs.txt")
             with open(j.path("predicts.txt"), "a") as f:
                 f.write(" ".join(str(int(p)) for p in preds) + "\n")

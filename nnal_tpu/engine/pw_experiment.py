@@ -102,6 +102,10 @@ class PWExperiment:
         spec = create_model(m.model_name, nclass=m.nclass,
                             dropout_rate=m.dropout_rate,
                             patch_shape=(d1, d2, nmod * d3))
+        if getattr(m, "aleatoric", False):
+            from nnal_tpu.models.specs import with_aleatoric_head
+
+            spec = with_aleatoric_head(spec)
         return spec
 
     def _stats_arrays(self):
@@ -300,7 +304,11 @@ class PWExperiment:
                 MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
                 train_inds=train_inds, raw_volume=vols[0],
                 ensemble_params=committee,
-                extra={"mask": mask})
+                extra={"mask": mask,
+                       "gaussian_noise_std": cfg.model.gaussian_noise_std,
+                       "rotation_angle": cfg.model.rotation_angle,
+                       "output_perturbation_measure":
+                           cfg.model.output_perturbation_measure})
             with timer.phase("score_select"):
                 q_pos = cnn_query(ctx, method_name)
             q_inds = pool_inds[q_pos]

@@ -74,11 +74,14 @@ def fcn_cross_entropy(logits, mask_onehot, class_weights=None,
     return jnp.sum(per) / n
 
 
-def aleatoric_ce(logits, log_sigma, y_onehot, rng, mc_t: int = 10):
-    """Heteroscedastic classification loss: average CE over ``mc_t``
-    logit-noise samples ``z = logits + sigma * eps`` (reference AU_4L path,
-    NN_extended.py:1520-1562 ``corrupt_output...``/``MC_T``)."""
-    sigma = jnp.exp(log_sigma)
+def aleatoric_ce_per_sample(logits, log_sigma, y_onehot, rng,
+                            mc_t: int = 10):
+    """Per-sample heteroscedastic CE over ``mc_t`` logit-noise samples
+    ``z = logits + sigma * eps`` (reference AU_4L path,
+    NN_extended.py:1520-1562 ``corrupt_output...``/``MC_T``).
+    ``log_sigma`` is clamped so an untrained/diverging sigma head cannot
+    overflow ``exp`` into NaN losses."""
+    sigma = jnp.exp(jnp.clip(log_sigma, -10.0, 10.0))
 
     def one(key):
         eps = jax.random.normal(key, logits.shape, logits.dtype)
@@ -87,8 +90,13 @@ def aleatoric_ce(logits, log_sigma, y_onehot, rng, mc_t: int = 10):
         return -jnp.sum(y_onehot * logp, axis=-1)
 
     keys = jax.random.split(rng, mc_t)
-    per = jnp.mean(jax.vmap(one)(keys), axis=0)
-    return jnp.mean(per)
+    return jnp.mean(jax.vmap(one)(keys), axis=0)
+
+
+def aleatoric_ce(logits, log_sigma, y_onehot, rng, mc_t: int = 10):
+    """Mean heteroscedastic classification loss (see per-sample form)."""
+    return jnp.mean(aleatoric_ce_per_sample(logits, log_sigma, y_onehot,
+                                            rng, mc_t))
 
 
 def consistency_loss(student_logits, teacher_logits, measure: str = "CE"):

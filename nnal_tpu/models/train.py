@@ -43,13 +43,22 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
                     fcn: bool = False, class_weights=None,
                     focal_gamma=None, weight_decay: float = 0.0,
                     grad_mask=None, consistency_coeff: Optional[Callable] = None,
-                    consistency_measure: str = "CE"):
+                    consistency_measure: str = "CE", mc_t: int = 10):
     """Build a jitted ``(state_params, opt_state, x, y, rng, step, [teacher])
-    -> (params, opt_state, loss)`` train step."""
+    -> (params, opt_state, loss)`` train step.
+
+    Aleatoric specs (``spec.aleatoric``) train the AU_4L heteroscedastic
+    loss (logit-noise CE over ``mc_t`` samples, reference
+    NN_extended.py:1520-1562) — the sigma head is part of the spec, so the
+    loss follows it automatically."""
+    from nnal_tpu.models.losses import aleatoric_ce
 
     def loss_fn(params, x, y, rng, teacher_params, step):
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
-        if fcn:
+        if getattr(spec, "aleatoric", False):
+            base = aleatoric_ce(out.logits, out.log_sigma, y,
+                                jax.random.fold_in(rng, 1), mc_t)
+        elif fcn:
             base = fcn_cross_entropy(out.logits, y, class_weights,
                                      focal_gamma)
         else:
@@ -142,11 +151,16 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     (traced, so per-round 'auto' weights never trigger recompiles).
     """
     from nnal_tpu.models.optim import apply_grad_mask
+    from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
     def loss_fn(params, x, y, w, cw, rng):
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
-        logp = jax.nn.log_softmax(out.logits, axis=-1)
-        per = -jnp.sum(y * logp, axis=-1)
+        if getattr(spec, "aleatoric", False):
+            per = aleatoric_ce_per_sample(out.logits, out.log_sigma, y,
+                                          jax.random.fold_in(rng, 1))
+        else:
+            logp = jax.nn.log_softmax(out.logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
         per = per * jnp.sum(y * cw, axis=-1)
         return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -208,6 +222,22 @@ def build_batch_index_matrix(n: int, batch_size: int, epochs: int, rng,
             rows.append(np.zeros(batch_size, np.int64))
             weights.append(np.zeros(batch_size, np.float32))
     return np.stack(rows), np.stack(weights)
+
+
+def update_bn_stats(spec, params, bn_state, sample_gen, iters: int = 200):
+    """Recompute BN running statistics over a sample generator without
+    touching weights (reference ``update_BN_stats``,
+    NN_extended.py:1059-1084: run only the UPDATE_OPS in training mode).
+    ``sample_gen()`` yields ``x`` or ``(x, y)`` host batches.  Returns the
+    refreshed BN state pytree."""
+    fwd = jax.jit(lambda p, s, x: apply_cnn(spec, p, x, train=True,
+                                            state=s).state)
+    state = bn_state
+    for _ in range(iters):
+        batch = sample_gen()
+        x = batch[0] if isinstance(batch, (tuple, list)) else batch
+        state = fwd(params, state, jnp.asarray(x))
+    return state
 
 
 def validated_train(spec, state: TrainState, step_fn, train_gen, *,

@@ -222,6 +222,35 @@ def _supix(ctx: QueryContext):
     return np.flatnonzero(np.isin(ctx.pool_inds, wanted))
 
 
+@register_strategy("AU_4U")
+def _au_4u(ctx: QueryContext):
+    """Output-perturbation uncertainty querying (reference AU_4U:
+    ``measure_output_perturbation`` + ``perturb_input``,
+    NN_extended.py:913,1502): score each pool patch by the divergence
+    between the model's clean posterior and the (teacher) model's posterior
+    on a noised/rotated copy; query the k most unstable."""
+    from nnal_tpu.models.perturb import measure_output_perturbation
+
+    ev = ctx.evaluator
+    teacher = ctx.extra.get("teacher_params")
+    std = ctx.extra.get("gaussian_noise_std", 0.05)
+    angle = ctx.extra.get("rotation_angle")
+    measure = ctx.extra.get("output_perturbation_measure", "CE")
+    scores = []
+    chunk = ev.ntb
+    for lo in range(0, len(ctx.pool_inds), chunk):
+        cand = ctx.pool_inds[lo:lo + chunk]
+        x = gather_patches_normalized(ev.padded, jnp.asarray(cand), ev.mu,
+                                      ev.sd, ev.patch_shape, ev.orig_shape)
+        div = measure_output_perturbation(
+            ctx.spec, ctx.params, x, jax.random.fold_in(ctx.jax_rng, lo),
+            teacher_params=teacher, measure=measure, gaussian_std=std,
+            rotation_angle=angle)
+        scores.append(np.asarray(div))
+    scores = np.concatenate(scores)
+    return np.argsort(-scores, kind="stable")[:ctx.k]
+
+
 @register_strategy("influence")
 def _influence(ctx: QueryContext):
     """Influence-function querying (driver config #4; reference
