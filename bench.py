@@ -48,6 +48,8 @@ def main():
     mu = jnp.asarray([float(v.mean()) for v in vols], jnp.float32)
     sd = jnp.asarray([float(v.std()) for v in vols], jnp.float32)
 
+    compute_dtype = jnp.bfloat16 if on_tpu else None
+
     @partial(jax.jit, static_argnames=())
     def score_zchunk(params, block):
         patches = jax.lax.conv_general_dilated_patches(
@@ -56,12 +58,15 @@ def main():
         zc, nx, ny, _ = patches.shape
         x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
         x = (x - mu) / sd
-        out = pool_score_fused(spec, params, x, with_fim=True)
+        # bf16 storage + f32 accumulation (custom-VJP convs keep the FIM
+        # backward legal; rank parity vs f32 is tested in the suite)
+        out = pool_score_fused(spec, params, x, True, compute_dtype)
         # reduce on-device: only selection-sized data should leave HBM
         return (jnp.sum(out["uncertainty"]),
                 jnp.sum(out["shrunk"][:, :, 0]))
 
-    z_chunk = 2 if on_tpu else 2
+    z_chunk = int(os.environ.get("NNAL_BENCH_ZCHUNK", "4" if on_tpu
+                                 else "2"))
     nz = shape[2]
     nx = len(range(0, shape[0], g))
     ny = len(range(0, shape[1], g))
@@ -72,6 +77,18 @@ def main():
     u, s = score_zchunk(params, slices[:z_chunk])
     float(np.asarray(u))
 
+    # XLA-reported FLOPs for one chunk -> MFU against the v5e bf16 peak
+    flops_chunk = None
+    try:
+        cost = (jax.jit(score_zchunk)
+                .lower(params, slices[:z_chunk]).compile()
+                .cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_chunk = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     t0 = time.perf_counter()
     outs = [score_zchunk(params, slices[z0:z0 + z_chunk])
             for z0 in range(0, nz - nz % z_chunk, z_chunk)]
@@ -81,14 +98,23 @@ def main():
 
     scored = nx * ny * (nz - nz % z_chunk)
     rate = scored / dt
-    print(json.dumps({
+    rec = {
         "metric": "pool_patches_scored_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "patches/s/chip (im2col extract + posterior + diag-FIM, "
-                "PW1 25x25x2)",
+                "PW1 25x25x2, bf16 storage/f32 accum)",
         "vs_baseline": round(rate / BASELINE_PATCHES_PER_SEC_PER_CHIP, 3),
         "pool": scored,
-    }))
+    }
+    if flops_chunk:
+        n_chunks = (nz - nz % z_chunk) // z_chunk
+        achieved = flops_chunk * n_chunks / dt
+        peak = 197e12 if on_tpu else 1e12   # v5e bf16 peak (f32 accum)
+        rec["achieved_tflops"] = round(achieved / 1e12, 2)
+        rec["mfu_pct"] = round(100 * achieved / peak, 2)
+        rec["flops_per_patch"] = round(flops_chunk
+                                       / (nx * ny * z_chunk))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -40,20 +40,34 @@ def _expr(tmp, overrides, method, nq):
     return time.perf_counter() - t0, res
 
 
+def _round_times(tmp, method):
+    """Per-round wall times journaled by the engine (query_times.txt) —
+    round 0 carries compilation; later rounds are steady state."""
+    return np.loadtxt(os.path.join(tmp, method, "query_times.txt"),
+                      ndmin=2)[:, 1]
+
+
 def config1(root):
     ov = ("patch_shape=[15,15,1],grid_spacing=2,k=10,B=100,ntb=2048,b=64,"
           "epochs=1,init_size=16")
-    dt, res = _expr(os.path.join(root, "c1"), ov, "entropy", 20)
-    _emit(1, "entropy_AL_round_latency", dt / 2, "s/round",
-          rounds=2, final_f=float(res["perf"][-1]))
+    tmp = os.path.join(root, "c1")
+    dt, res = _expr(tmp, ov, "entropy", 40)
+    rts = _round_times(tmp, "entropy")
+    _emit(1, "entropy_AL_round_latency", float(np.mean(rts[-2:])),
+          "s/round (steady state)", rounds=len(rts),
+          first_round_incl_compile=round(float(rts[0]), 2),
+          final_f=float(res["perf"][-1]))
 
 
 def config2(root):
     ov = ("patch_shape=[15,15,1],grid_spacing=2,k=10,B=100,ntb=2048,b=64,"
           "epochs=1,init_size=16,MC_iters=5")
-    dt, res = _expr(os.path.join(root, "c2"), ov, "MC-entropy", 20)
-    _emit(2, "mc_dropout_AL_round_latency", dt / 2, "s/round",
-          MC_iters=5)
+    tmp = os.path.join(root, "c2")
+    dt, res = _expr(tmp, ov, "MC-entropy", 40)
+    rts = _round_times(tmp, "MC-entropy")
+    _emit(2, "mc_dropout_AL_round_latency", float(np.mean(rts[-2:])),
+          "s/round (steady state)", MC_iters=5,
+          first_round_incl_compile=round(float(rts[0]), 2))
 
 
 def config3():
@@ -83,8 +97,12 @@ def config3():
 def config4(root):
     ov = ("patch_shape=[9,9,1],grid_spacing=3,k=8,B=64,ntb=1024,b=32,"
           "epochs=1,init_size=12")
-    dt, res = _expr(os.path.join(root, "c4"), ov, "influence", 8)
-    _emit(4, "influence_round_latency", dt, "s/round",
+    tmp = os.path.join(root, "c4")
+    dt, res = _expr(tmp, ov, "influence", 24)
+    rts = _round_times(tmp, "influence")
+    _emit(4, "influence_round_latency", float(np.mean(rts[-2:])),
+          "s/round (steady state)", rounds=len(rts),
+          first_round_incl_compile=round(float(rts[0]), 2),
           dice=float(res["perf"][-1]))
 
 

@@ -76,11 +76,14 @@ def gather_patches_normalized(padded: jnp.ndarray, inds: jnp.ndarray,
     return (patches - mu_full) / sg_full
 
 
-def gather_labels(mask, inds, orig_shape) -> jnp.ndarray:
+def gather_labels(mask, inds, orig_shape) -> np.ndarray:
     """Labels at voxel ``inds`` from the (unpadded) mask
-    (reference: ``mask[multinds]``, patch_utils.py:1171)."""
-    mask = jnp.asarray(mask)
-    return mask.reshape(-1)[jnp.asarray(inds)]
+    (reference: ``mask[multinds]``, patch_utils.py:1171).
+
+    Host-side on purpose: the mask lives on host, the result is tiny, and
+    a device gather here recompiled once per labeled-set size — i.e. every
+    AL round."""
+    return np.asarray(mask).reshape(-1)[np.asarray(inds, np.int64)]
 
 
 def gather_patches_multimg(all_padded, img_inds, patch_shape, stats,

@@ -279,8 +279,13 @@ class PWExperiment:
         train_inds, pool_inds = j.membership()
 
         from nnal_tpu.core.profiling import PhaseTimer
+        from nnal_tpu.core.tb import TBWriter
 
         timer = PhaseTimer(j.path("phases.jsonl"))
+        # optional TensorBoard mirror of the txt/JSONL metric streams
+        tb = TBWriter(getattr(cfg, "tb_logdir", None)
+                      and os.path.join(str(getattr(cfg, "tb_logdir")),
+                                       method_name))
 
         while n_queries < max_queries:
             t0 = time.time()
@@ -333,6 +338,8 @@ class PWExperiment:
             j.append_eval([fm])
             timer.commit_round(round_id - 1, n_train=len(train_inds),
                                n_pool=len(pool_inds), f_measure=fm)
+            tb.scalars({"al/f_measure": fm,
+                        "al/n_train": len(train_inds)}, round_id - 1)
 
             dt = time.time() - t0
             with open(j.path("query_times.txt"), "a") as f:
@@ -345,6 +352,7 @@ class PWExperiment:
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 
+        tb.close()
         return {
             "n_queries": n_queries,
             "train_inds": train_inds,

@@ -95,6 +95,38 @@ def load_checkpoint(path: str):
     return params, bn, teacher, al_state
 
 
+def save_checkpoint_orbax(path: str, params: Dict, *,
+                          bn_state: Optional[Dict] = None,
+                          teacher_params: Optional[Dict] = None,
+                          al_state: Optional[dict] = None) -> None:
+    """Orbax-backed checkpoint option (one directory per checkpoint):
+    same logical record as the npz format, for users standardized on
+    orbax tooling.  The npz path remains the default (single file,
+    h5-shim interop)."""
+    import orbax.checkpoint as ocp
+
+    record = {"params": params}
+    if bn_state:
+        record["bn"] = bn_state
+    if teacher_params:
+        record["teacher"] = teacher_params
+    if al_state is not None:
+        record["al_state"] = al_state
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), record, force=True)
+
+
+def load_checkpoint_orbax(path: str):
+    """Returns (params, bn_state, teacher_params, al_state) — the npz
+    loader's contract."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    record = ckptr.restore(os.path.abspath(path))
+    return (record.get("params"), record.get("bn"),
+            record.get("teacher"), record.get("al_state"))
+
+
 def restore_opt_state(path: str, opt_state):
     """Re-attach checkpointed optimizer-state leaves (``opt/<i>`` entries)
     onto a freshly initialized state of identical structure.  Returns the

@@ -43,7 +43,44 @@ def layer_sizes(spec, params) -> np.ndarray:
                      for n in grad_param_layers(spec, params)])
 
 
-def _apply_with_eps(spec, params, x, E):
+def _make_conv_f32acc(strides, padding, rank):
+    """bf16-storage conv with f32 accumulation whose VJP stays legal.
+
+    Forward: bf16 operands, ``preferred_element_type=f32`` (exactly the
+    MXU's native mode).  The standard VJP of that op is ill-typed in this
+    JAX version — the transpose conv mixes the f32 cotangent with the bf16
+    filter ("lax.conv_general_dilated requires arguments to have the same
+    dtypes").  The custom backward casts the cotangent to the operand
+    dtype and takes the VJP of the *uniform-dtype* conv — the same linear
+    map, rounded at bf16 (the MXU still accumulates f32 internally); the
+    FIM scores this feeds are layer-mean reductions, insensitive to that
+    rounding (rank parity is tested)."""
+    from nnal_tpu.models.cnn import _dimension_numbers
+
+    def raw(h, w, pref):
+        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape,
+                                            _dimension_numbers(rank))
+        return jax.lax.conv_general_dilated(
+            h, w, strides, padding, dimension_numbers=dn,
+            preferred_element_type=pref)
+
+    @jax.custom_vjp
+    def conv(h, w):
+        return raw(h, w, jnp.float32)
+
+    def fwd(h, w):
+        return raw(h, w, jnp.float32), (h, w)
+
+    def bwd(res, g):
+        h, w = res
+        _, vjp = jax.vjp(lambda hh, ww: raw(hh, ww, None), h, w)
+        return vjp(g.astype(h.dtype))
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+def _apply_with_eps(spec, params, x, E, compute_dtype=None):
     """Forward pass with a per-sample epsilon injected into every parameter
     layer: layer l behaves as if ``W_l + E[i,l]*1`` and ``b_l + E[i,l]*1``
     for sample i.
@@ -53,40 +90,58 @@ def _apply_with_eps(spec, params, x, E):
     (sum(h) + 1)`` — so it costs one cheap extra reduction per layer, and
     ``d logits / d E`` at E=0 is exactly the per-sample entry-sum gradient.
     Supports the conv/pool/fc layer family (PW1/VGG-style specs).
+
+    ``compute_dtype=bfloat16`` keeps activations/filters in bf16 *between*
+    layers (true bf16 storage) while every matmul/conv accumulates f32 —
+    the convs go through a custom-VJP wrapper so the backward pass is
+    legal (see :func:`_make_conv_f32acc`).
     """
     from nnal_tpu.models.cnn import _act, _dimension_numbers
 
     rank = spec.spatial_rank
     act = _act(spec.activation)
-    h = x
+    cd = compute_dtype
+    h = x if cd is None else x.astype(cd)
     li = 0
     for layer in spec.layers:
         if layer.kind == "conv":
             p = params[layer.name]
-            dn = jax.lax.conv_dimension_numbers(
-                h.shape, p["W"].shape, _dimension_numbers(rank))
-            z = jax.lax.conv_general_dilated(
-                h, p["W"].astype(h.dtype), layer.strides, layer.padding,
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32) + p["b"]
-            ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
-            wsum = jax.lax.conv_general_dilated(
-                h, ones, layer.strides, layer.padding,
-                dimension_numbers=jax.lax.conv_dimension_numbers(
-                    h.shape, ones.shape, _dimension_numbers(rank)),
-                preferred_element_type=jnp.float32)
+            W = p["W"].astype(h.dtype)
+            if cd is None:
+                dn = jax.lax.conv_dimension_numbers(
+                    h.shape, W.shape, _dimension_numbers(rank))
+                z = jax.lax.conv_general_dilated(
+                    h, W, layer.strides, layer.padding,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32) + p["b"]
+                ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
+                wsum = jax.lax.conv_general_dilated(
+                    h, ones, layer.strides, layer.padding,
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        h.shape, ones.shape, _dimension_numbers(rank)),
+                    preferred_element_type=jnp.float32)
+            else:
+                conv = _make_conv_f32acc(layer.strides, layer.padding,
+                                         rank)
+                z = conv(h, W) + p["b"]
+                ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
+                wsum = conv(h, ones)
             e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
             z = z + e * (wsum + 1.0)
             h = act(z) if "A" in layer.op_order else z
+            if cd is not None:
+                h = h.astype(cd)
             li += 1
         elif layer.kind == "fc":
             p = params[layer.name]
             h2 = h.reshape(h.shape[0], -1)
             z = jnp.dot(h2, p["W"].astype(h2.dtype),
                         preferred_element_type=jnp.float32) + p["b"]
-            s = jnp.sum(h2, axis=1, keepdims=True)
+            s = jnp.sum(h2.astype(jnp.float32), axis=1, keepdims=True)
             z = z + E[:, li:li + 1] * (s + 1.0)
             h = act(z) if "A" in layer.op_order else z
+            if cd is not None:
+                h = h.astype(cd)
             li += 1
         elif layer.kind in ("pool", "avgpool"):
             from nnal_tpu.models.cnn import _main_op
@@ -99,15 +154,18 @@ def _apply_with_eps(spec, params, x, E):
     return h  # logits
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def shrunk_class_grads(spec, params, x: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+def shrunk_class_grads(spec, params, x: jnp.ndarray,
+                       compute_dtype=None) -> jnp.ndarray:
     """(b, c, L) 'sum'-shrunk class gradients (see
     :func:`shrunk_class_grads_with_logits`)."""
-    return shrunk_class_grads_with_logits(spec, params, x)[0]
+    return shrunk_class_grads_with_logits(spec, params, x,
+                                          compute_dtype)[0]
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray):
+@partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray,
+                                   compute_dtype=None):
     """'sum'-shrunk per-class log-posterior gradients for a patch batch.
 
     Returns ``(b, c, L)``: per layer, ``mean of entries of
@@ -126,7 +184,7 @@ def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray):
     E0 = jnp.zeros((b, len(names)), jnp.float32)
 
     def class_sum(E, c):
-        logits = _apply_with_eps(spec, params, x, E)
+        logits = _apply_with_eps(spec, params, x, E, compute_dtype)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # sum over samples: d/dE[i, l] touches only sample i's logp
         return jnp.sum(logp[:, c]), logits

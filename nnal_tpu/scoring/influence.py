@@ -34,6 +34,18 @@ def make_loss(spec):
     return loss
 
 
+def make_weighted_loss(spec):
+    """Weighted-mean CE: zero-weight rows are exact no-ops, so a growing
+    labeled set can be bucket-padded to a stable shape (one compile per
+    bucket instead of one per AL round)."""
+    def loss(params, x, y_onehot, w):
+        out = apply_cnn(spec, params, x)
+        logp = jax.nn.log_softmax(out.logits, axis=-1)
+        per = -jnp.sum(y_onehot * logp, axis=-1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return loss
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def loss_grad(spec, params, x, y_onehot):
     """Gradient of the batch loss (reference ``add_loss_grad``,
@@ -42,11 +54,14 @@ def loss_grad(spec, params, x, y_onehot):
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def hvp(spec, params, x, y_onehot, v):
+def hvp(spec, params, x, y_onehot, v, w=None):
     """Hessian-vector product via forward-over-reverse ``jvp(grad)`` —
     the same big-O as backprop, no double-backprop graph surgery
-    (replaces Influence.py:64-123)."""
-    g = lambda p: jax.grad(make_loss(spec))(p, x, y_onehot)
+    (replaces Influence.py:64-123).  ``w`` enables zero-weight padding."""
+    if w is None:
+        g = lambda p: jax.grad(make_loss(spec))(p, x, y_onehot)
+    else:
+        g = lambda p: jax.grad(make_weighted_loss(spec))(p, x, y_onehot, w)
     _, Hv = jax.jvp(g, (params,), (v,))
     return Hv
 
@@ -60,12 +75,12 @@ def _tree_dot(a, b):
 
 @partial(jax.jit, static_argnames=("spec", "max_iter"))
 def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
-                 max_iter: int = 50, tol: float = 1e-6):
+                 max_iter: int = 50, tol: float = 1e-6, w=None):
     """Solve ``(H + damping I) t = v`` by conjugate gradients with the jitted
     HVP as the matvec; the whole Krylov loop runs on device
     (replaces scipy.fmin_ncg at Influence.py:445)."""
     def matvec(t):
-        Hv = hvp(spec, params, x, y_onehot, t)
+        Hv = hvp(spec, params, x, y_onehot, t, w)
         return jax.tree_util.tree_map(lambda h, ti: h + damping * ti, Hv, t)
 
     t0 = jax.tree_util.tree_map(jnp.zeros_like, v)
@@ -101,32 +116,63 @@ def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
 
 
 def s_test(spec, params, train_x, train_y_onehot, query_x, query_y_onehot,
-           damping: float = 0.01, max_iter: int = 50):
+           damping: float = 0.01, max_iter: int = 50, bucket: int = 256,
+           n_valid=None):
     """Influence s_test vector: ``(H_train + damping)^{-1} grad L(query)``
-    (reference ``PW_sample_influence``, Influence.py:369-453)."""
+    (reference ``PW_sample_influence``, Influence.py:369-453).
+
+    The training set is bucket-padded with zero-weight rows so the whole
+    CG+HVP program compiles once per bucket — the labeled set grows every
+    AL round, and per-round recompiles dominated round latency on the
+    remote TPU compiler.  ``n_valid`` marks the logical count when the
+    caller pre-padded the arrays."""
     v = loss_grad(spec, params, jnp.asarray(query_x),
                   jnp.asarray(query_y_onehot))
-    return cg_solve_hvp(spec, params, jnp.asarray(train_x),
-                        jnp.asarray(train_y_onehot), v, damping, max_iter)
+    tx = jnp.asarray(train_x)
+    ty = jnp.asarray(train_y_onehot)
+    n = tx.shape[0] if n_valid is None else int(n_valid)
+    pad = -tx.shape[0] % bucket
+    if pad:
+        tx = jnp.concatenate([tx, jnp.zeros((pad,) + tx.shape[1:],
+                                            tx.dtype)])
+        ty = jnp.concatenate([ty, jnp.zeros((pad,) + ty.shape[1:],
+                                            ty.dtype)])
+    w = jnp.asarray(np.arange(tx.shape[0]) < n, jnp.float32)
+    return cg_solve_hvp(spec, params, tx, ty, v, damping, max_iter, w=w)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _chunk_influence(spec, params, s_test_vec, xs, ys):
+    """Jitted once per (spec, chunk shape) — a per-call closure here
+    recompiled every AL round."""
+    def one(xi, yi):
+        g = jax.grad(make_loss(spec))(params, xi[None], yi[None])
+        return -_tree_dot(g, s_test_vec)
+    return jax.vmap(one)(xs, ys)
 
 
 def influence_scores(spec, params, s_test_vec, pool_x, pool_y_onehot,
                      chunk: int = 64) -> np.ndarray:
     """Per-pool-sample influence ``-<grad L(z_i), s_test>`` — per-sample
-    gradients vmapped in chunks, dotted on device."""
-    @partial(jax.jit, static_argnames=())
-    def chunk_scores(xs, ys):
-        def one(xi, yi):
-            g = jax.grad(make_loss(spec))(params, xi[None], yi[None])
-            return -_tree_dot(g, s_test_vec)
-        return jax.vmap(one)(xs, ys)
-
-    pool_x = jnp.asarray(pool_x)
-    pool_y = jnp.asarray(pool_y_onehot)
+    gradients vmapped in fixed-size chunks (ragged tails padded), dotted
+    on device."""
+    pool_x = np.asarray(pool_x)
+    pool_y = np.asarray(pool_y_onehot)
+    n = pool_x.shape[0]
     out = []
-    for lo in range(0, pool_x.shape[0], chunk):
-        out.append(np.asarray(chunk_scores(pool_x[lo:lo + chunk],
-                                           pool_y[lo:lo + chunk])))
+    for lo in range(0, n, chunk):
+        xs = pool_x[lo:lo + chunk]
+        ys = pool_y[lo:lo + chunk]
+        pad = chunk - xs.shape[0]
+        if pad:
+            xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
+                                              xs.dtype)])
+            ys = np.concatenate([ys, np.zeros((pad,) + ys.shape[1:],
+                                              ys.dtype)])
+        vals = np.asarray(_chunk_influence(spec, params, s_test_vec,
+                                           jnp.asarray(xs),
+                                           jnp.asarray(ys)))
+        out.append(vals[:chunk - pad] if pad else vals)
     return np.concatenate(out)
 
 

@@ -268,14 +268,23 @@ def _influence(ctx: QueryContext):
     mask = ctx.extra.get("mask")
     assert mask is not None, "influence querying needs the label mask"
 
-    tr = gather_patches_normalized(ev.padded,
-                                   jnp.asarray(ctx.train_inds), ev.mu,
+    # bucket the labeled gather so shapes (and compiles) are stable as the
+    # labeled set grows round over round
+    n_tr = len(ctx.train_inds)
+    n_pad = -n_tr % 256
+    tr_inds = np.concatenate([np.asarray(ctx.train_inds, np.int64),
+                              np.zeros(n_pad, np.int64)])
+    tr = gather_patches_normalized(ev.padded, jnp.asarray(tr_inds), ev.mu,
                                    ev.sd, ev.patch_shape, ev.orig_shape)
-    tr_y = make_onehot(np.asarray(gather_labels(mask, ctx.train_inds,
-                                                ev.orig_shape),
-                                  np.int64), ctx.spec.nclass)
+    y_lab = np.zeros(len(tr_inds), np.int64)
+    y_lab[:n_tr] = np.asarray(gather_labels(mask, ctx.train_inds,
+                                            ev.orig_shape), np.int64)
+    tr_y = make_onehot(y_lab, ctx.spec.nclass)
     damping = ctx.extra.get("damping", 0.1)
-    st = s_test(ctx.spec, ctx.params, tr, tr_y, tr, tr_y, damping=damping)
+    # the padded query set scales v (hence s_test and all scores) by the
+    # uniform factor n_tr/len(tr_inds) — rank-preserving, shape-stable
+    st = s_test(ctx.spec, ctx.params, tr, tr_y, tr, tr_y,
+                damping=damping, n_valid=n_tr)
 
     # candidate scores at their current pseudo-labels (model predictions)
     B = min(ctx.B, len(ctx.pool_inds))

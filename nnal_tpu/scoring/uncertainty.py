@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS_ENT = 1e-8   # reference guards p==0 with +=1e-8 (NNAL_tools.py:80)
 _EPS_BALD = 1e-6  # reference BALD guard (PW_NNAL.py:264-268)
@@ -33,11 +34,47 @@ def binary_uncertainty_scores(p1: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(p1 - 0.5)
 
 
+_BUCKET = 1024
+
+
+def _pad_bucket(x, fill: float) -> jnp.ndarray:
+    """Pad a 1-D score vector to a bucket multiple so the selection kernels
+    compile once per bucket, not once per AL round: the pool shrinks by k
+    every round, and each new length would otherwise recompile top_k/gather
+    on the (seconds-per-program) remote TPU compiler.  Host arrays are
+    padded with numpy (an eager device concatenate would itself compile
+    per input length)."""
+    pad = -x.shape[0] % _BUCKET
+    if pad == 0:
+        return jnp.asarray(x)
+    if isinstance(x, np.ndarray):
+        return jnp.asarray(np.concatenate(
+            [x, np.full((pad,), fill, x.dtype)]))
+    return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+
+@jax.jit
+def _mask_tail(scores: jnp.ndarray, n, fill) -> jnp.ndarray:
+    """Overwrite rows >= n (the bucket padding) with ``fill``; ``n`` is
+    traced, so one compile covers every pool size within a bucket."""
+    return jnp.where(jnp.arange(scores.shape[0]) < n, scores, fill)
+
+
 def uncertainty_filter(posteriors, B: int):
     """Indices of the B highest-entropy rows (reference
     ``uncertainty_filtering``, NNAL_tools.py:22)."""
-    ent = shannon_entropy(jnp.asarray(posteriors))
-    B = min(B, ent.shape[0])
+    P = posteriors
+    n = P.shape[0]
+    B = min(B, n)
+    pad = -n % _BUCKET
+    if pad:
+        if isinstance(P, np.ndarray):
+            P = np.concatenate([P, np.zeros((pad, P.shape[-1]), P.dtype)])
+        else:
+            P = jnp.concatenate([P, jnp.zeros((pad, P.shape[-1]),
+                                              P.dtype)])
+    ent = _mask_tail(shannon_entropy(jnp.asarray(P)), jnp.asarray(n),
+                     -jnp.inf)
     _, idx = jax.lax.top_k(ent, B)
     return idx
 
@@ -48,8 +85,11 @@ def binary_uncertainty_filter(p1, B: int):
     Implemented as ``top_k(-score)`` so it stays on device; ties broken by
     index order (stable), the documented tie-break for rank parity.
     """
-    scores = binary_uncertainty_scores(jnp.asarray(p1))
-    B = min(B, scores.shape[0])
+    n = p1.shape[0]
+    B = min(B, n)
+    scores = binary_uncertainty_scores(_pad_bucket(p1, 0.5))
+    # padded rows score +inf: strictly worse than any real row
+    scores = _mask_tail(scores, jnp.asarray(n), jnp.inf)
     _, idx = jax.lax.top_k(-scores, B)
     return idx
 
