@@ -89,7 +89,10 @@ class MultiImgExperiment:
                             patch_shape=(d1, d2, nmod * d3))
 
     def _evaluators(self, spec, subjects, stats):
+        from nnal_tpu.scoring.pool_eval import eval_compute_dtype
+
         patch_shape = tuple(self.config.model.patch_shape)
+        cd = eval_compute_dtype(self.config.model.dtype)
         evs = []
         for i, (vols, mask) in enumerate(subjects):
             mu = stats[i, 0::2]
@@ -102,10 +105,11 @@ class MultiImgExperiment:
                 evs.append(GridPoolEvaluator(
                     spec, padded, mu, sd, patch_shape, orig,
                     grid_spacing=self.config.data.grid_spacing,
-                    ntb=self.config.query.ntb))
+                    ntb=self.config.query.ntb, compute_dtype=cd))
             else:
                 evs.append(PoolEvaluator(spec, padded, mu, sd, patch_shape,
-                                         orig, ntb=self.config.query.ntb))
+                                         orig, ntb=self.config.query.ntb,
+                                         compute_dtype=cd))
         return evs
 
     def add_method(self, method_name: str):

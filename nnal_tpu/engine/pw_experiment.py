@@ -35,7 +35,7 @@ from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 from nnal_tpu.models.cnn import init_cnn
 from nnal_tpu.models.specs import create_model
 from nnal_tpu.models.train import init_train_state, make_train_step
-from nnal_tpu.scoring.pool_eval import PoolEvaluator
+from nnal_tpu.scoring.pool_eval import PoolEvaluator, eval_compute_dtype
 from nnal_tpu.scoring.strategies import QueryContext, cnn_query
 
 
@@ -119,6 +119,7 @@ class PWExperiment:
         mu, sd = self._stats_arrays()
         patch_shape = tuple(self.config.model.patch_shape)
         padded = pad_volumes(vols, patch_shape)
+        cd = eval_compute_dtype(self.config.model.dtype)
         if patch_shape[2] == 1:
             # grid pools sweep via im2col — the fast TPU path (arbitrary
             # window gathers measure ~3K patches/s; im2col is vectorized)
@@ -127,10 +128,10 @@ class PWExperiment:
             return GridPoolEvaluator(
                 spec, padded, mu, sd, patch_shape, tuple(vols[0].shape),
                 grid_spacing=self.config.data.grid_spacing,
-                ntb=self.config.query.ntb)
+                ntb=self.config.query.ntb, compute_dtype=cd)
         return PoolEvaluator(spec, padded, mu, sd, patch_shape,
                              tuple(vols[0].shape),
-                             ntb=self.config.query.ntb)
+                             ntb=self.config.query.ntb, compute_dtype=cd)
 
     # ------------------------------------------------------------- methods
     def add_method(self, method_name: str, init_size: Optional[int] = None):

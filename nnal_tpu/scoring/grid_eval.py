@@ -29,9 +29,9 @@ from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
 
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
-                                   "ops", "mc"))
+                                   "ops", "mc", "cd"))
 def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
-                grid_spacing, ops, mc, rng):
+                grid_spacing, ops, mc, rng, cd=None):
     """``slices_nhwc``: (zc, D1p, D2p, m) padded slices.  Extract all grid
     windows, normalize, forward.  Returns per-op arrays of length
     zc * nx * ny (grid order: z-major, then x, then y)."""
@@ -45,6 +45,9 @@ def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
     zc, nx, ny, _ = patches.shape
     x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
     x = (x - mu) / sd
+    if cd is not None:
+        x = x.astype(cd)
+        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
     out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=rng)
     res = {}
     for op in ops:
@@ -65,9 +68,9 @@ def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
 
 
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
-                                   "z_inner", "ops", "mc"))
+                                   "z_inner", "ops", "mc", "cd"))
 def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
-                     grid_spacing, z_inner, ops, mc, rng):
+                     grid_spacing, z_inner, ops, mc, rng, cd=None):
     """Whole-volume grid sweep in ONE program: ``lax.map`` over z-chunks of
     ``z_inner`` slices.  Only small per-patch outputs (scores/predictions)
     are supported — that's the point: a single device dispatch per sweep
@@ -89,8 +92,13 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
         zc, nx, ny, _ = patches.shape
         x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
         x = (x - mu) / sd
+        if cd is not None:
+            x = x.astype(cd)
+            p_c = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+        else:
+            p_c = params
         key = jax.random.fold_in(rng, step) if mc else rng
-        out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=key)
+        out = apply_cnn(spec, p_c, x, mc_dropout=mc, dropout_rng=key)
         res = []
         for op in ops:
             if op == "posteriors":
@@ -113,9 +121,10 @@ class GridPoolEvaluator(PoolEvaluator):
     """Pool evaluator specialized for grid-sampled pools (d3 == 1)."""
 
     def __init__(self, spec, padded, mu, sd, patch_shape, orig_shape,
-                 grid_spacing: int, ntb: int = 4096, z_chunk: int = 4):
+                 grid_spacing: int, ntb: int = 4096, z_chunk: int = 4,
+                 compute_dtype=None):
         super().__init__(spec, padded, mu, sd, patch_shape, orig_shape,
-                         ntb=ntb)
+                         ntb=ntb, compute_dtype=compute_dtype)
         assert patch_shape[2] == 1, "grid evaluator requires d3 == 1"
         self.grid_spacing = int(grid_spacing)
         self.z_chunk = int(z_chunk)
@@ -169,7 +178,7 @@ class GridPoolEvaluator(PoolEvaluator):
             outs = _grid_sweep_scan(self.spec, params, slices, self.mu,
                                     self.sd, self.patch_shape,
                                     self.grid_spacing, self.z_chunk, ops,
-                                    mc, rng)
+                                    mc, rng, self.compute_dtype)
             n_valid = self.nz * self.nx * self.ny
             return {op: np.asarray(o)[:n_valid][rows]
                     for op, o in zip(ops, outs)}
@@ -182,7 +191,7 @@ class GridPoolEvaluator(PoolEvaluator):
             crng = jax.random.fold_in(rng, z0) if mc else rng
             res = _grid_chunk(self.spec, params, block, self.mu, self.sd,
                               self.patch_shape, self.grid_spacing, ops, mc,
-                              crng)
+                              crng, self.compute_dtype)
             rows_per = self.nx * self.ny
             for op in ops:
                 arr = np.asarray(res[op])

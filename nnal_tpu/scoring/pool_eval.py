@@ -27,11 +27,16 @@ from nnal_tpu.models.cnn import apply_cnn
 
 
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "orig_shape",
-                                   "ops", "mc"))
+                                   "ops", "mc", "cd"))
 def _eval_chunk(spec, params, padded, inds, mu, sd, patch_shape, orig_shape,
-                ops: Tuple[str, ...], mc: bool, rng):
+                ops: Tuple[str, ...], mc: bool, rng, cd=None):
     x = gather_patches_normalized(padded, inds, mu, sd, patch_shape,
                                   orig_shape)
+    if cd is not None:
+        # bf16 storage forward: ~2x sweep throughput on the MXU; posteriors
+        # still emerge in f32 (softmax upcasts the logits)
+        x = x.astype(cd)
+        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
     out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=rng)
     res = {}
     for op in ops:
@@ -53,6 +58,17 @@ def _eval_chunk(spec, params, padded, inds, mu, sd, patch_shape, orig_shape,
     return res
 
 
+def eval_compute_dtype(name):
+    """Map the config's ``model.dtype`` string to an evaluator compute
+    dtype: 'float32' (default, bit-parity with the numpy oracles) -> None;
+    'bfloat16'/'bf16' -> bf16-storage sweeps (~2x throughput)."""
+    if name in (None, "float32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported eval dtype {name!r}")
+
+
 class PoolEvaluator:
     """Evaluate model outputs over arbitrary voxel-index sets of one subject.
 
@@ -61,7 +77,7 @@ class PoolEvaluator:
     """
 
     def __init__(self, spec, padded, mu, sd, patch_shape, orig_shape,
-                 ntb: int = 4096):
+                 ntb: int = 4096, compute_dtype=None):
         self.spec = spec
         self.padded = jnp.asarray(padded)
         self.mu = jnp.asarray(np.asarray(mu, np.float32))
@@ -69,6 +85,9 @@ class PoolEvaluator:
         self.patch_shape = tuple(patch_shape)
         self.orig_shape = tuple(orig_shape)
         self.ntb = int(ntb)
+        # None = f32 (bit-parity default); jnp.bfloat16 for throughput
+        # (config.model.dtype routes here through the engines)
+        self.compute_dtype = compute_dtype
 
     def evaluate(self, params, pool_inds,
                  ops: Sequence[str] = ("posteriors",),
@@ -90,7 +109,7 @@ class PoolEvaluator:
             res = _eval_chunk(self.spec, params, self.padded,
                               jnp.asarray(chunk), self.mu, self.sd,
                               self.patch_shape, self.orig_shape, ops, mc,
-                              crng)
+                              crng, self.compute_dtype)
             for op in ops:
                 arr = np.asarray(res[op])
                 chunks[op].append(arr[:len(arr) - pad] if pad else arr)

@@ -75,3 +75,39 @@ def test_grid_mc_dropout_deterministic_per_key():
                          mc_rng=jax.random.key(6))["posteriors"]
     np.testing.assert_array_equal(a, b)
     assert not np.allclose(a, c)
+
+
+def test_bf16_evaluator_close_to_f32():
+    """bf16-storage sweeps (config.model.dtype='bfloat16') track the f32
+    evaluator within bf16 resolution and preserve top-B selections."""
+    import jax
+    import jax.numpy as jnp
+    from nnal_tpu.data.io import synthetic_subject
+    from nnal_tpu.data.patches import pad_volumes
+    from nnal_tpu.data.samplers import generate_grid_samples
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_pw1
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+    from nnal_tpu.scoring.uncertainty import binary_uncertainty_filter
+
+    spec = create_pw1(2, 0.2, (9, 9, 1))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, mask = synthetic_subject(shape=(24, 24, 6), n_modalities=1,
+                                   seed=3)
+    padded = pad_volumes(vols, (9, 9, 1))
+    inds, _ = generate_grid_samples(vols[0].shape, 3, mask)
+    mu = np.array([vols[0].mean()])
+    sd = np.array([vols[0].std()])
+    kw = dict(grid_spacing=3, ntb=256)
+    ev32 = GridPoolEvaluator(spec, padded, mu, sd, (9, 9, 1),
+                             vols[0].shape, **kw)
+    ev16 = GridPoolEvaluator(spec, padded, mu, sd, (9, 9, 1),
+                             vols[0].shape, compute_dtype=jnp.bfloat16,
+                             **kw)
+    p32 = ev32.evaluate(params, inds, ("posteriors",))["posteriors"]
+    p16 = ev16.evaluate(params, inds, ("posteriors",))["posteriors"]
+    assert np.abs(p32 - p16).max() < 0.05
+    B = 16
+    t32 = np.asarray(binary_uncertainty_filter(p32, B))
+    t16 = np.asarray(binary_uncertainty_filter(p16, B))
+    assert len(set(t32.tolist()) & set(t16.tolist())) >= B - 2
