@@ -111,3 +111,45 @@ def test_bf16_evaluator_close_to_f32():
     t32 = np.asarray(binary_uncertainty_filter(p32, B))
     t16 = np.asarray(binary_uncertainty_filter(p16, B))
     assert len(set(t32.tolist()) & set(t16.tolist())) >= B - 2
+
+
+def test_fim_sweep_matches_fused_scorer():
+    """fim_sweep (whole-grid single-dispatch diag-FIM) matches per-chunk
+    pool_score_fused on the same grid order."""
+    import jax
+    from nnal_tpu.data.io import synthetic_subject
+    from nnal_tpu.data.patches import pad_volumes
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_pw1
+    from nnal_tpu.ops.scoring_fused import pool_score_fused
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+
+    spec = create_pw1(2, 0.2, (9, 9, 1))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, _ = synthetic_subject(shape=(20, 20, 4), n_modalities=1, seed=1)
+    padded = pad_volumes(vols, (9, 9, 1))
+    mu = np.array([vols[0].mean()])
+    sd = np.array([vols[0].std()])
+    ev = GridPoolEvaluator(spec, padded, mu, sd, (9, 9, 1), vols[0].shape,
+                          grid_spacing=2, z_chunk=2)
+    res = ev.fim_sweep(params)
+    n = ev.nx * ev.ny * ev.nz
+    assert res["p1"].shape == (n,)
+    assert res["shrunk"].shape[0] == n
+    # cross-check one z-chunk against the fused scorer directly
+    import jax.numpy as jnp
+    import jax.lax as lax
+    block = ev._slices[:2]
+    patches = lax.conv_general_dilated_patches(
+        block, filter_shape=(9, 9), window_strides=(2, 2),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zc, nx, ny, _ = patches.shape
+    x = patches.reshape(zc * nx * ny, 1, 9, 9).transpose(0, 2, 3, 1)
+    x = (x - jnp.asarray(mu, jnp.float32)) / jnp.asarray(sd, jnp.float32)
+    ref = pool_score_fused(spec, params, x, True, None)
+    np.testing.assert_allclose(res["p1"][:zc * nx * ny],
+                               np.asarray(ref["p1"]), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(res["shrunk"][:zc * nx * ny],
+                               np.asarray(ref["shrunk"]), rtol=1e-4,
+                               atol=1e-6)
