@@ -27,7 +27,7 @@ def main():
                  "synthetic_shape=[40,40,12],synthetic_blobs=8")
     curves = {}
     with tempfile.TemporaryDirectory() as root:
-        for method in ("entropy", "MC-entropy", "random"):
+        for method in ("entropy", "MC-entropy", "BALD", "fi", "random"):
             res = do_expr(os.path.join(root, method), method, 100,
                           overrides, synthetic=True)
             curves[method] = np.asarray(res["perf"])
