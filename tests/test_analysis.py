@@ -133,3 +133,18 @@ def test_test_scores_matrix(tmp_path, pars):
     # resumable: start_ind re-reads the persisted matrix
     scores2 = scores_matrix(expr, "random", start_ind=2)
     np.testing.assert_allclose(scores2, scores)
+
+
+def test_run_on_subjects(ran_expr, tmp_path):
+    """Per-subject whole-volume prediction driver (reference
+    run_on_subjects.py)."""
+    from nnal_tpu.cli.run_on_subjects import run_on_subjects
+
+    held = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=11,
+                              n_blobs=6)]
+    out = run_on_subjects(ran_expr, "entropy", held,
+                          save_dir=str(tmp_path / "subj"))
+    assert set(out) == {0}
+    assert 0.0 <= out[0] <= 1.0
+    segs = np.load(tmp_path / "subj" / "0" / "segs.npy")
+    assert segs.shape == (20, 20, 6)
