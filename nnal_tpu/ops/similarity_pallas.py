@@ -26,7 +26,18 @@ TILE_N = 512
 TILE_M = 512
 
 
-def _make_rowmax_kernel(m_valid: int):
+def _tiles_for(d: int):
+    """Tile sizes that fit VMEM (~16 MB/core): two (T, d) f32 operand
+    tiles plus the (T, T) product must stay well under the limit.  d=128
+    features run at the full 512 tile; d=4096 (the PW1 fc2 feature dim —
+    a real campaign VMEM-OOMed here) drops to 256."""
+    budget = 10 * 1024 * 1024
+    t = budget // (3 * d * 4)
+    t = max(128, min(512, (t // 128) * 128))
+    return t, t
+
+
+def _make_rowmax_kernel(m_valid: int, tile_m: int):
     """Kernel closure over the true (unpadded) reference count, so padded
     columns are masked to -inf before the row max.
 
@@ -41,7 +52,7 @@ def _make_rowmax_kernel(m_valid: int):
         j = pl.program_id(1)
         block = jnp.dot(pool_ref[:], ref_ref[:].T,
                         preferred_element_type=jnp.float32)
-        col = j * TILE_M + jax.lax.broadcasted_iota(
+        col = j * tile_m + jax.lax.broadcasted_iota(
             jnp.int32, block.shape, dimension=1)
         block = jnp.where(col < m_valid, block, -jnp.inf)
         row_max = jnp.broadcast_to(jnp.max(block, axis=1)[None, :],
@@ -71,28 +82,29 @@ def max_similarity_pallas(pool_normed: jnp.ndarray, ref_normed: jnp.ndarray,
     """
     n, d = pool_normed.shape
     m = ref_normed.shape[0]
-    n_pad = -n % TILE_N
-    m_pad = -m % TILE_M
+    tile_n, tile_m = _tiles_for(d)
+    n_pad = -n % tile_n
+    m_pad = -m % tile_m
     pool_p = jnp.pad(pool_normed.astype(jnp.float32), ((0, n_pad), (0, 0)))
     ref_p = jnp.pad(ref_normed.astype(jnp.float32), ((0, m_pad), (0, 0)))
 
-    n_tiles = pool_p.shape[0] // TILE_N
-    grid = (n_tiles, ref_p.shape[0] // TILE_M)
+    n_tiles = pool_p.shape[0] // tile_n
+    grid = (n_tiles, ref_p.shape[0] // tile_m)
     out = pl.pallas_call(
-        _make_rowmax_kernel(m),
+        _make_rowmax_kernel(m, tile_m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, d), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, d), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_m, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TILE_N), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((8, tile_n), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE_N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_n), jnp.float32),
         interpret=interpret,
     )(pool_p, ref_p)
-    return out.reshape(n_tiles, 8, TILE_N)[:, 0, :].reshape(-1)[:n]
+    return out.reshape(n_tiles, 8, tile_n)[:, 0, :].reshape(-1)[:n]
 
 
 def max_similarity(pool_feats, ref_feats, use_pallas: bool | None = None):

@@ -216,10 +216,12 @@ class GridPoolEvaluator(PoolEvaluator):
         return ev
 
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
-                 mc_rng=None) -> Dict[str, np.ndarray]:
+                 mc_rng=None, as_device: bool = False
+                 ) -> Dict[str, np.ndarray]:
         rows = self._grid_rows(pool_inds)
         if rows is None:
-            return super().evaluate(params, pool_inds, ops, mc_rng)
+            return super().evaluate(params, pool_inds, ops, mc_rng,
+                                    as_device)
         ops = tuple(ops)
         mc = mc_rng is not None
         rng = mc_rng if mc else jax.random.key(0)
@@ -235,6 +237,10 @@ class GridPoolEvaluator(PoolEvaluator):
                                     self.grid_spacing, self.z_chunk, ops,
                                     mc, rng, self.compute_dtype)
             n_valid = self.nz * self.nx * self.ny
+            if as_device:
+                rows_d = jnp.asarray(rows)
+                return {op: o[:n_valid][rows_d]
+                        for op, o in zip(ops, outs)}
             return {op: np.asarray(o)[:n_valid][rows]
                     for op, o in zip(ops, outs)}
         chunks: Dict[str, list] = {op: [] for op in ops}
@@ -249,8 +255,12 @@ class GridPoolEvaluator(PoolEvaluator):
                               crng, self.compute_dtype)
             rows_per = self.nx * self.ny
             for op in ops:
-                arr = np.asarray(res[op])
+                arr = res[op] if as_device else np.asarray(res[op])
                 keep = rows_per * min(self.z_chunk, self.nz - z0)
                 chunks[op].append(arr[:keep])
+        if as_device:
+            rows_d = jnp.asarray(rows)
+            return {op: jnp.concatenate(chunks[op], axis=0)[rows_d]
+                    for op in ops}
         full = {op: np.concatenate(chunks[op], axis=0) for op in ops}
         return {op: full[op][rows] for op in ops}

@@ -91,9 +91,13 @@ class PoolEvaluator:
 
     def evaluate(self, params, pool_inds,
                  ops: Sequence[str] = ("posteriors",),
-                 mc_rng=None) -> Dict[str, np.ndarray]:
+                 mc_rng=None, as_device: bool = False
+                 ) -> Dict[str, np.ndarray]:
         """Sweep ``pool_inds`` in ntb-sized chunks; returns host arrays of
-        length ``len(pool_inds)`` per requested op."""
+        length ``len(pool_inds)`` per requested op.  ``as_device`` keeps
+        the outputs on device — essential for large feature sweeps
+        (core-set's (pool, 4096) features round-tripping through host cost
+        minutes per AL round over the tunnel)."""
         inds = np.asarray(pool_inds, dtype=np.int64)
         n = len(inds)
         ops = tuple(ops)
@@ -111,9 +115,10 @@ class PoolEvaluator:
                               self.patch_shape, self.orig_shape, ops, mc,
                               crng, self.compute_dtype)
             for op in ops:
-                arr = np.asarray(res[op])
-                chunks[op].append(arr[:len(arr) - pad] if pad else arr)
-        return {op: np.concatenate(chunks[op], axis=0) for op in ops}
+                arr = res[op] if as_device else np.asarray(res[op])
+                chunks[op].append(arr[:arr.shape[0] - pad] if pad else arr)
+        cat = jnp.concatenate if as_device else np.concatenate
+        return {op: cat(chunks[op], axis=0) for op in ops}
 
     @classmethod
     def from_volumes(cls, spec, vols, stats, patch_shape, ntb=4096):

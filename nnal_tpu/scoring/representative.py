@@ -47,10 +47,13 @@ def self_max_similarities(F: jnp.ndarray, tile: int = 4096) -> np.ndarray:
     return np.concatenate(out)
 
 
-def cross_max_similarities(F1, F2, tile: int = 4096) -> np.ndarray:
+def cross_max_similarities(F1, F2, tile: int = 4096,
+                           as_device: bool = False) -> np.ndarray:
     """Per-row-of-F1 max similarity to F2 (reference ``get_cross_sims``,
     PW_NNAL.py:1105-1136).  On TPU with large pools, routes through the
-    Pallas VMEM-resident row-max kernel; XLA tiling otherwise."""
+    Pallas VMEM-resident row-max kernel; XLA tiling otherwise.
+    ``as_device`` keeps the result on device (the core-set flow never
+    leaves HBM)."""
     import jax
 
     F1, F2 = jnp.asarray(F1), jnp.asarray(F2)
@@ -58,12 +61,14 @@ def cross_max_similarities(F1, F2, tile: int = 4096) -> np.ndarray:
             and F1.shape[0] * F2.shape[0] > 1 << 22):
         from nnal_tpu.ops.similarity_pallas import max_similarity
 
-        return np.asarray(max_similarity(F1, F2, use_pallas=True))
+        sims = max_similarity(F1, F2, use_pallas=True)
+        return sims if as_device else np.asarray(sims)
     out = []
     for lo in range(0, F1.shape[0], tile):
         sims = cosine_similarity(F1[lo:lo + tile], F2)
-        out.append(np.asarray(jnp.max(sims, axis=1)))
-    return np.concatenate(out)
+        out.append(jnp.max(sims, axis=1))
+    cat = jnp.concatenate(out)
+    return cat if as_device else np.asarray(cat)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -148,15 +148,19 @@ def _rep_entropy(ctx: QueryContext):
 @register_strategy("core-set")
 def _core_set(ctx: QueryContext):
     """Greedy k-center on pool features vs labeled features (reference
-    PW_NNAL.py:353-451)."""
+    PW_NNAL.py:353-451).  Features stay on device end-to-end — with 4096-d
+    PW1 features a host round-trip costs GBs per round over the tunnel."""
     F_u = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
-                                 ("feature_layer",))["feature_layer"]
+                                 ("feature_layer",),
+                                 as_device=True)["feature_layer"]
     Fn = normalize_rows(F_u)
     if ctx.train_inds is not None and len(ctx.train_inds) > 0:
         lab_ev = ctx.labeled_evaluator or ctx.evaluator
         F_t = lab_ev.evaluate(ctx.params, ctx.train_inds,
-                              ("feature_layer",))["feature_layer"]
-        sims0 = jnp.asarray(cross_max_similarities(F_u, F_t))
+                              ("feature_layer",),
+                              as_device=True)["feature_layer"]
+        sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
+                                                   as_device=True))
     elif ctx.extra.get("bootstrap_features") is not None:
         # labeled-set bootstrap from held-out subjects (reference
         # PW_AL.py:809-822)
@@ -404,30 +408,34 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
 
     if method_name == "core-set":
         # concatenated pool features vs all subjects' labeled features
-        # (reference PW_NNAL.py:353-451 with its 1000-chunk streaming)
-        F_u = np.concatenate([
+        # (reference PW_NNAL.py:353-451 with its 1000-chunk streaming) —
+        # everything stays on device (4096-d features x 100K-pools are
+        # GBs; host round-trips dominated round latency)
+        F_u = jnp.concatenate([
             c.evaluator.evaluate(c.params, c.pool_inds,
-                                 ("feature_layer",))["feature_layer"]
+                                 ("feature_layer",),
+                                 as_device=True)["feature_layer"]
             for c in contexts])
         Fn = normalize_rows(F_u)
-        sims0 = np.full((F_u.shape[0],), -np.inf, np.float32)
+        sims0 = jnp.full((F_u.shape[0],), -jnp.inf, jnp.float32)
         any_labeled = False
         for c in contexts:
             if c.train_inds is not None and len(c.train_inds) > 0:
                 F_t = c.evaluator.evaluate(
-                    c.params, c.train_inds,
-                    ("feature_layer",))["feature_layer"]
-                sims0 = np.maximum(sims0,
-                                   cross_max_similarities(F_u, F_t))
+                    c.params, c.train_inds, ("feature_layer",),
+                    as_device=True)["feature_layer"]
+                sims0 = jnp.maximum(sims0, cross_max_similarities(
+                    F_u, F_t, as_device=True))
                 any_labeled = True
         bf = contexts[0].extra.get("bootstrap_features")
         if not any_labeled and bf is not None:
             # core-set labeled bootstrap from held-out subjects
             # (reference PW_AL.py:809-822)
-            sims0 = cross_max_similarities(F_u, bf)
+            sims0 = jnp.asarray(cross_max_similarities(F_u, bf,
+                                                       as_device=True))
             any_labeled = True
-        sims0 = jnp.asarray(sims0) if any_labeled else \
-            jnp.full((F_u.shape[0],), -jnp.inf)
+        if not any_labeled:
+            sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
         pick = np.asarray(core_set_select(Fn, sims0,
                                           min(k, F_u.shape[0])))
         return global2local_inds(pick, sizes)
