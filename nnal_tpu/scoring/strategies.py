@@ -131,16 +131,20 @@ def _bald(ctx: QueryContext):
 @register_strategy("rep-entropy")
 def _rep_entropy(ctx: QueryContext):
     """Uncertainty filter to B, then greedy representativeness against the
-    remaining pool (reference PW_NNAL.py:284-351)."""
+    remaining pool (reference PW_NNAL.py:284-351).  Features stay on
+    device (the (pool, 4096) tensor round-tripping to host dominated
+    round latency at production scale)."""
     res = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
-                                 ("posteriors", "feature_layer"))
-    p1, F = res["posteriors"], res["feature_layer"]
+                                 ("posteriors", "feature_layer"),
+                                 as_device=True)
+    p1 = np.asarray(res["posteriors"])
+    F = res["feature_layer"]
     B = min(ctx.B, len(ctx.pool_inds))
     sel = np.asarray(binary_uncertainty_filter(p1, B))
     rest = np.setdiff1d(np.arange(len(ctx.pool_inds)), sel)
     if len(rest) == 0:
         return sel[:ctx.k]
-    sims = cosine_similarity(jnp.asarray(F[rest]), jnp.asarray(F[sel]))
+    sims = cosine_similarity(F[jnp.asarray(rest)], F[jnp.asarray(sel)])
     chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
     return sel[chosen]
 
