@@ -140,6 +140,48 @@ def config5():
           pool=n_pool, mesh=dict(mesh.shape))
 
 
+def config6():
+    """Pallas kernels vs XLA on the local chip (hardware status artifact:
+    benchmarks/KERNELS_r02.json)."""
+    from nnal_tpu.ops.similarity_pallas import max_similarity_pallas
+
+    rng = np.random.default_rng(0)
+    n, m, d = 65536, 4096, 128
+    pool = rng.standard_normal((n, d)).astype(np.float32)
+    ref = rng.standard_normal((m, d)).astype(np.float32)
+    pool_n = jnp.asarray(pool / np.linalg.norm(pool, axis=1,
+                                               keepdims=True))
+    ref_n = jnp.asarray(ref / np.linalg.norm(ref, axis=1, keepdims=True))
+
+    @jax.jit
+    def sim_pallas(p, r):
+        return jnp.sum(max_similarity_pallas(p, r))
+
+    @jax.jit
+    def sim_xla(p, r):
+        return jnp.sum(jnp.max(jnp.dot(p, r.T,
+                                       preferred_element_type=jnp.float32),
+                               axis=1))
+
+    def timeit(fn):
+        float(np.asarray(fn(pool_n, ref_n)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(np.asarray(fn(pool_n, ref_n)))
+        return (time.perf_counter() - t0) / 10
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        _emit(6, "similarity_kernel", 0, "skipped (pallas needs TPU)")
+        return
+    tp, tx = timeit(sim_pallas), timeit(sim_xla)
+    flops = 2.0 * n * m * d
+    _emit(6, "similarity_kernel_tflops", flops / tp / 1e12,
+          "TFLOP/s (pallas row-max, 65536x4096x128)",
+          xla_tflops=round(flops / tx / 1e12, 2),
+          speedup_vs_xla=round(tx / tp, 2))
+
+
 def main():
     import tempfile
 
@@ -155,6 +197,8 @@ def main():
             config4(root)
         if "5" in which:
             config5()
+        if "6" in which:
+            config6()
 
 
 if __name__ == "__main__":
