@@ -389,14 +389,15 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
     if method_name == "rep-entropy":
         # features + posteriors per subject, global uncertainty filter,
         # greedy representativeness on the concatenated feature space
-        # (reference PW_NNAL.py:284-351)
+        # (reference PW_NNAL.py:284-351); features stay on device
         F, p1 = [], []
         for c in contexts:
             r = c.evaluator.evaluate(c.params, c.pool_inds,
-                                     ("posteriors", "feature_layer"))
+                                     ("posteriors", "feature_layer"),
+                                     as_device=True)
             F.append(r["feature_layer"])
-            p1.append(r["posteriors"])
-        F = np.concatenate(F)
+            p1.append(np.asarray(r["posteriors"]))
+        F = jnp.concatenate(F)
         p1 = np.concatenate(p1)
         B = min(contexts[0].B, len(p1))
         sel = np.asarray(binary_uncertainty_filter(p1, B))
@@ -404,8 +405,8 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         if len(rest) == 0:
             pick = sel[:k]
         else:
-            sims = cosine_similarity(jnp.asarray(F[rest]),
-                                     jnp.asarray(F[sel]))
+            sims = cosine_similarity(F[jnp.asarray(rest)],
+                                     F[jnp.asarray(sel)])
             chosen = np.asarray(rep_entropy_select(sims, min(k, B)))
             pick = sel[chosen]
         return global2local_inds(pick, sizes)
