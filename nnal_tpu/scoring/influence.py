@@ -54,6 +54,13 @@ def loss_grad(spec, params, x, y_onehot):
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def weighted_loss_grad(spec, params, x, y_onehot, w):
+    """Gradient of the weighted-mean batch loss: zero-weight (padding) rows
+    contribute exactly nothing, unlike a plain mean over a padded batch."""
+    return jax.grad(make_weighted_loss(spec))(params, x, y_onehot, w)
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def hvp(spec, params, x, y_onehot, v, w=None):
     """Hessian-vector product via forward-over-reverse ``jvp(grad)`` —
     the same big-O as backprop, no double-backprop graph surgery
@@ -117,7 +124,7 @@ def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
 
 def s_test(spec, params, train_x, train_y_onehot, query_x, query_y_onehot,
            damping: float = 0.01, max_iter: int = 50, bucket: int = 256,
-           n_valid=None):
+           n_valid=None, q_n_valid=None):
     """Influence s_test vector: ``(H_train + damping)^{-1} grad L(query)``
     (reference ``PW_sample_influence``, Influence.py:369-453).
 
@@ -125,9 +132,19 @@ def s_test(spec, params, train_x, train_y_onehot, query_x, query_y_onehot,
     CG+HVP program compiles once per bucket — the labeled set grows every
     AL round, and per-round recompiles dominated round latency on the
     remote TPU compiler.  ``n_valid`` marks the logical count when the
-    caller pre-padded the arrays."""
-    v = loss_grad(spec, params, jnp.asarray(query_x),
-                  jnp.asarray(query_y_onehot))
+    caller pre-padded the arrays; ``q_n_valid`` does the same for the query
+    side: when set, v is the *weighted* mean gradient over the first
+    ``q_n_valid`` rows, so padding rows are exact no-ops in v as well as in
+    H (an unweighted mean over a padded query batch lets the artificial
+    rows' gradients dominate v and skew every influence ranking)."""
+    qx = jnp.asarray(query_x)
+    qy = jnp.asarray(query_y_onehot)
+    if q_n_valid is not None:
+        qw = jnp.asarray(np.arange(qx.shape[0]) < int(q_n_valid),
+                         jnp.float32)
+        v = weighted_loss_grad(spec, params, qx, qy, qw)
+    else:
+        v = loss_grad(spec, params, qx, qy)
     tx = jnp.asarray(train_x)
     ty = jnp.asarray(train_y_onehot)
     n = tx.shape[0] if n_valid is None else int(n_valid)

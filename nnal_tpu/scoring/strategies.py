@@ -289,10 +289,11 @@ def _influence(ctx: QueryContext):
                                             ev.orig_shape), np.int64)
     tr_y = make_onehot(y_lab, ctx.spec.nclass)
     damping = ctx.extra.get("damping", 0.1)
-    # the padded query set scales v (hence s_test and all scores) by the
-    # uniform factor n_tr/len(tr_inds) — rank-preserving, shape-stable
+    # the same validity mask weights BOTH the Hessian and the query
+    # gradient: padding rows are exact no-ops, so s_test (and every
+    # influence ranking) is identical to the unpadded computation
     st = s_test(ctx.spec, ctx.params, tr, tr_y, tr, tr_y,
-                damping=damping, n_valid=n_tr)
+                damping=damping, n_valid=n_tr, q_n_valid=n_tr)
 
     # candidate scores at their current pseudo-labels (model predictions)
     B = min(ctx.B, len(ctx.pool_inds))

@@ -197,3 +197,41 @@ def test_lissa_converges_on_quadratic():
     # V approximates scale * H^{-1} g when iteration converges
     expect = scale * np.linalg.solve(H, g)
     np.testing.assert_allclose(np.asarray(V), expect, rtol=0.05, atol=0.05)
+
+
+def test_s_test_padding_is_exact_noop():
+    """Bucket-padding the labeled set must not move influence rankings:
+    with the validity mask on BOTH the Hessian and the query gradient
+    (q_n_valid), padded rows are exact no-ops and s_test matches the
+    unpadded solve bit-for-rank (advisor r2 high finding: an unweighted
+    mean over the padded query batch let the fake rows dominate v)."""
+    from nnal_tpu.scoring.influence import influence_scores, s_test
+
+    spec = tiny_spec()
+    params, _ = init_cnn(spec, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    n_tr = 5
+    tr_x = jnp.asarray(rng.normal(size=(n_tr, 6, 6, 1)), jnp.float32)
+    tr_y = jnp.asarray(np.eye(2)[rng.integers(0, 2, n_tr)], jnp.float32)
+
+    # oracle: no padding at all (bucket divides n exactly, q unweighted)
+    st_ref = s_test(spec, params, tr_x, tr_y, tr_x, tr_y,
+                    damping=0.1, bucket=5)
+
+    # production path: caller pre-pads with junk rows (nonzero patches,
+    # wrong labels) exactly like strategies._influence does
+    pad = 11
+    junk_x = jnp.asarray(rng.normal(size=(pad, 6, 6, 1)), jnp.float32)
+    junk_y = jnp.asarray(np.eye(2)[np.zeros(pad, np.int64)], jnp.float32)
+    tx = jnp.concatenate([tr_x, junk_x])
+    ty = jnp.concatenate([tr_y, junk_y])
+    st_pad = s_test(spec, params, tx, ty, tx, ty, damping=0.1,
+                    bucket=8, n_valid=n_tr, q_n_valid=n_tr)
+
+    pool_x = jnp.asarray(rng.normal(size=(7, 6, 6, 1)), jnp.float32)
+    pool_y = jnp.asarray(np.eye(2)[rng.integers(0, 2, 7)], jnp.float32)
+    sc_ref = influence_scores(spec, params, st_ref, pool_x, pool_y)
+    sc_pad = influence_scores(spec, params, st_pad, pool_x, pool_y)
+    np.testing.assert_allclose(sc_pad, sc_ref, rtol=1e-4, atol=1e-6)
+    assert np.array_equal(np.argsort(-np.abs(sc_pad), kind="stable"),
+                          np.argsort(-np.abs(sc_ref), kind="stable"))
