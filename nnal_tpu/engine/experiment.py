@@ -108,6 +108,18 @@ class Experiment:
         save_checkpoint(j.path("curr_weights.npz"), params, bn_state=bn)
         return j
 
+    def _cached_tx(self):
+        """Reuse the optimizer across run_method calls: the jitted step
+        cache keys on ``id(tx)``, and a fresh optax transformation per call
+        would recompile the identical train program (shape-stability
+        standing rule)."""
+        m = self.config.model
+        key = (m.optimizer_name, m.learning_rate)
+        if getattr(self, "_tx_key", None) == key:
+            return getattr(self, "_tx", None)
+        self._tx_key = key
+        return None
+
     # ------------------------------------------------------------- training
     def _retrain(self, spec, state, tx, train_inds, epochs: int):
         m = self.config.model
@@ -117,7 +129,7 @@ class Experiment:
         if cache is None:
             cache = self._step_fns = {}
         if id(tx) not in cache:
-            cache[id(tx)] = make_train_step(spec, tx)
+            cache[id(tx)] = make_train_step(spec, tx, mc_t=int(m.mc_t))
         step_fn = cache[id(tx)]
         # per-call streams keyed by the replay-stable optimizer step
         host = self.rng.fold(f"retrain-{state.step}").host
@@ -128,12 +140,25 @@ class Experiment:
                 # per-batch fetch: in-memory arrays or disk-backed
                 # load_winds-style pools alike (reference NN.py:699,716)
                 xb, yb = self._pool.fetch(binds)
+                # shape-stability rule: gen_batch_inds' remainder batch
+                # changes size as len(train) % b walks with each round's
+                # +k, compiling a new step program on those rounds — pad
+                # every batch to b with zero-weight rows instead (the
+                # weighted mean over valid rows equals the plain mean over
+                # the unpadded batch exactly)
+                pad = m.b - len(batch)
+                if pad > 0:
+                    xb = np.concatenate(
+                        [xb, np.zeros((pad,) + np.shape(xb)[1:],
+                                      np.asarray(xb).dtype)])
+                    yb = np.concatenate([yb, np.zeros(pad, np.int64)])
+                w = jnp.asarray(np.arange(m.b) < m.b - pad, jnp.float32)
                 x = jnp.asarray(xb)
                 y = jnp.asarray(make_onehot(yb, m.nclass))
                 key = jax.random.fold_in(jrng, state.step)
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
-                    jnp.asarray(state.step))
+                    jnp.asarray(state.step), None, w)
                 state.step += 1
         return state
 
@@ -152,7 +177,9 @@ class Experiment:
         params, bn, _, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
-                                     cfg.model.learning_rate, bn_state=bn)
+                                     cfg.model.learning_rate, bn_state=bn,
+                                     tx=self._cached_tx())
+        self._tx = tx
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
             state.step = int(al_state.get("step", 0))

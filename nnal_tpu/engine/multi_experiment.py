@@ -21,7 +21,7 @@ import numpy as np
 from nnal_tpu.core.config import ExperimentConfig
 from nnal_tpu.core.journal import MethodJournal, load_inds, save_inds
 from nnal_tpu.core.rng import RngStream
-from nnal_tpu.data.batching import gen_batch_inds, make_onehot
+from nnal_tpu.data.batching import make_onehot
 from nnal_tpu.data.indexing import global2local_inds, local2global_inds
 from nnal_tpu.data.patches import gather_labels, pad_volumes
 from nnal_tpu.data.samplers import generate_grid_samples
@@ -30,7 +30,7 @@ from nnal_tpu.evaluation.metrics import f_measure
 from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 from nnal_tpu.models.cnn import init_cnn
 from nnal_tpu.models.specs import create_model
-from nnal_tpu.models.train import init_train_state, make_train_step
+from nnal_tpu.models.train import init_train_state
 from nnal_tpu.scoring.pool_eval import PoolEvaluator
 from nnal_tpu.scoring.strategies import QueryContext, query_multimg
 
@@ -133,51 +133,102 @@ class MultiImgExperiment:
     def finetune_multimg(self, spec, state, tx, per_subject_inds,
                          epochs=None, rng_tag: str = ""):
         """Global batches drawn across subjects (reference
-        ``finetune_multimg``, PW_AL.py:1091-1150)."""
+        ``finetune_multimg``, PW_AL.py:1091-1150).
+
+        TPU-native shape (the repo's shape-stability standing rule): each
+        subject's labeled patches are gathered ONCE per round on host (the
+        native/NumPy gather — labeled sets are tiny, and a device gather
+        jitted on the per-subject index count would compile a fresh program
+        every round as the counts walk), concatenated subject-major into
+        one bucket-padded device array, and all epochs' batches run inside
+        the same single jitted ``lax.scan`` the single-subject engine uses
+        — one device dispatch per finetune and a stable program shape.
+        Committee members (``_build_committee``) reuse the cached runner."""
+        from nnal_tpu.data.patches import patch_radii
+        from nnal_tpu.models.train import (
+            build_batch_index_matrix,
+            make_scanned_finetune,
+        )
+        from nnal_tpu.runtime.native import gather_patches_native
+
         m = self.config.model
+        epochs = m.epochs if epochs is None else epochs
+        sizes = [len(v) for v in per_subject_inds]
+        total = int(np.sum(sizes))
+        if total == 0 or epochs == 0:
+            return state
+
         stats = np.loadtxt(self._p("train_stats.txt")).reshape(
             len(self.train_subjects), -1)
-        evs = self._evaluators(spec, self.train_subjects, stats)
-        cache = getattr(self, "_step_fns", None)
-        if cache is None:
-            cache = self._step_fns = {}
-        if id(tx) not in cache:
-            cache[id(tx)] = make_train_step(spec, tx)
-        step_fn = cache[id(tx)]
+        patch_shape = tuple(m.patch_shape)
+        r1, r2, r3 = patch_radii(patch_shape)
+        host_padded = getattr(self, "_host_padded", None)
+        if host_padded is None:
+            host_padded = self._host_padded = {}
+        xs, ys = [], []
+        for si, vinds in enumerate(per_subject_inds):
+            vinds = np.asarray(vinds, np.int64)
+            if vinds.size == 0:
+                continue
+            if si not in host_padded:
+                host_padded[si] = [
+                    np.ascontiguousarray(np.pad(
+                        np.asarray(v, np.float32),
+                        ((r1, r1), (r2, r2), (r3, r3))))
+                    for v in self.train_subjects[si][0]]
+            orig = tuple(np.asarray(self.train_subjects[si][0][0]).shape)
+            xs.append(gather_patches_native(
+                host_padded[si], vinds, patch_shape, orig,
+                stats[si, 0::2], stats[si, 1::2]))
+            ys.append(np.asarray(gather_labels(
+                self.train_subjects[si][1], vinds, orig), np.int64))
+        x_cat = np.concatenate(xs)
+        y_cat = np.concatenate(ys)
+
+        # bucket-pad the concatenated set so the scan compiles once per
+        # bucket rather than once per AL round
+        bucket = 256
+        n_bucket = -(-total // bucket) * bucket
+        pad = n_bucket - total
+        if pad:
+            x_cat = np.concatenate(
+                [x_cat, np.zeros((pad,) + x_cat.shape[1:], x_cat.dtype)])
+            y_cat = np.concatenate([y_cat, np.zeros(pad, np.int64)])
+        x_all = jnp.asarray(x_cat)
+        y_all = jnp.asarray(make_onehot(y_cat, m.nclass))
+
         # per-call streams keyed by the replay-stable optimizer step
         host = self.rng.fold(f"ft-multi-{rng_tag}{state.step}").host
         jrng = self.rng.fold(f"ft-multi-d-{rng_tag}{state.step}").next()
-        epochs = m.epochs if epochs is None else epochs
+        idx_mat, w_mat = build_batch_index_matrix(total, m.b, epochs, host,
+                                                  bucket=bucket)
 
-        sizes = [len(v) for v in per_subject_inds]
-        total = int(np.sum(sizes))
-        if total == 0:
-            return state
-        for _ in range(epochs):
-            for batch in gen_batch_inds(total, m.b, host):
-                local = global2local_inds(batch, sizes)
-                xs, ys = [], []
-                for si, li in enumerate(local):
-                    if len(li) == 0:
-                        continue
-                    vinds = np.asarray(per_subject_inds[si])[li]
-                    ev = evs[si]
-                    from nnal_tpu.data.patches import \
-                        gather_patches_normalized
-
-                    xs.append(np.asarray(gather_patches_normalized(
-                        ev.padded, jnp.asarray(vinds), ev.mu, ev.sd,
-                        ev.patch_shape, ev.orig_shape)))
-                    ys.append(np.asarray(gather_labels(
-                        self.train_subjects[si][1], vinds, ev.orig_shape)))
-                x = jnp.asarray(np.concatenate(xs))
-                y = jnp.asarray(make_onehot(np.concatenate(ys), m.nclass))
-                key = jax.random.fold_in(jrng, state.step)
-                state.params, state.opt_state, _ = step_fn(
-                    state.params, state.opt_state, x, y, key,
-                    jnp.asarray(state.step))
-                state.step += 1
+        cache = getattr(self, "_ft_runners", None)
+        if cache is None:
+            cache = self._ft_runners = {}
+        ck = (id(tx), m.b)
+        if ck not in cache:
+            cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
+                                              mc_t=int(m.mc_t))
+        run = cache[ck]
+        cw_vec = jnp.ones((m.nclass,), jnp.float32)
+        key = jax.random.fold_in(jrng, state.step)
+        state.params, state.opt_state, _ = run(
+            state.params, state.opt_state, x_all, y_all,
+            jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
+        state.step += int(idx_mat.shape[0])
         return state
+
+    def _cached_tx(self):
+        """Reuse the optimizer across run_method calls: the scanned-
+        finetune cache keys on ``id(tx)``, and a fresh optax transformation
+        per call would recompile the identical program."""
+        m = self.config.model
+        key = (m.optimizer_name, m.learning_rate)
+        if getattr(self, "_tx_key", None) == key:
+            return getattr(self, "_tx", None)
+        self._tx_key = key
+        return None
 
     # ------------------------------------------------------------- committee
     def _build_committee(self, spec, state, tx, train_vox, round_id):
@@ -266,7 +317,9 @@ class MultiImgExperiment:
         params, bn, _, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
-                                     cfg.model.learning_rate, bn_state=bn)
+                                     cfg.model.learning_rate, bn_state=bn,
+                                     tx=self._cached_tx())
+        self._tx = tx
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
             state.step = int(al_state.get("step", 0))
@@ -304,20 +357,34 @@ class MultiImgExperiment:
 
             contexts = []
             for si in range(len(self.train_subjects)):
+                # per-subject extra: shared keys (bootstrap features) plus
+                # this subject's label mask (influence) and its own
+                # superpixel cache slot (SuPix)
+                extra_i = dict(extra)
+                extra_i["mask"] = self.train_subjects[si][1]
+                overseg_cache = getattr(self, "_overseg_cache", None)
+                if overseg_cache is None:
+                    overseg_cache = self._overseg_cache = {}
+                if si in overseg_cache:
+                    extra_i["overseg"] = overseg_cache[si]
                 contexts.append(QueryContext(
                     spec=spec, params=state.params, evaluator=evs[si],
                     pool_inds=pools[si][local_pool[si]], k=k,
                     rng=qrng.host, jax_rng=qrng.next(), B=cfg.query.B,
                     MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
+                    diag_load=float(getattr(cfg.query, "diag_load", 1e-5)),
                     ensemble_params=ensemble_params,
                     train_inds=train_vox[si],
                     raw_volume=np.asarray(self.train_subjects[si][0][0]),
-                    extra=extra))
+                    extra=extra_i))
 
             t0 = time.time()
             per_subject_q = query_multimg(contexts, method_name, k,
                                           qrng.host)
             dt = time.time() - t0
+            for si, c in enumerate(contexts):
+                if c.extra.get("overseg") is not None:
+                    self._overseg_cache[si] = c.extra["overseg"]
             with open(os.path.join(times_path, f"dt_{round_id}"),
                       "w") as f:
                 f.write(f"{dt:.4f}\n")

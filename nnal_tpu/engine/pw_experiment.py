@@ -34,7 +34,7 @@ from nnal_tpu.evaluation.metrics import f_measure
 from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 from nnal_tpu.models.cnn import init_cnn
 from nnal_tpu.models.specs import create_model
-from nnal_tpu.models.train import init_train_state, make_train_step
+from nnal_tpu.models.train import init_train_state
 from nnal_tpu.scoring.pool_eval import PoolEvaluator, eval_compute_dtype
 from nnal_tpu.scoring.strategies import QueryContext, cnn_query
 
@@ -160,6 +160,17 @@ class PWExperiment:
         save_checkpoint(j.path("curr_weights.npz"), params, bn_state=bn)
         return j
 
+    def _cached_tx(self):
+        """Reuse the optimizer across run_method calls: the scanned-
+        finetune cache keys on ``id(tx)``, and a fresh optax transformation
+        per call would recompile the identical program."""
+        m = self.config.model
+        key = (m.optimizer_name, m.learning_rate)
+        if getattr(self, "_tx_key", None) == key:
+            return getattr(self, "_tx", None)
+        self._tx_key = key
+        return None
+
     # ------------------------------------------------------------- training
     def finetune(self, spec, params_state, train_inds, *, epochs=None,
                  rng_tag: str = ""):
@@ -226,20 +237,41 @@ class PWExperiment:
 
         # cache the jitted runner: a fresh closure per round would recompile
         # every AL round even at identical shapes
+        lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
+        lwf_T = float(getattr(m, "lwf_T", 2.0))
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), m.b, grad_mask is not None)
+        ck = (id(tx), m.b, grad_mask is not None, lwf_lambda, lwf_T)
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
-                                              grad_mask=grad_mask)
+                                              grad_mask=grad_mask,
+                                              mc_t=int(m.mc_t),
+                                              lwf_lambda=lwf_lambda,
+                                              lwf_T=lwf_T)
         run = cache[ck]
         cw_vec = jnp.ones((m.nclass,), jnp.float32) if cw is None \
             else jnp.asarray(cw, jnp.float32)
         key = jax.random.fold_in(jrng, state.step)
-        state.params, state.opt_state, losses = run(
-            state.params, state.opt_state, x_all, y_all,
-            jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
+        if lwf_lambda > 0.0:
+            # record the previous model's logits over the labeled set ONCE
+            # per round; the scan distills against these rows per batch
+            # (reference get_LwF, model_utils.py:98-135)
+            fwd = getattr(self, "_lwf_fwd", None)
+            if fwd is None:
+                from nnal_tpu.models.cnn import apply_cnn
+
+                fwd = self._lwf_fwd = jax.jit(
+                    lambda p, x: apply_cnn(spec, p, x).logits)
+            old_logits = fwd(state.params, x_all)
+            state.params, state.opt_state, losses = run(
+                state.params, state.opt_state, x_all, y_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key,
+                old_logits)
+        else:
+            state.params, state.opt_state, losses = run(
+                state.params, state.opt_state, x_all, y_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
         state.step += int(idx_mat.shape[0])
         return state
 
@@ -265,7 +297,8 @@ class PWExperiment:
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(
             spec, params, cfg.model.optimizer_name, cfg.model.learning_rate,
-            bn_state=bn)
+            bn_state=bn, tx=self._cached_tx())
+        self._tx = tx
         # resume mid-campaign with the exact optimizer moments + step
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
@@ -308,15 +341,21 @@ class PWExperiment:
                 pool_inds=pool_inds, k=k, rng=qrng.host,
                 jax_rng=qrng.next(), B=cfg.query.B,
                 MC_iters=cfg.query.MC_iters, lambda_=cfg.query.lambda_,
+                diag_load=float(getattr(cfg.query, "diag_load", 1e-5)),
                 train_inds=train_inds, raw_volume=vols[0],
                 ensemble_params=committee,
                 extra={"mask": mask,
+                       "overseg": getattr(self, "_overseg", None),
                        "gaussian_noise_std": cfg.model.gaussian_noise_std,
                        "rotation_angle": cfg.model.rotation_angle,
                        "output_perturbation_measure":
                            cfg.model.output_perturbation_measure})
             with timer.phase("score_select"):
                 q_pos = cnn_query(ctx, method_name)
+            if ctx.extra.get("overseg") is not None:
+                # SLIC oversegmentation depends only on the volume — cache
+                # it across rounds instead of re-segmenting every query
+                self._overseg = ctx.extra["overseg"]
             q_inds = pool_inds[q_pos]
 
             # bookkeeping: journal then membership (replayable order)

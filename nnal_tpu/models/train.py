@@ -22,7 +22,6 @@ import optax
 from nnal_tpu.models.cnn import apply_cnn
 from nnal_tpu.models.losses import (
     consistency_loss,
-    cross_entropy,
     fcn_cross_entropy,
     weight_decay_penalty,
 )
@@ -39,31 +38,57 @@ class TrainState:
     metrics: Dict = field(default_factory=dict)  # name -> list of values
 
 
+def _wmean(per, w):
+    """Mean of per-sample losses; with weights ``w`` the weighted mean, so
+    zero-weight (padding) rows are exact no-ops."""
+    if w is None:
+        return jnp.mean(per)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def make_train_step(spec, tx: optax.GradientTransformation, *,
                     fcn: bool = False, class_weights=None,
                     focal_gamma=None, weight_decay: float = 0.0,
                     grad_mask=None, consistency_coeff: Optional[Callable] = None,
-                    consistency_measure: str = "CE", mc_t: int = 10):
-    """Build a jitted ``(state_params, opt_state, x, y, rng, step, [teacher])
-    -> (params, opt_state, loss)`` train step.
+                    consistency_measure: str = "CE", mc_t: int = 10,
+                    lwf_lambda: float = 0.0, lwf_T: float = 2.0):
+    """Build a jitted ``(params, opt_state, x, y, rng, step, [teacher],
+    [w], [old_logits]) -> (params, opt_state, loss)`` train step.
 
     Aleatoric specs (``spec.aleatoric``) train the AU_4L heteroscedastic
     loss (logit-noise CE over ``mc_t`` samples, reference
     NN_extended.py:1520-1562) — the sigma head is part of the spec, so the
-    loss follows it automatically."""
-    from nnal_tpu.models.losses import aleatoric_ce
+    loss follows it automatically.
 
-    def loss_fn(params, x, y, rng, teacher_params, step):
+    ``w`` (optional per-sample weights) makes padding rows exact no-ops so
+    ragged batches can be padded to one stable shape (the repo's
+    shape-stability rule).  ``lwf_lambda > 0`` adds learning-without-
+    forgetting distillation against precomputed ``old_logits`` of the
+    previous model at temperature ``lwf_T`` (reference ``get_LwF``,
+    model_utils.py:98-135: old-model soft targets added to CE)."""
+    from nnal_tpu.models.losses import aleatoric_ce_per_sample
+
+    def loss_fn(params, x, y, w, old_logits, rng, teacher_params, step):
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
-            base = aleatoric_ce(out.logits, out.log_sigma, y,
-                                jax.random.fold_in(rng, 1), mc_t)
+            per = aleatoric_ce_per_sample(out.logits, out.log_sigma, y,
+                                          jax.random.fold_in(rng, 1), mc_t)
+            base = _wmean(per, w)
         elif fcn:
             base = fcn_cross_entropy(out.logits, y, class_weights,
                                      focal_gamma)
         else:
-            base = cross_entropy(out.logits, y, class_weights)
+            logp = jax.nn.log_softmax(out.logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
+            if class_weights is not None:
+                per = per * jnp.sum(y * jnp.asarray(class_weights), axis=-1)
+            base = _wmean(per, w)
         loss = base
+        if lwf_lambda > 0.0 and old_logits is not None:
+            soft = jax.nn.softmax(old_logits / lwf_T, axis=-1)
+            lp = jax.nn.log_softmax(out.logits / lwf_T, axis=-1)
+            loss = loss + lwf_lambda * _wmean(-jnp.sum(soft * lp, axis=-1),
+                                              w)
         if weight_decay > 0:
             loss = loss + weight_decay_penalty(params, weight_decay)
         if consistency_coeff is not None and teacher_params is not None:
@@ -74,9 +99,10 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
         return loss
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, x, y, rng, step, teacher_params=None):
+    def step_fn(params, opt_state, x, y, rng, step, teacher_params=None,
+                w=None, old_logits=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, y, rng, teacher_params, step)
+            params, x, y, w, old_logits, rng, teacher_params, step)
         grads = apply_grad_mask(grads, grad_mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -87,8 +113,13 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
 
 def init_train_state(spec, params, optimizer_name="SGD", learning_rate=1e-3,
                      bn_state=None, mean_teacher: bool = False,
-                     **opt_kw) -> TrainState:
-    tx = make_optimizer(optimizer_name, learning_rate, **opt_kw)
+                     tx=None, **opt_kw) -> TrainState:
+    """``tx`` lets callers reuse an optimizer across invocations: the
+    engines key their jitted step/scan caches on ``id(tx)``, so a fresh
+    optax transformation per ``run_method`` call would recompile the train
+    program even at identical shapes."""
+    if tx is None:
+        tx = make_optimizer(optimizer_name, learning_rate, **opt_kw)
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -137,7 +168,8 @@ def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
 
 
 def make_scanned_finetune(spec, tx, *, batch_size: int,
-                          grad_mask=None):
+                          grad_mask=None, mc_t: int = 10,
+                          lwf_lambda: float = 0.0, lwf_T: float = 2.0):
     """Whole-epoch finetuning as ONE jitted ``lax.scan`` over a precomputed
     (steps, b) batch-index matrix into device-resident training patches.
 
@@ -146,34 +178,47 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     gathered once per AL round and every epoch's steps run inside a single
     program.  Ragged tail batches are padded and masked with per-sample
     weights, which reproduces the plain mean over real samples exactly.
-    Returns ``fn(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng)
-    -> (params, opt_state, losses)``; ``cw`` is a per-class weight vector
-    (traced, so per-round 'auto' weights never trigger recompiles).
+    Returns ``fn(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng,
+    [old_logits_all]) -> (params, opt_state, losses)``; ``cw`` is a
+    per-class weight vector (traced, so per-round 'auto' weights never
+    trigger recompiles).  With ``lwf_lambda > 0`` pass ``old_logits_all``
+    (the previous model's logits over the same device-resident set,
+    computed once per round) to add LwF distillation at temperature
+    ``lwf_T`` (reference ``get_LwF``, model_utils.py:98-135).
     """
     from nnal_tpu.models.optim import apply_grad_mask
     from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
-    def loss_fn(params, x, y, w, cw, rng):
+    def loss_fn(params, x, y, w, cw, ol, rng):
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
             per = aleatoric_ce_per_sample(out.logits, out.log_sigma, y,
-                                          jax.random.fold_in(rng, 1))
+                                          jax.random.fold_in(rng, 1), mc_t)
         else:
             logp = jax.nn.log_softmax(out.logits, axis=-1)
             per = -jnp.sum(y * logp, axis=-1)
         per = per * jnp.sum(y * cw, axis=-1)
-        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        if lwf_lambda > 0.0 and ol is not None:
+            soft = jax.nn.softmax(ol / lwf_T, axis=-1)
+            lp = jax.nn.log_softmax(out.logits / lwf_T, axis=-1)
+            dper = -jnp.sum(soft * lp, axis=-1)
+            loss = loss + lwf_lambda * (jnp.sum(dper * w)
+                                        / jnp.maximum(jnp.sum(w), 1.0))
+        return loss
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng):
+    def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng,
+            old_logits_all=None):
         def step(carry, sc):
             params, opt_state = carry
             idx, w, i = sc
             x = x_all[idx]
             y = y_all[idx]
+            ol = None if old_logits_all is None else old_logits_all[idx]
             key = jax.random.fold_in(rng, i)
             loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w, cw,
-                                                      key)
+                                                      ol, key)
             grads = apply_grad_mask(grads, grad_mask)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)

@@ -22,7 +22,7 @@ from nnal_tpu.scoring.gradients import shrunk_class_grads
 from nnal_tpu.scoring.pmf import sample_query_pmf
 from nnal_tpu.scoring.representative import cosine_similarity, rep_entropy_select
 from nnal_tpu.scoring.sdp import fi_query_distribution
-from nnal_tpu.scoring.uncertainty import shannon_entropy, uncertainty_filter
+from nnal_tpu.scoring.uncertainty import uncertainty_filter
 
 
 @dataclass
@@ -38,20 +38,29 @@ class ClsQueryContext:
     extra: Dict = field(default_factory=dict)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fwd(spec, params, x):
+    # module-level jit: a per-call ``jax.jit(lambda ...)`` closure compiled
+    # a fresh program every invocation even at identical shapes
+    return apply_cnn(spec, params, x)
+
+
 def batched_forward(spec, params, X, batch: int, what=("posteriors",)):
     """Static-shape chunked forward over an array pool (the classification
     analogue of PW_NN.batch_eval; reference idxBatch_posteriors,
     NNAL_tools.py:382)."""
     outs = {w: [] for w in what}
     n = X.shape[0]
-    fwd = jax.jit(lambda p, x: apply_cnn(spec, p, x))
     for lo in range(0, n, batch):
         xs = np.asarray(X[lo:lo + batch])
         pad = batch - xs.shape[0]
         if pad > 0:
             xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
                                               xs.dtype)])
-        out = fwd(params, jnp.asarray(xs))
+        out = _fwd(spec, params, jnp.asarray(xs))
         for w in what:
             arr = np.asarray({"posteriors": out.posteriors,
                               "prediction": out.prediction,
@@ -71,11 +80,15 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
                             ctx.batch)["posteriors"]
 
     if method_name == "entropy":
-        ent = np.asarray(shannon_entropy(jnp.asarray(posts)))
-        return np.argsort(-ent, kind="stable")[:ctx.k]
+        # bucket-padded filter (shape-stability rule): a direct
+        # shannon_entropy over the pool-length array recompiled every
+        # round as the pool shrank; ranking/tie-break is identical.
+        # posts stays a NUMPY array so the bucket pad happens on host —
+        # an eager jnp.concatenate would compile per pool length.
+        return np.asarray(uncertainty_filter(posts, ctx.k))
 
     B = min(ctx.B, n)
-    sel = np.asarray(uncertainty_filter(jnp.asarray(posts), B))
+    sel = np.asarray(uncertainty_filter(posts, B))
 
     if method_name == "egl":
         # expected gradient length: sum_c p_c ||shrunk grad_c||^2 over the
