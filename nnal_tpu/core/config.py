@@ -61,6 +61,11 @@ class ModelConfig:
     # NN_extended.py:24-63,1520-1562)
     aleatoric: bool = False
     mc_t: int = 10
+    # learning-without-forgetting: distill against the previous round's
+    # model at temperature lwf_T with coefficient lwf_lambda (reference
+    # ``get_LwF``, model_utils.py:98-135)
+    lwf_lambda: float = 0.0
+    lwf_T: float = 2.0
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05
@@ -83,6 +88,11 @@ class QueryConfig:
     init_size: int = 0
     test_ratio: float = 0.2
     shrink_method: str = "sum"
+    # diagonal loading of the conditional-FI A-matrices (reference
+    # ``gen_A_matrices``'s load term, PW_NNAL.py:784-816) — one knob for
+    # BOTH the single-subject and multi-subject fi paths, so identical
+    # candidates produce identical A-matrices (and rankings) on either
+    diag_load: float = 1e-5
     # ensemble/QBC-JS committee (reference PW_AL.py:780-845: 7 pretrained
     # weight files at round 0, re-finetuned copies afterwards; the size and
     # paths were hard-coded there, config keys here)

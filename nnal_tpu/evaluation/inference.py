@@ -76,31 +76,60 @@ class FCNInference:
         def _run(params, x, mc, rng):
             out = apply_cnn(spec, params, x, mc_dropout=mc,
                             dropout_rng=rng)
-            return out.posteriors, out.prediction, out.log_sigma
+            return (out.posteriors, out.prediction, out.log_sigma,
+                    out.logits)
+
+        @jax.jit
+        def _loss(params, x, y_onehot):
+            from nnal_tpu.models.losses import fcn_cross_entropy
+
+            out = apply_cnn(spec, params, x)
+
+            def one(lg, yo):
+                return fcn_cross_entropy(lg[None], yo[None])
+
+            return jax.vmap(one)(out.logits, y_onehot)
 
         self._run = _run
+        self._loss = _loss
 
     def segment(self, params, vol_slices: np.ndarray, op: str = "prediction",
-                mc_T: int = 10, rng=None):
-        """``vol_slices``: (n, H, W, C) slice stack.  ``op`` in
-        {'prediction', 'posteriors', 'MC-posteriors', 'sigma'}."""
+                mc_T: int = 10, rng=None, labels=None):
+        """``vol_slices``: (n, H, W, C) slice stack.  ``op`` covers the
+        reference's full set (eval_utils.py:137-170): 'prediction',
+        'posteriors', 'MC-posteriors', 'sigma', 'MC-sigma' (mean aleatoric
+        sigma over ``mc_T`` stochastic passes), 'output' (raw logits), and
+        'loss' (per-slice mean CE vs ``labels`` — (n, H, W, c) one-hot
+        masks, NaN for unlabeled voxels)."""
         outs = []
         n = vol_slices.shape[0]
         rng = rng if rng is not None else jax.random.key(0)
+        if op == "loss":
+            assert labels is not None, "op='loss' needs one-hot labels"
         for lo in range(0, n, self.batch):
             xs = jnp.asarray(vol_slices[lo:lo + self.batch])
-            if op == "MC-posteriors":
+            if op in ("MC-posteriors", "MC-sigma"):
                 acc = 0.0
                 for t in range(mc_T):
-                    post, _, _ = self._run(params, xs, True,
-                                           jax.random.fold_in(rng, t))
-                    acc = (post + t * acc) / (t + 1)
+                    post, _, sig, _ = self._run(params, xs, True,
+                                                jax.random.fold_in(rng, t))
+                    val = post if op == "MC-posteriors" else jnp.exp(sig)
+                    acc = (val + t * acc) / (t + 1)
                 outs.append(np.asarray(acc))
+            elif op == "loss":
+                ys = jnp.asarray(labels[lo:lo + self.batch])
+                outs.append(np.asarray(self._loss(params, xs, ys)))
             else:
-                post, pred, sigma = self._run(params, xs, False, rng)
-                outs.append(np.asarray({"prediction": pred,
-                                        "posteriors": post,
-                                        "sigma": sigma}[op]))
+                post, pred, sigma, logits = self._run(params, xs, False,
+                                                      rng)
+                if op == "sigma":
+                    # the head is log-sigma; the reference's op returns the
+                    # aleatoric sigma itself (eval_utils.py:137-170)
+                    outs.append(np.exp(np.asarray(sigma)))
+                else:
+                    outs.append(np.asarray({"prediction": pred,
+                                            "posteriors": post,
+                                            "output": logits}[op]))
         return np.concatenate(outs, axis=0)
 
 

@@ -55,6 +55,43 @@ def test_fcn_inference_and_cache():
     assert a is b
 
 
+def test_fcn_inference_full_op_set():
+    """Reference op parity for full_slice_segment (eval_utils.py:137-170):
+    prediction / posteriors / MC-posteriors / sigma / MC-sigma / output /
+    loss must all be served."""
+    spec = create_tiramisu103(2, (16, 16, 1), growth=2, depths=(2, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    inf = FCNInference(spec, batch=2)
+    slices = np.random.default_rng(0).normal(
+        size=(3, 16, 16, 1)).astype(np.float32)
+
+    raw = inf.segment(params, slices, "output")
+    assert raw.shape == (3, 16, 16, 2)
+    post = inf.segment(params, slices, "posteriors")
+    np.testing.assert_allclose(
+        post, np.asarray(jax.nn.softmax(jnp.asarray(raw), axis=-1)),
+        rtol=1e-4, atol=1e-6)
+
+    y = np.random.default_rng(1).integers(0, 2, (3, 16, 16))
+    onehot = np.eye(2, dtype=np.float32)[y]
+    loss = inf.segment(params, slices, "loss", labels=onehot)
+    assert loss.shape == (3,)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(raw), axis=-1))
+    expect = -np.mean(np.sum(onehot * logp, -1), axis=(1, 2))
+    np.testing.assert_allclose(loss, expect, rtol=1e-4, atol=1e-6)
+
+    from nnal_tpu.models.specs import with_aleatoric_head
+
+    au = with_aleatoric_head(spec)
+    au_params, _ = init_cnn(au, jax.random.key(2))
+    au_inf = FCNInference(au, batch=2)
+    sig = au_inf.segment(au_params, slices, "sigma")
+    assert sig.shape == (3, 16, 16, 2) and (sig > 0).all()
+    mcs = au_inf.segment(au_params, slices, "MC-sigma", mc_T=2,
+                         rng=jax.random.key(3))
+    assert mcs.shape == sig.shape and (mcs > 0).all()
+
+
 def test_meanfield_crf_sharpens_noisy_posteriors():
     rng = np.random.default_rng(0)
     H = W = 24
