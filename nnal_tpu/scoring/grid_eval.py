@@ -150,6 +150,50 @@ def _grid_fim_sweep(spec, params, slices_padded, mu, sd, patch_shape,
             shrunk.reshape((-1,) + shrunk.shape[2:]))
 
 
+@partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
+                                   "z_inner", "measure", "gaussian_std",
+                                   "rotation_angle", "cd"))
+def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
+                        patch_shape, grid_spacing, z_inner, rng, measure,
+                        gaussian_std, rotation_angle, cd=None):
+    """AU_4U output-perturbation divergence for the WHOLE grid in one
+    program (``lax.map`` over z-chunks) — replaces the per-chunk Python
+    dispatch loop over arbitrary-index gathers (round-2: AU_4U 178.6 s vs
+    BALD 132.9 s at the same budget on the tunneled chip)."""
+    from nnal_tpu.models.perturb import measure_output_perturbation
+
+    d1, d2, _ = patch_shape
+    g = grid_spacing
+    m = slices_padded.shape[-1]
+    nsteps = slices_padded.shape[0] // z_inner
+    blocks = slices_padded.reshape((nsteps, z_inner)
+                                   + slices_padded.shape[1:])
+    if cd is not None:
+        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+        if teacher_params is not None:
+            teacher_params = jax.tree_util.tree_map(
+                lambda v: v.astype(cd), teacher_params)
+
+    def one(args):
+        step, blk = args
+        patches = jax.lax.conv_general_dilated_patches(
+            blk, filter_shape=(d1, d2), window_strides=(g, g),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        zc, nx, ny, _ = patches.shape
+        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
+        x = (x - mu) / sd
+        if cd is not None:
+            x = x.astype(cd)
+        key = jax.random.fold_in(rng, step)
+        return measure_output_perturbation(
+            spec, params, x, key, teacher_params=teacher_params,
+            measure=measure, gaussian_std=gaussian_std,
+            rotation_angle=rotation_angle)
+
+    divs = jax.lax.map(one, (jnp.arange(nsteps), blocks))
+    return divs.reshape(-1)
+
+
 _SCAN_OPS = {"posteriors", "prediction"}
 
 
@@ -189,6 +233,21 @@ class GridPoolEvaluator(PoolEvaluator):
         return {"p1": np.asarray(p1)[:n_valid],
                 "uncertainty": np.asarray(unc)[:n_valid],
                 "shrunk": np.asarray(shrunk)[:n_valid]}
+
+    def perturb_sweep(self, params, rng, teacher_params=None,
+                      measure: str = "CE", gaussian_std=0.05,
+                      rotation_angle=None) -> np.ndarray:
+        """AU_4U divergence scores for the whole grid in one dispatch
+        (see ``_grid_perturb_sweep``); length nz*nx*ny, grid order."""
+        z_pad = -self.nz % self.z_chunk
+        slices = self._slices
+        if z_pad:
+            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        divs = _grid_perturb_sweep(
+            self.spec, params, teacher_params, slices, self.mu, self.sd,
+            self.patch_shape, self.grid_spacing, self.z_chunk, rng,
+            measure, gaussian_std, rotation_angle, self.compute_dtype)
+        return np.asarray(divs)[:self.nz * self.nx * self.ny]
 
     def _grid_rows(self, inds: np.ndarray):
         """Map raveled voxel indices -> full-grid row ids, or None if any

@@ -56,6 +56,7 @@ class QueryContext:
     B: int = 200
     MC_iters: int = 10
     lambda_: float = 0.0
+    diag_load: float = 1e-5
     hv_threshold: float = 2.0
     train_inds: Optional[np.ndarray] = None
     labeled_evaluator: Optional[PoolEvaluator] = None
@@ -230,32 +231,59 @@ def _supix(ctx: QueryContext):
     return np.flatnonzero(np.isin(ctx.pool_inds, wanted))
 
 
-@register_strategy("AU_4U")
-def _au_4u(ctx: QueryContext):
-    """Output-perturbation uncertainty querying (reference AU_4U:
-    ``measure_output_perturbation`` + ``perturb_input``,
-    NN_extended.py:913,1502): score each pool patch by the divergence
-    between the model's clean posterior and the (teacher) model's posterior
-    on a noised/rotated copy; query the k most unstable."""
+def _au_4u_scores(ctx: QueryContext) -> np.ndarray:
+    """Per-pool-voxel AU_4U divergence scores (higher = more unstable)."""
     from nnal_tpu.models.perturb import measure_output_perturbation
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
     ev = ctx.evaluator
     teacher = ctx.extra.get("teacher_params")
     std = ctx.extra.get("gaussian_noise_std", 0.05)
     angle = ctx.extra.get("rotation_angle")
     measure = ctx.extra.get("output_perturbation_measure", "CE")
-    scores = []
-    chunk = ev.ntb
-    for lo in range(0, len(ctx.pool_inds), chunk):
-        cand = ctx.pool_inds[lo:lo + chunk]
-        x = gather_patches_normalized(ev.padded, jnp.asarray(cand), ev.mu,
-                                      ev.sd, ev.patch_shape, ev.orig_shape)
-        div = measure_output_perturbation(
-            ctx.spec, ctx.params, x, jax.random.fold_in(ctx.jax_rng, lo),
-            teacher_params=teacher, measure=measure, gaussian_std=std,
-            rotation_angle=angle)
-        scores.append(np.asarray(div))
-    scores = np.concatenate(scores)
+    rows = ev._grid_rows(ctx.pool_inds) \
+        if isinstance(ev, GridPoolEvaluator) else None
+    if rows is not None:
+        # grid pools: single-dispatch whole-volume im2col sweep (the same
+        # production path every other pool-scale op uses)
+        scores = ev.perturb_sweep(ctx.params, ctx.jax_rng,
+                                  teacher_params=teacher, measure=measure,
+                                  gaussian_std=std,
+                                  rotation_angle=angle)[rows]
+    else:
+        # arbitrary-index fallback: bucket-pad the ragged tail so the
+        # chunk program has ONE stable shape as the pool shrinks round
+        # over round (shape-stability standing rule)
+        chunk = ev.ntb
+        n = len(ctx.pool_inds)
+        n_pad = -n % chunk
+        inds = np.concatenate([np.asarray(ctx.pool_inds, np.int64),
+                               np.zeros(n_pad, np.int64)])
+        scores = []
+        for lo in range(0, len(inds), chunk):
+            cand = inds[lo:lo + chunk]
+            x = gather_patches_normalized(
+                ev.padded, jnp.asarray(cand), ev.mu, ev.sd, ev.patch_shape,
+                ev.orig_shape)
+            div = measure_output_perturbation(
+                ctx.spec, ctx.params, x,
+                jax.random.fold_in(ctx.jax_rng, lo),
+                teacher_params=teacher, measure=measure, gaussian_std=std,
+                rotation_angle=angle)
+            scores.append(np.asarray(div))
+        scores = np.concatenate(scores)[:n]
+    return scores
+
+
+@register_strategy("AU_4U")
+def _au_4u(ctx: QueryContext):
+    """Output-perturbation uncertainty querying (reference AU_4U:
+    ``measure_output_perturbation`` + ``perturb_input``,
+    NN_extended.py:913,1502): score each pool patch by the divergence
+    between the model's clean posterior and the (teacher) model's posterior
+    on a noised/rotated copy; query the k most unstable.  Grid pools ride
+    the single-dispatch whole-volume im2col sweep."""
+    scores = _au_4u_scores(ctx)
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
@@ -325,7 +353,8 @@ def _fi(ctx: QueryContext):
         feats = ev.evaluate(ctx.params, cand_inds,
                             ("feature_layer",))["feature_layer"]
     picks = fi_select(ctx.spec, ctx.params, np.asarray(patches), p1[sel],
-                      ctx.k, ctx.rng, lambda_=ctx.lambda_, features=feats)
+                      ctx.k, ctx.rng, lambda_=ctx.lambda_, features=feats,
+                      diag_load=ctx.diag_load)
     return sel[picks]
 
 
@@ -474,7 +503,8 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             base = int(np.sum(sizes[:si]))
             pv = p1[base + li]
             A_list.append(np.asarray(a_matrices(
-                shrunk, jnp.asarray(pv, jnp.float32), 1e-3)))
+                shrunk, jnp.asarray(pv, jnp.float32),
+                contexts[0].diag_load)))
             order.append(base + li)
         A = np.concatenate(A_list)
         order = np.concatenate(order)
@@ -483,7 +513,122 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         pick = order[draws]
         return global2local_inds(pick, sizes)
 
+    if method_name == "AU_4U":
+        # per-subject single-dispatch sweeps, global top-k (most unstable)
+        scores = np.concatenate([_au_4u_scores(c) for c in contexts])
+        pick = np.argsort(-scores, kind="stable")[:k]
+        return global2local_inds(pick, sizes)
+
+    if method_name == "influence":
+        return _influence_multimg(contexts, k)
+
+    if method_name == "SuPix":
+        # global selection of the k most-uncertain superpixels across all
+        # subjects; queries = every pool member of the picked superpixels
+        # (single-subject semantics of _supix, reference SuPix_query
+        # PW_NNAL.py:883-1021, lifted to the multi-subject index algebra)
+        from nnal_tpu.scoring.superpixel import (
+            oversegment_volume,
+            superpix_scores,
+        )
+        from nnal_tpu.data.indexing import expand_raveled_inds
+
+        per_subject = []
+        cand = []   # (min-uncertainty, subject, z, label)
+        for si, c in enumerate(contexts):
+            overseg = c.extra.get("overseg")
+            if overseg is None:
+                assert c.raw_volume is not None
+                overseg = oversegment_volume(
+                    np.asarray(c.raw_volume),
+                    c.extra.get("n_segments", 64))
+                c.extra["overseg"] = overseg
+            p1 = _posteriors(c)
+            unc = np.abs(p1 - 0.5)
+            sp = superpix_scores(overseg, c.pool_inds, unc)
+            per_subject.append(overseg)
+            for z, lab in np.argwhere(np.isfinite(sp)):
+                cand.append((sp[z, lab], si, int(z), int(lab)))
+        cand.sort()
+        out = [np.zeros(0, np.int64) for _ in contexts]
+        for _, si, z, lab in cand[:k]:
+            overseg = per_subject[si]
+            m2d = np.flatnonzero(overseg[:, :, z].ravel() == lab)
+            wanted = expand_raveled_inds(m2d, z, 2, overseg.shape)
+            pos = np.flatnonzero(np.isin(contexts[si].pool_inds, wanted))
+            out[si] = np.union1d(out[si], pos).astype(np.int64)
+        return out
+
     raise ValueError(method_name)
+
+
+def _influence_multimg(contexts: Sequence[QueryContext], k: int
+                       ) -> List[np.ndarray]:
+    """Influence querying across subjects: ONE s_test from the union of all
+    subjects' labeled sets (the model is shared), candidates from a global
+    uncertainty filter, ranked by ``|<grad L(z), s_test>|``.  All gathers
+    are bucket-padded (shape-stability standing rule)."""
+    from nnal_tpu.data.batching import make_onehot
+    from nnal_tpu.data.patches import gather_labels
+    from nnal_tpu.scoring.influence import influence_scores, s_test
+
+    sizes = [len(c.pool_inds) for c in contexts]
+    ref = contexts[0]
+
+    # union labeled set, per-subject bucket-padded gathers (the per-subject
+    # labeled counts walk every round; the bucket keeps programs cached)
+    xs, ys = [], []
+    for c in contexts:
+        if c.train_inds is None or len(c.train_inds) == 0:
+            continue
+        mask = c.extra.get("mask")
+        assert mask is not None, "influence querying needs label masks"
+        ev = c.evaluator
+        n_si = len(c.train_inds)
+        tri = np.concatenate([np.asarray(c.train_inds, np.int64),
+                              np.zeros(-n_si % 64, np.int64)])
+        x = np.asarray(gather_patches_normalized(
+            ev.padded, jnp.asarray(tri), ev.mu, ev.sd, ev.patch_shape,
+            ev.orig_shape))[:n_si]
+        xs.append(x)
+        ys.append(np.asarray(gather_labels(mask, c.train_inds,
+                                           ev.orig_shape), np.int64))
+    assert xs, "influence querying needs a labeled set"
+    n_tr = int(sum(x.shape[0] for x in xs))
+    pad = -n_tr % 256
+    x_cat = np.concatenate(xs + [np.zeros((pad,) + xs[0].shape[1:],
+                                          np.float32)])
+    y_cat = np.concatenate(ys + [np.zeros(pad, np.int64)])
+    tr_y = make_onehot(y_cat, ref.spec.nclass)
+    damping = ref.extra.get("damping", 0.1)
+    st = s_test(ref.spec, ref.params, x_cat, tr_y, x_cat, tr_y,
+                damping=damping, n_valid=n_tr, q_n_valid=n_tr)
+
+    # global uncertainty filter to B, candidates scored per subject
+    p1 = np.concatenate([_posteriors(c) for c in contexts])
+    B = min(ref.B, len(p1))
+    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    sel_local = global2local_inds(sel, sizes)
+    scores = np.zeros(len(p1))
+    for si, c in enumerate(contexts):
+        li = sel_local[si]
+        if len(li) == 0:
+            continue
+        cand = c.pool_inds[li]
+        ev = c.evaluator
+        n_c = len(cand)
+        ci = np.concatenate([np.asarray(cand, np.int64),
+                             np.zeros(-n_c % 64, np.int64)])
+        cx = np.asarray(gather_patches_normalized(
+            ev.padded, jnp.asarray(ci), ev.mu, ev.sd, ev.patch_shape,
+            ev.orig_shape))[:n_c]
+        base = int(np.sum(sizes[:si]))
+        pseudo = (p1[base + li] > 0.5).astype(np.int64)
+        cy = make_onehot(pseudo, ref.spec.nclass)
+        scores[base + li] = influence_scores(ref.spec, ref.params, st,
+                                             cx, cy)
+    order = np.argsort(-np.abs(scores[sel]), kind="stable")[:k]
+    return global2local_inds(sel[order], sizes)
 
 
 def available_strategies() -> List[str]:
