@@ -50,6 +50,10 @@ def main():
 
     compute_dtype = jnp.bfloat16 if on_tpu else None
 
+    # remat checkpoints the conv segments of the FIM backward so larger
+    # z-chunks fit 16 GB HBM (z_chunk=8 OOMed without it)
+    remat = os.environ.get("NNAL_BENCH_REMAT", "0") == "1"
+
     @partial(jax.jit, static_argnames=())
     def score_zchunk(params, block):
         patches = jax.lax.conv_general_dilated_patches(
@@ -60,7 +64,7 @@ def main():
         x = (x - mu) / sd
         # bf16 storage + f32 accumulation (custom-VJP convs keep the FIM
         # backward legal; rank parity vs f32 is tested in the suite)
-        out = pool_score_fused(spec, params, x, True, compute_dtype)
+        out = pool_score_fused(spec, params, x, True, compute_dtype, remat)
         # reduce on-device: only selection-sized data should leave HBM
         return (jnp.sum(out["uncertainty"]),
                 jnp.sum(out["shrunk"][:, :, 0]))

@@ -26,19 +26,24 @@ from nnal_tpu.models.cnn import apply_cnn
 from nnal_tpu.scoring.gradients import shrunk_class_grads_with_logits
 
 
-@partial(jax.jit, static_argnames=("spec", "with_fim", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "with_fim", "compute_dtype",
+                                   "remat"))
 def pool_score_fused(spec, params, patches: jnp.ndarray,
-                     with_fim: bool = True, compute_dtype=None):
+                     with_fim: bool = True, compute_dtype=None,
+                     remat: bool = False):
     """Returns dict with ``p1``, ``uncertainty`` and (optionally) ``shrunk``
     — the (b, c, L) shrunk class-gradients feeding diag-FIM/A-matrices.
     With FIM, the gradient pass's own forward supplies the logits, so the
     posterior costs no extra compute.  ``compute_dtype=bfloat16`` runs
     true bf16-storage scoring (custom-VJP convs keep the backward legal;
-    see scoring.gradients._make_conv_f32acc)."""
+    see scoring.gradients._make_conv_f32acc).  ``remat=True`` checkpoints
+    the conv segments of the gradient pass so larger scoring chunks fit
+    HBM (see scoring.gradients._apply_with_eps)."""
     if with_fim:
         shrunk, logits = shrunk_class_grads_with_logits(spec, params,
                                                         patches,
-                                                        compute_dtype)
+                                                        compute_dtype,
+                                                        remat)
         posts = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         p1 = posts[:, 1]
         return {"p1": p1, "uncertainty": jnp.abs(p1 - 0.5),

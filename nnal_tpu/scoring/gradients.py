@@ -80,7 +80,61 @@ def _make_conv_f32acc(strides, padding, rank):
     return conv
 
 
-def _apply_with_eps(spec, params, x, E, compute_dtype=None):
+def _eps_layer(spec, params, layer, h, E, li, cd):
+    """One eps-injected layer application (see :func:`_apply_with_eps`).
+    Returns ``(h_out, li_out)``."""
+    from nnal_tpu.models.cnn import _act, _dimension_numbers, _main_op
+
+    rank = spec.spatial_rank
+    act = _act(spec.activation)
+    if layer.kind == "conv":
+        p = params[layer.name]
+        W = p["W"].astype(h.dtype)
+        if cd is None:
+            dn = jax.lax.conv_dimension_numbers(
+                h.shape, W.shape, _dimension_numbers(rank))
+            z = jax.lax.conv_general_dilated(
+                h, W, layer.strides, layer.padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32) + p["b"]
+            ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
+            wsum = jax.lax.conv_general_dilated(
+                h, ones, layer.strides, layer.padding,
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    h.shape, ones.shape, _dimension_numbers(rank)),
+                preferred_element_type=jnp.float32)
+        else:
+            conv = _make_conv_f32acc(layer.strides, layer.padding,
+                                     rank)
+            z = conv(h, W) + p["b"]
+            ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
+            wsum = conv(h, ones)
+        e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
+        z = z + e * (wsum + 1.0)
+        h = act(z) if "A" in layer.op_order else z
+        if cd is not None:
+            h = h.astype(cd)
+        return h, li + 1
+    if layer.kind == "fc":
+        p = params[layer.name]
+        h2 = h.reshape(h.shape[0], -1)
+        z = jnp.dot(h2, p["W"].astype(h2.dtype),
+                    preferred_element_type=jnp.float32) + p["b"]
+        s = jnp.sum(h2.astype(jnp.float32), axis=1, keepdims=True)
+        z = z + E[:, li:li + 1] * (s + 1.0)
+        h = act(z) if "A" in layer.op_order else z
+        if cd is not None:
+            h = h.astype(cd)
+        return h, li + 1
+    if layer.kind in ("pool", "avgpool"):
+        return _main_op(spec, layer, {}, h, rank), li
+    raise NotImplementedError(
+        f"eps-injected forward does not support {layer.kind!r}; "
+        "use shrunk_class_grads_persample")
+
+
+def _apply_with_eps(spec, params, x, E, compute_dtype=None,
+                    remat: bool = False):
     """Forward pass with a per-sample epsilon injected into every parameter
     layer: layer l behaves as if ``W_l + E[i,l]*1`` and ``b_l + E[i,l]*1``
     for sample i.
@@ -95,77 +149,63 @@ def _apply_with_eps(spec, params, x, E, compute_dtype=None):
     layers (true bf16 storage) while every matmul/conv accumulates f32 —
     the convs go through a custom-VJP wrapper so the backward pass is
     legal (see :func:`_make_conv_f32acc`).
-    """
-    from nnal_tpu.models.cnn import _act, _dimension_numbers
 
-    rank = spec.spatial_rank
-    act = _act(spec.activation)
+    ``remat=True`` splits the stack into segments at pool boundaries and
+    wraps each in ``jax.checkpoint``: the backward then stores only the
+    segment *inputs* (post-pool activations, 4x smaller each stage)
+    instead of every pre-pool conv activation — the activation memory, not
+    FLOPs, is what bounds the scoring chunk size on 16 GB HBM (z_chunk=8
+    OOMed without it), and the recomputed convs are the FLOP minority
+    (the FC stack dominates and is still stored).
+    """
     cd = compute_dtype
     h = x if cd is None else x.astype(cd)
-    li = 0
-    for layer in spec.layers:
-        if layer.kind == "conv":
-            p = params[layer.name]
-            W = p["W"].astype(h.dtype)
-            if cd is None:
-                dn = jax.lax.conv_dimension_numbers(
-                    h.shape, W.shape, _dimension_numbers(rank))
-                z = jax.lax.conv_general_dilated(
-                    h, W, layer.strides, layer.padding,
-                    dimension_numbers=dn,
-                    preferred_element_type=jnp.float32) + p["b"]
-                ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
-                wsum = jax.lax.conv_general_dilated(
-                    h, ones, layer.strides, layer.padding,
-                    dimension_numbers=jax.lax.conv_dimension_numbers(
-                        h.shape, ones.shape, _dimension_numbers(rank)),
-                    preferred_element_type=jnp.float32)
-            else:
-                conv = _make_conv_f32acc(layer.strides, layer.padding,
-                                         rank)
-                z = conv(h, W) + p["b"]
-                ones = jnp.ones(layer.ksize + (h.shape[-1], 1), h.dtype)
-                wsum = conv(h, ones)
-            e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
-            z = z + e * (wsum + 1.0)
-            h = act(z) if "A" in layer.op_order else z
-            if cd is not None:
-                h = h.astype(cd)
-            li += 1
-        elif layer.kind == "fc":
-            p = params[layer.name]
-            h2 = h.reshape(h.shape[0], -1)
-            z = jnp.dot(h2, p["W"].astype(h2.dtype),
-                        preferred_element_type=jnp.float32) + p["b"]
-            s = jnp.sum(h2.astype(jnp.float32), axis=1, keepdims=True)
-            z = z + E[:, li:li + 1] * (s + 1.0)
-            h = act(z) if "A" in layer.op_order else z
-            if cd is not None:
-                h = h.astype(cd)
-            li += 1
-        elif layer.kind in ("pool", "avgpool"):
-            from nnal_tpu.models.cnn import _main_op
 
-            h = _main_op(spec, layer, {}, h, rank)
-        else:
-            raise NotImplementedError(
-                f"eps-injected forward does not support {layer.kind!r}; "
-                "use shrunk_class_grads_persample")
+    if not remat:
+        li = 0
+        for layer in spec.layers:
+            h, li = _eps_layer(spec, params, layer, h, E, li, cd)
+        return h  # logits
+
+    # segments split AFTER each pool layer; each checkpointed
+    segments, cur = [], []
+    for layer in spec.layers:
+        cur.append(layer)
+        if layer.kind in ("pool", "avgpool"):
+            segments.append(cur)
+            cur = []
+    if cur:
+        segments.append(cur)
+
+    li0 = 0
+    for seg_layers in segments:
+        def seg_fn(h_in, E_in, params_in, _layers=tuple(seg_layers),
+                   _li0=li0):
+            hh, li = h_in, _li0
+            for layer in _layers:
+                hh, li = _eps_layer(spec, params_in, layer, hh, E_in, li,
+                                    cd)
+            return hh
+
+        h = jax.checkpoint(seg_fn)(h, E, params)
+        li0 += sum(1 for l in seg_layers if l.kind in ("conv", "fc"))
     return h  # logits
 
 
-@partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "compute_dtype", "remat"))
 def shrunk_class_grads(spec, params, x: jnp.ndarray,
-                       compute_dtype=None) -> jnp.ndarray:
+                       compute_dtype=None, remat: bool = False
+                       ) -> jnp.ndarray:
     """(b, c, L) 'sum'-shrunk class gradients (see
     :func:`shrunk_class_grads_with_logits`)."""
     return shrunk_class_grads_with_logits(spec, params, x,
-                                          compute_dtype)[0]
+                                          compute_dtype, remat)[0]
 
 
-@partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "compute_dtype", "remat"))
 def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray,
-                                   compute_dtype=None):
+                                   compute_dtype=None,
+                                   remat: bool = False):
     """'sum'-shrunk per-class log-posterior gradients for a patch batch.
 
     Returns ``(b, c, L)``: per layer, ``mean of entries of
@@ -184,7 +224,7 @@ def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray,
     E0 = jnp.zeros((b, len(names)), jnp.float32)
 
     def class_sum(E, c):
-        logits = _apply_with_eps(spec, params, x, E, compute_dtype)
+        logits = _apply_with_eps(spec, params, x, E, compute_dtype, remat)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # sum over samples: d/dE[i, l] touches only sample i's logp
         return jnp.sum(logp[:, c]), logits

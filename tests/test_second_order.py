@@ -235,3 +235,15 @@ def test_s_test_padding_is_exact_noop():
     np.testing.assert_allclose(sc_pad, sc_ref, rtol=1e-4, atol=1e-6)
     assert np.array_equal(np.argsort(-np.abs(sc_pad), kind="stable"),
                           np.argsort(-np.abs(sc_ref), kind="stable"))
+
+
+def test_remat_shrunk_grads_match_plain():
+    """jax.checkpoint segmenting of the epsilon-injection pass recomputes
+    the same ops — gradients must match the non-remat path (the remat
+    exists to fit larger scoring chunks in HBM, not to change math)."""
+    spec = tiny_spec()
+    params, _ = init_cnn(spec, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 6, 6, 1))
+    plain = np.asarray(shrunk_class_grads(spec, params, x))
+    remat = np.asarray(shrunk_class_grads(spec, params, x, remat=True))
+    np.testing.assert_allclose(remat, plain, rtol=1e-6, atol=1e-8)
