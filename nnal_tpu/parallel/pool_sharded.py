@@ -169,6 +169,103 @@ def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
     return run
 
 
+def make_sharded_fim_grid_selector(spec, mesh: Mesh, patch_shape,
+                                   orig_shape, grid_spacing: int, B: int,
+                                   z_inner: int = 2, compute_dtype=None):
+    """Sharded fused posterior+FIM grid sweep — the fi pipeline's device
+    stage over the mesh: each shard im2col-extracts + scores its slice
+    block with ``pool_score_fused(with_fim=True)`` (posterior, binary
+    uncertainty AND 'sum'-shrunk per-class gradients in one program), runs
+    a local top-B by uncertainty, and the candidates are all-gathered with
+    their shrunk-gradient rows and reduced to the global top B.  The host
+    then assembles A-matrices -> SDP -> PMF exactly as the single-device fi
+    path (scoring/fisher.py) — only (B, c, L) floats cross the ICI/host
+    boundary, never the pool.
+
+    Returns ``run(params, padded, mu, sd) -> (scores, grid_rows, p1,
+    shrunk)`` sorted by descending uncertainty score.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from nnal_tpu.ops.scoring_fused import pool_score_fused
+
+    d1, d2, d3 = patch_shape
+    assert d3 == 1
+    g = int(grid_spacing)
+    s1, s2, s3 = orig_shape
+    nx = len(range(0, s1, g))
+    ny = len(range(0, s2, g))
+    dp = mesh.shape["data"]
+    z_pad = -s3 % (dp * z_inner)
+    rows_per_step = z_inner * nx * ny
+
+    def local(params, slices_block, mu, sd):
+        zc = slices_block.shape[0]
+        nsteps = zc // z_inner
+        m = slices_block.shape[-1]
+        shard = jax.lax.axis_index("data")
+        blocks = slices_block.reshape((nsteps, z_inner)
+                                      + slices_block.shape[1:])
+
+        def score_step(args):
+            step, blk = args
+            patches = jax.lax.conv_general_dilated_patches(
+                blk, filter_shape=(d1, d2), window_strides=(g, g),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = patches.reshape(rows_per_step, m, d1, d2
+                                ).transpose(0, 2, 3, 1)
+            x = (x - mu) / sd
+            out = pool_score_fused(spec, params, x, True, compute_dtype)
+            row_z = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_per_step, 1), 0)[:, 0] // (nx * ny)
+            global_z = row_z + step * z_inner + shard * zc
+            # larger = more uncertain; padding slices masked out
+            score = jnp.where(global_z < s3, -out["uncertainty"],
+                              -jnp.inf)
+            vals, idx = jax.lax.top_k(score, B)
+            return (vals, idx + step * rows_per_step,
+                    out["p1"][idx], out["shrunk"][idx])
+
+        steps = jnp.arange(nsteps)
+        vals, idxs, p1s, shrunks = jax.lax.map(score_step, (steps, blocks))
+        vals = vals.reshape(-1)
+        idxs = idxs.reshape(-1)
+        p1s = p1s.reshape(-1)
+        shrunks = shrunks.reshape((-1,) + shrunks.shape[2:])
+        lvals, lpos = jax.lax.top_k(vals, B)
+        lidx = idxs[lpos] + shard * (zc * nx * ny)
+        lp1 = p1s[lpos]
+        lshrunk = shrunks[lpos]
+        all_vals = jax.lax.all_gather(lvals, "data", tiled=True)
+        all_idx = jax.lax.all_gather(lidx, "data", tiled=True)
+        all_p1 = jax.lax.all_gather(lp1, "data", tiled=True)
+        all_shrunk = jax.lax.all_gather(lshrunk, "data", tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, B)
+        return top_vals, all_idx[pos], all_p1[pos], all_shrunk[pos]
+
+    sharded = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False))
+
+    def run(params, padded, mu, sd):
+        slices = jnp.transpose(jnp.asarray(padded), (3, 1, 2, 0))
+        if z_pad:
+            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        rep = NamedSharding(mesh, P())
+        vals, rows, p1, shrunk = sharded(
+            jax.device_put(params, rep),
+            jax.device_put(slices, NamedSharding(mesh, P("data"))),
+            jax.device_put(jnp.asarray(np.asarray(mu, np.float32)), rep),
+            jax.device_put(jnp.asarray(np.asarray(sd, np.float32)), rep))
+        return (np.asarray(vals), np.asarray(rows), np.asarray(p1),
+                np.asarray(shrunk))
+
+    return run
+
+
 def grid_row_to_voxel(rows, orig_shape, grid_spacing: int) -> np.ndarray:
     """Map full-grid row ids (z-major) back to raveled voxel indices."""
     s1, s2, s3 = orig_shape
