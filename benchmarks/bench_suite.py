@@ -48,8 +48,12 @@ def _round_times(tmp, method):
 
 
 def config1(root):
+    # synthetic_blobs=12: the default 3-blob subject is ~2-4% positive and
+    # bench-scale budgets legitimately learn nothing (final_f=0.0 in r02);
+    # denser blobs give a nonzero quality signal at the same pool size, so
+    # the latency columns stay comparable round over round
     ov = ("patch_shape=[15,15,1],grid_spacing=2,k=10,B=100,ntb=2048,b=64,"
-          "epochs=1,init_size=16")
+          "epochs=1,init_size=16,synthetic_blobs=12")
     tmp = os.path.join(root, "c1")
     dt, res = _expr(tmp, ov, "entropy", 40)
     rts = _round_times(tmp, "entropy")
@@ -96,7 +100,7 @@ def config3():
 
 def config4(root):
     ov = ("patch_shape=[9,9,1],grid_spacing=3,k=8,B=64,ntb=1024,b=32,"
-          "epochs=1,init_size=12")
+          "epochs=1,init_size=12,synthetic_blobs=12")
     tmp = os.path.join(root, "c4")
     dt, res = _expr(tmp, ov, "influence", 24)
     rts = _round_times(tmp, "influence")

@@ -43,10 +43,13 @@ def test_scores_matrix(expr, method_name: str,
     qnum = len(iters)
     imgnum = len(expr.test_subjects)
     save_path = j.path("test_scores.txt")
+    scores = np.zeros((imgnum, qnum))
     if start_ind > 0 and os.path.exists(save_path):
-        scores = np.atleast_2d(np.loadtxt(save_path))
-    else:
-        scores = np.zeros((imgnum, qnum))
+        # the saved matrix may be narrower than the journal (rounds ran
+        # since the last scoring pass) — copy it into the leading slice
+        old = np.atleast_2d(np.loadtxt(save_path))
+        scores[:old.shape[0], :min(old.shape[1], qnum)] = \
+            old[:, :min(old.shape[1], qnum)]
 
     stats = multimg_stats(expr.test_subjects)
     evs = expr._evaluators(spec, expr.test_subjects, stats)

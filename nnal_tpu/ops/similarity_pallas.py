@@ -30,7 +30,8 @@ def _tiles_for(d: int):
     """Tile sizes that fit VMEM (~16 MB/core): two (T, d) f32 operand
     tiles plus the (T, T) product must stay well under the limit.  d=128
     features run at the full 512 tile; d=4096 (the PW1 fc2 feature dim —
-    a real campaign VMEM-OOMed here) drops to 256."""
+    a real campaign VMEM-OOMed here) floors to the 128 minimum
+    (10MB / (3*4096*4B) = 213 -> rounded down to the 128 lane multiple)."""
     budget = 10 * 1024 * 1024
     t = budget // (3 * d * 4)
     t = max(128, min(512, (t // 128) * 128))

@@ -9,6 +9,8 @@ import pytest
 
 from nnal_tpu.cli.expr_handler import create_expr, do_expr
 
+pytestmark = pytest.mark.slow
+
 OVERRIDES = ("patch_shape=[9,9,1],grid_spacing=4,k=5,B=30,ntb=256,b=32,"
              "epochs=1,MC_iters=2,init_size=6,learning_rate=1e-3")
 

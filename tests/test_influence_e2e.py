@@ -1,9 +1,12 @@
 """Influence-function AL round + Dice eval (driver config #4)."""
 
 import numpy as np
+import pytest
 
 from nnal_tpu.cli.expr_handler import do_expr
 from nnal_tpu.evaluation.metrics import dice
+
+pytestmark = pytest.mark.slow
 
 
 def test_influence_al_round(tmp_path):

@@ -2,10 +2,13 @@
 and atomic state record restore membership and query counting."""
 
 import numpy as np
+import pytest
 
 from nnal_tpu.core.config import ExperimentConfig
 from nnal_tpu.data.io import synthetic_subject
 from nnal_tpu.engine.multi_experiment import MultiImgExperiment
+
+pytestmark = pytest.mark.slow
 
 
 def test_multi_subject_resume(tmp_path):

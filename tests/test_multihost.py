@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
@@ -35,6 +37,7 @@ assert jax.local_device_count() == 4
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
+
 
 mesh = make_multihost_mesh(model_parallel=2)
 assert dict(mesh.shape) == {"data": 4, "model": 2}

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OVERRIDES = ("patch_shape=[9,9,1],grid_spacing=4,k=3,B=20,ntb=256,b=16,"
@@ -26,6 +28,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import sys
 from nnal_tpu.cli.expr_handler import do_expr
+
 root, method, nq, overrides = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
 res = do_expr(root, method, nq, overrides, synthetic=True)
 print("NQ", res["n_queries"])
