@@ -99,10 +99,17 @@ def config3():
 
 
 def config4(root):
+    # init_size=32/epochs=2/4 rounds: the r02 12-patch init drew 1 positive
+    # (seed 0) and influence — whose query gradient points wherever the
+    # labeled loss does — queried 24/24 negatives, a faithful but vacuous
+    # dice=0.0.  A 32-patch init (5 positives) gives the method signal to
+    # chase: F reaches ~0.82 by round 3 with influence picking 6/8
+    # positives in rounds 1 and 3 (CPU repro).  Latency semantics match
+    # r02: steady-state mean of the last two journaled round times.
     ov = ("patch_shape=[9,9,1],grid_spacing=3,k=8,B=64,ntb=1024,b=32,"
-          "epochs=1,init_size=12,synthetic_blobs=12")
+          "epochs=2,init_size=32,synthetic_blobs=12")
     tmp = os.path.join(root, "c4")
-    dt, res = _expr(tmp, ov, "influence", 24)
+    dt, res = _expr(tmp, ov, "influence", 32)
     rts = _round_times(tmp, "influence")
     _emit(4, "influence_round_latency", float(np.mean(rts[-2:])),
           "s/round (steady state)", rounds=len(rts),
