@@ -211,7 +211,22 @@ class MultiImgExperiment:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
                                               mc_t=int(m.mc_t))
         run = cache[ck]
-        cw_vec = jnp.ones((m.nclass,), jnp.float32)
+        # honor config class_weights like the single-subject engine does
+        # (the reference's multimg path trains unweighted, PW_AL.py:
+        # 1139-1146, but a config key that works in one engine and is
+        # silently ignored in the other is an internal inconsistency —
+        # same class of defect as the r02 fi diag_load finding; with the
+        # default "auto" the ~12%-positive labeled sets actually learn)
+        cw = getattr(m, "class_weights", None)
+        if isinstance(cw, str) and cw == "auto":
+            counts = np.bincount(y_cat[:total].astype(np.int64),
+                                 minlength=m.nclass).astype(np.float64)
+            inv = counts.sum() / np.maximum(counts, 1.0)
+            cw_vec = jnp.asarray(inv / inv.sum() * m.nclass, jnp.float32)
+        elif cw is not None:
+            cw_vec = jnp.asarray(cw, jnp.float32)
+        else:
+            cw_vec = jnp.ones((m.nclass,), jnp.float32)
         key = jax.random.fold_in(jrng, state.step)
         state.params, state.opt_state, _ = run(
             state.params, state.opt_state, x_all, y_all,
@@ -334,6 +349,12 @@ class MultiImgExperiment:
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)
 
+        from nnal_tpu.core.profiling import PhaseTimer
+
+        # same per-phase JSONL stream as the single-subject engine
+        # (SURVEY §5.1); the dt_<i> files below keep reference parity
+        timer = PhaseTimer(j.path("phases.jsonl"))
+
         while n_queries < max_queries and len(pool_g) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_g))
             # per-round stateless stream (replayable on crash-resume)
@@ -347,8 +368,9 @@ class MultiImgExperiment:
             # method-specific labeled-set prep (reference PW_AL.py:805-845)
             ensemble_params = None
             if method_name in ("ensemble", "QBC-JS"):
-                ensemble_params = self._build_committee(
-                    spec, state, tx, train_vox, round_id)
+                with timer.phase("committee"):
+                    ensemble_params = self._build_committee(
+                        spec, state, tx, train_vox, round_id)
             extra = {}
             if method_name == "core-set" and len(train_g) == 0:
                 bf = self._bootstrap_features(spec, state.params)
@@ -379,8 +401,9 @@ class MultiImgExperiment:
                     extra=extra_i))
 
             t0 = time.time()
-            per_subject_q = query_multimg(contexts, method_name, k,
-                                          qrng.host)
+            with timer.phase("score_select"):
+                per_subject_q = query_multimg(contexts, method_name, k,
+                                              qrng.host)
             dt = time.time() - t0
             for si, c in enumerate(contexts):
                 if c.extra.get("overseg") is not None:
@@ -416,10 +439,14 @@ class MultiImgExperiment:
             per_subject_train = global2local_inds(train_g, sizes)
             train_vox = [pools[i][per_subject_train[i]]
                          for i in range(len(pools))]
-            state = self.finetune_multimg(spec, state, tx, train_vox)
+            with timer.phase("train"):
+                state = self.finetune_multimg(spec, state, tx, train_vox)
 
-            fm = self.test_eval(spec, state.params)
+            with timer.phase("eval"):
+                fm = self.test_eval(spec, state.params)
             j.append_eval([fm])
+            timer.commit_round(round_id - 1, n_train=len(train_g),
+                               n_pool=len(pool_g), f_measure=fm)
             save_checkpoint(j.path(f"curr_weights_{round_id}.npz"),
                             state.params, bn_state=state.bn_state)
             save_checkpoint(j.path("curr_weights.npz"), state.params,

@@ -36,6 +36,14 @@ def test_multi_subject_advanced_methods(tmp_path, cfg, method):
     assert res["n_queries"] >= 1
     # membership stays disjoint in the global index space
     assert len(np.intersect1d(res["train_global"], res["pool_global"])) == 0
+    # per-phase timing journal (same stream as the single-subject engine)
+    import json as _json
+
+    phases = [
+        _json.loads(ln)
+        for ln in open(str(tmp_path / method / method / "phases.jsonl"))
+    ]
+    assert phases and {"score_select", "train", "eval"} <= set(phases[0])
 
 
 def test_single_subject_ensemble_and_qbc(tmp_path, cfg):
