@@ -66,6 +66,13 @@ class ModelConfig:
     # ``get_LwF``, model_utils.py:98-135)
     lwf_lambda: float = 0.0
     lwf_T: float = 2.0
+    # overlap per-round checkpoint writes with the next round's scoring
+    # (the async-checkpoint pattern of production training systems).
+    # Off by default: on a direct-attached TPU the save is ~0.1 s so
+    # there is nothing to hide, and on the tunneled dev chip the
+    # background pull contends with scoring dispatches and makes BOTH
+    # slower (measured: select 4.7 s -> 24-53 s/round)
+    async_checkpoint: bool = False
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05

@@ -151,6 +151,13 @@ class MultiImgExperiment:
         )
         from nnal_tpu.runtime.native import gather_patches_native
 
+        # donation guard: the scanned runner donates params/opt buffers,
+        # which must not be mid-flight in an async checkpoint pull
+        # (normally a no-op — run_method waits right after selection)
+        w = getattr(self, "_ckpt_writer", None)
+        if w is not None:
+            w.wait()
+
         m = self.config.model
         epochs = m.epochs if epochs is None else epochs
         sizes = [len(v) for v in per_subject_inds]
@@ -301,15 +308,23 @@ class MultiImgExperiment:
         (reference ``test_eval``, PW_AL.py:639-677)."""
         if not self.test_subjects:
             return float("nan")
-        stats = np.loadtxt(self._p("test_stats.txt")).reshape(
-            len(self.test_subjects), -1)
-        evs = self._evaluators(spec, self.test_subjects, stats)
+        # cache the evaluators across rounds: building one re-uploads the
+        # padded test volumes to the device, seconds per round over the
+        # tunnel for work whose inputs never change
+        evs = getattr(self, "_test_evs", None)
+        if evs is None:
+            stats = np.loadtxt(self._p("test_stats.txt")).reshape(
+                len(self.test_subjects), -1)
+            evs = self._test_evs = self._evaluators(
+                spec, self.test_subjects, stats)
+            self._test_grids = [
+                generate_grid_samples(
+                    np.asarray(vols[0]).shape,
+                    self.config.data.grid_spacing, mask)
+                for vols, mask in self.test_subjects]
         preds, masks = {}, {}
         for i, ev in enumerate(evs):
-            vols, mask = self.test_subjects[i]
-            inds, labels = generate_grid_samples(
-                np.asarray(vols[0]).shape, self.config.data.grid_spacing,
-                mask)
+            inds, labels = self._test_grids[i]
             p = ev.evaluate(params, inds, ("prediction",))["prediction"]
             preds[i] = p
             masks[i] = labels
@@ -350,10 +365,13 @@ class MultiImgExperiment:
         os.makedirs(times_path, exist_ok=True)
 
         from nnal_tpu.core.profiling import PhaseTimer
+        from nnal_tpu.models.checkpoint import AsyncCheckpointWriter
 
         # same per-phase JSONL stream as the single-subject engine
         # (SURVEY §5.1); the dt_<i> files below keep reference parity
         timer = PhaseTimer(j.path("phases.jsonl"))
+        if getattr(self, "_ckpt_writer", None) is None:
+            self._ckpt_writer = AsyncCheckpointWriter()
 
         while n_queries < max_queries and len(pool_g) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_g))
@@ -405,6 +423,11 @@ class MultiImgExperiment:
                 per_subject_q = query_multimg(contexts, method_name, k,
                                               qrng.host)
             dt = time.time() - t0
+            with timer.phase("checkpoint"):
+                # previous round's async save overlapped the scoring above;
+                # it must be durable before this round writes any state
+                # (same crash-consistency window as a synchronous save)
+                self._ckpt_writer.wait()
             for si, c in enumerate(contexts):
                 if c.extra.get("overseg") is not None:
                     self._overseg_cache[si] = c.extra["overseg"]
@@ -445,16 +468,43 @@ class MultiImgExperiment:
             with timer.phase("eval"):
                 fm = self.test_eval(spec, state.params)
             j.append_eval([fm])
+            with timer.phase("checkpoint"):
+                # async: the ~0.5 GB params+moments pull rides the tunnel
+                # while the next round's scoring runs on device; finetune
+                # waits before donating these buffers (finetune_multimg)
+                params_d, bn_d, opt_d = (state.params, state.bn_state,
+                                         state.opt_state)
+                step_now, rid = int(state.step), round_id
+
+                def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
+                          step_now=step_now, rid=rid):
+                    # pull once for both files: history copy + resume point
+                    from nnal_tpu.models.checkpoint import \
+                        _chunked_device_get
+
+                    pulled = _chunked_device_get(
+                        {"p": params_d, "b": bn_d, "o": opt_d})
+                    save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
+                                    pulled["p"], bn_state=pulled["b"])
+                    save_checkpoint(j.path("curr_weights.npz"), pulled["p"],
+                                    bn_state=pulled["b"],
+                                    opt_state=pulled["o"],
+                                    al_state={"step": step_now})
+
+                if getattr(cfg.model, "async_checkpoint", False):
+                    self._ckpt_writer.submit(_save)
+                else:
+                    _save()
+                j.save_state(round_id=round_id, rng_state=self.rng.state(),
+                             n_train=len(train_g), n_pool=len(pool_g))
             timer.commit_round(round_id - 1, n_train=len(train_g),
                                n_pool=len(pool_g), f_measure=fm)
-            save_checkpoint(j.path(f"curr_weights_{round_id}.npz"),
-                            state.params, bn_state=state.bn_state)
-            save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state,
-                            opt_state=state.opt_state,
-                            al_state={"step": int(state.step)})
-            j.save_state(round_id=round_id, rng_state=self.rng.state(),
-                         n_train=len(train_g), n_pool=len(pool_g))
 
+        with timer.phase("checkpoint"):
+            self._ckpt_writer.wait()   # final round's save must land
+        if timer.current:
+            # tail record so the final async wait stays visible in the
+            # phase journal (summed with its round by consumers)
+            timer.commit_round(round_id - 1, tail=True)
         return {"n_queries": n_queries, "perf": j.load_evals(),
                 "train_global": train_g, "pool_global": pool_g}

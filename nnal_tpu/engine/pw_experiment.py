@@ -186,6 +186,13 @@ class PWExperiment:
             make_scanned_finetune,
         )
 
+        # donation guard: the scanned runner donates params/opt buffers,
+        # which must not be mid-flight in an async checkpoint pull
+        # (normally a no-op — run_method waits right after selection)
+        w = getattr(self, "_ckpt_writer", None)
+        if w is not None:
+            w.wait()
+
         m = self.config.model
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
@@ -316,6 +323,10 @@ class PWExperiment:
         from nnal_tpu.core.tb import TBWriter
 
         timer = PhaseTimer(j.path("phases.jsonl"))
+        from nnal_tpu.models.checkpoint import AsyncCheckpointWriter
+
+        if getattr(self, "_ckpt_writer", None) is None:
+            self._ckpt_writer = AsyncCheckpointWriter()
         # optional TensorBoard mirror of the txt/JSONL metric streams
         tb = TBWriter(getattr(cfg, "tb_logdir", None)
                       and os.path.join(str(getattr(cfg, "tb_logdir")),
@@ -352,6 +363,10 @@ class PWExperiment:
                            cfg.model.output_perturbation_measure})
             with timer.phase("score_select"):
                 q_pos = cnn_query(ctx, method_name)
+            with timer.phase("checkpoint"):
+                # previous round's async save overlapped the scoring above;
+                # it must be durable before this round writes any state
+                self._ckpt_writer.wait()
             if ctx.extra.get("overseg") is not None:
                 # SLIC oversegmentation depends only on the volume — cache
                 # it across rounds instead of re-segmenting every query
@@ -376,8 +391,6 @@ class PWExperiment:
                                            ("prediction",))["prediction"]
                 fm = f_measure(preds, test_labels)
             j.append_eval([fm])
-            timer.commit_round(round_id - 1, n_train=len(train_inds),
-                               n_pool=len(pool_inds), f_measure=fm)
             tb.scalars({"al/f_measure": fm,
                         "al/n_train": len(train_inds)}, round_id - 1)
 
@@ -385,13 +398,33 @@ class PWExperiment:
             with open(j.path("query_times.txt"), "a") as f:
                 f.write(f"{round_id - 1} {dt:.3f}\n")
 
-            save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state,
-                            opt_state=state.opt_state,
-                            al_state={"step": int(state.step)})
+            with timer.phase("checkpoint"):
+                # async: the params+moments pull rides the tunnel while the
+                # next round's scoring runs; the wait above (and the guard
+                # in finetune) protects the donated buffers
+                params_d, bn_d, opt_d = (state.params, state.bn_state,
+                                         state.opt_state)
+                step_now = int(state.step)
+
+                def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
+                          step_now=step_now):
+                    save_checkpoint(j.path("curr_weights.npz"), params_d,
+                                    bn_state=bn_d, opt_state=opt_d,
+                                    al_state={"step": step_now})
+
+                if getattr(cfg.model, "async_checkpoint", False):
+                    self._ckpt_writer.submit(_save)
+                else:
+                    _save()
+            timer.commit_round(round_id - 1, n_train=len(train_inds),
+                               n_pool=len(pool_inds), f_measure=fm)
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 
+        with timer.phase("checkpoint"):
+            self._ckpt_writer.wait()   # final round's save must land
+        if timer.current:
+            timer.commit_round(round_id - 1, tail=True)
         tb.close()
         return {
             "n_queries": n_queries,

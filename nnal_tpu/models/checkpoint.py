@@ -27,7 +27,7 @@ def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
         if isinstance(v, dict):
             out.update(_flatten(v, key + "/"))
         else:
-            out[key] = np.asarray(v)
+            out[key] = v   # device arrays pulled in one batch at save time
     return out
 
 
@@ -40,6 +40,69 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
     return tree
+
+
+def _chunked_device_get(tree):
+    """Parallel device->host pull of any pytree: per-leaf fetches run on
+    a thread pool so each array rides its own RPC stream on tunneled
+    remote backends (measured ~2x the single-stream bandwidth).  Pure
+    data movement — no device programs, so nothing to compile (an
+    earlier variant that sliced leaves into device-side chunks compiled
+    one tiny program per slice offset on the remote compiler and lost
+    far more than it gained)."""
+    import concurrent.futures as cf
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    for v in leaves:
+        if isinstance(v, jax.Array):
+            # start all DMAs before any blocking fetch
+            v.copy_to_host_async()
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        pulled = list(ex.map(np.asarray, leaves))
+    return jax.tree_util.tree_unflatten(treedef, pulled)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint device->host pulls and disk writes with
+    subsequent device work (the async-checkpoint pattern of production
+    training systems, scoped to the npz format).
+
+    ``submit(fn)`` runs ``fn`` (typically: pull state + one or more
+    ``save_checkpoint`` calls) on a background thread after waiting for
+    any previous submission.  Callers MUST ``wait()`` before any step
+    that donates the checkpointed buffers (the engines wait at the top
+    of the next finetune), and at the end of the run.  A crash while a
+    save is in flight loses at most that one round's checkpoint, which
+    the engines' replayable query journals already recover from
+    (SURVEY.md §5.3: resume = last checkpoint + deterministic replay)."""
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def submit(self, fn) -> None:
+        import threading
+
+        self.wait()
+
+        def _run():
+            try:
+                fn()
+            except BaseException as e:   # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
@@ -62,10 +125,11 @@ def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
     if opt_state is not None:
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
-            payload[f"opt/{i:04d}"] = np.asarray(leaf)
+            payload[f"opt/{i:04d}"] = leaf
     if al_state is not None:
         payload["__al_state__"] = np.frombuffer(
             json.dumps(al_state).encode(), dtype=np.uint8)
+    payload = _chunked_device_get(payload)
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
     os.close(fd)

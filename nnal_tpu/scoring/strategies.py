@@ -495,16 +495,26 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
                 continue
             cand = c.pool_inds[li]
             ev = c.evaluator
+            # pad each subject's candidate slice to the (round-invariant)
+            # filter size B: the per-subject split of the global
+            # uncertainty filter varies every round, and jitting the
+            # gather/grads on that count compiled fresh programs per
+            # round on the remote compiler (the repo's shape-stability
+            # rule; ~15 s/round observed in the 131K-pool campaigns).
+            # The padded rows are sliced off after materialization.
+            nb = len(cand)
+            cand_p = np.concatenate(
+                [np.asarray(cand, np.int64), np.zeros(B - nb, np.int64)])
+            pv_p = np.zeros(B, np.float32)
+            base = int(np.sum(sizes[:si]))
+            pv_p[:nb] = p1[base + li]
             patches = gather_patches_normalized(
-                ev.padded, jnp.asarray(cand), ev.mu, ev.sd,
+                ev.padded, jnp.asarray(cand_p), ev.mu, ev.sd,
                 ev.patch_shape, ev.orig_shape)
             shrunk = shrunk_class_grads(c.spec, c.params, patches)
-            # posteriors of these candidates in subject-local order
-            base = int(np.sum(sizes[:si]))
-            pv = p1[base + li]
             A_list.append(np.asarray(a_matrices(
-                shrunk, jnp.asarray(pv, jnp.float32),
-                contexts[0].diag_load)))
+                shrunk, jnp.asarray(pv_p),
+                contexts[0].diag_load))[:nb])
             order.append(base + li)
         A = np.concatenate(A_list)
         order = np.concatenate(order)

@@ -114,6 +114,36 @@ def test_multi_subject_random(tmp_path, pw_cfg):
     assert res["n_queries"] == 4
 
 
+def test_async_checkpoint_campaign(tmp_path):
+    """async_checkpoint=True: the campaign completes, every per-round save
+    lands (final wait), and a fresh run_method call resumes from the
+    async-written checkpoint exactly like the sync path."""
+    from nnal_tpu.engine.pw_experiment import PWExperiment
+    from nnal_tpu.models.checkpoint import load_checkpoint
+
+    cfg = ExperimentConfig.from_pars({
+        "model_name": "PW", "nclass": 2, "patch_shape": (9, 9, 1),
+        "grid_spacing": 5, "k": 4, "B": 16, "ntb": 256, "b": 32,
+        "epochs": 1, "MC_iters": 2, "learning_rate": 3e-4,
+        "optimizer_name": "Adam", "dropout_rate": 0.2, "init_size": 4,
+        "async_checkpoint": True,
+    })
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    expr = PWExperiment(str(tmp_path / "async"), cfg)
+    expr.attach_subject(vols, mask)
+    expr.prep_data()
+    expr.add_method("entropy")
+    res = expr.run_method("entropy", 4)
+    assert res["n_queries"] == 4
+    ckpt = str(tmp_path / "async" / "entropy" / "curr_weights.npz")
+    params, _, _, al_state = load_checkpoint(ckpt)
+    assert al_state is not None and al_state["step"] > 0
+    # continue the campaign from the async-written resume point
+    res2 = expr.run_method("entropy", 8)
+    assert res2["n_queries"] == 8
+
+
 def test_sequential_al(tmp_path, pw_cfg):
     subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
             for s in range(2)]
