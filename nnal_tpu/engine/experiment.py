@@ -190,6 +190,11 @@ class Experiment:
         round_id = len(j.query_iters())
         train_inds, pool_inds = j.membership()
 
+        from nnal_tpu.core.profiling import PhaseTimer
+
+        # same per-phase JSONL stream as the patch-wise engines (§5.1)
+        timer = PhaseTimer(j.path("phases.jsonl"))
+
         while n_queries < max_queries and len(pool_inds) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
             qrng = self.rng.fold(f"q-{method_name}-{run}-{round_id}")
@@ -200,7 +205,8 @@ class Experiment:
                 pool_x=LazyPoolView(self._pool, pool_inds),
                 k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
                 batch=cfg.query.ntb)
-            q_pos = cls_query(ctx, method_name)
+            with timer.phase("score_select"):
+                q_pos = cls_query(ctx, method_name)
             q_inds = pool_inds[q_pos]
 
             j.record_queries(round_id, q_inds)
@@ -210,22 +216,27 @@ class Experiment:
             n_queries += len(q_inds)
             round_id += 1
 
-            state = self._retrain(spec, state, tx, train_inds,
-                                  cfg.model.epochs)
+            with timer.phase("train"):
+                state = self._retrain(spec, state, tx, train_inds,
+                                      cfg.model.epochs)
 
-            preds = batched_forward(spec, state.params,
-                                    LazyPoolView(self._pool, test_inds),
-                                    cfg.query.ntb,
-                                    ("prediction",))["prediction"]
-            acc = accuracy(preds, self._pool.labels[test_inds])
+            with timer.phase("eval"):
+                preds = batched_forward(
+                    spec, state.params,
+                    LazyPoolView(self._pool, test_inds),
+                    cfg.query.ntb, ("prediction",))["prediction"]
+                acc = accuracy(preds, self._pool.labels[test_inds])
             j.append_eval([acc], "accs.txt")
             with open(j.path("predicts.txt"), "a") as f:
                 f.write(" ".join(str(int(p)) for p in preds) + "\n")
 
-            save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state,
-                            opt_state=state.opt_state,
-                            al_state={"step": int(state.step)})
+            with timer.phase("checkpoint"):
+                save_checkpoint(j.path("curr_weights.npz"), state.params,
+                                bn_state=state.bn_state,
+                                opt_state=state.opt_state,
+                                al_state={"step": int(state.step)})
+            timer.commit_round(round_id - 1, n_train=len(train_inds),
+                               n_pool=len(pool_inds), accuracy=float(acc))
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 
