@@ -1,6 +1,7 @@
 """Classification experiment + multi-subject experiment + sequential AL
 smokes (reference AL.py, PW_AL.py:586+, PW_AL.py:1295)."""
 
+import json
 import os
 
 import numpy as np
@@ -48,6 +49,14 @@ def test_classification_experiment(tmp_path, cls_cfg):
     lines = open(os.path.join(str(tmp_path / "cls"), "0", "entropy",
                               "predicts.txt")).read().strip().split("\n")
     assert len(lines) == 2
+    # per-phase timing stream (§5.1), same schema as the patch-wise engines
+    rows = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path / "cls"), "0", "entropy",
+                              "phases.jsonl"))]
+    assert len(rows) == 2
+    for r in rows:
+        assert {"score_select", "train", "eval", "checkpoint"} <= set(r)
+        assert 0.0 <= r["accuracy"] <= 1.0 and r["n_train"] > 0
     # second method over the same run, random baseline
     expr.add_method("random", run)
     res2 = expr.run_method("random", run, 5)
