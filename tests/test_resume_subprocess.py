@@ -81,7 +81,11 @@ def test_interrupted_resume_bit_identical(tmp_path):
 
 
 def test_fold_is_process_stable():
-    code = ("from nnal_tpu.core.rng import RngStream; "
+    # pin CPU *inside* the child: the baked sitecustomize resets
+    # jax_platforms to "axon,cpu" at jax import, so the env var alone
+    # would make this test hang whenever the TPU tunnel is unhealthy
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from nnal_tpu.core.rng import RngStream; "
             "print(RngStream(11).fold('query-entropy-3').seed)")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
