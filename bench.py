@@ -13,15 +13,47 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _device_responsive(timeout_s: int = 570) -> bool:
+    """Probe the backend in a *subprocess* with a hard timeout.
+
+    A stalled axon tunnel hangs any device RPC indefinitely (no deadline in
+    the client); probing in-process would hang this benchmark with it.  The
+    generous timeout covers the tunnel's load-dependent remote compiles
+    (a toy program has been observed taking 122-209 s to compile).
+    """
+    # the baked sitecustomize resets jax_platforms to "axon,cpu" at jax
+    # import, so the child must re-apply JAX_PLATFORMS itself or a
+    # JAX_PLATFORMS=cpu bench run would still probe (and fail on) the tunnel
+    probe = ("import os, jax, numpy as np; "
+             "p = os.environ.get('JAX_PLATFORMS'); "
+             "p and jax.config.update('jax_platforms', p); "
+             "x = jax.numpy.ones((128, 128)); "
+             "print(float(np.asarray(x @ x)[0, 0]))")
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
+                       check=True, capture_output=True)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+# honor an explicit JAX_PLATFORMS (the baked sitecustomize resets it to
+# "axon,cpu" at jax import, so JAX_PLATFORMS=cpu would otherwise still
+# target — and hang on — an unhealthy tunnel)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
 
 from nnal_tpu.data.io import synthetic_subject  # noqa: E402
 from nnal_tpu.data.patches import pad_volumes  # noqa: E402
@@ -33,6 +65,11 @@ BASELINE_PATCHES_PER_SEC_PER_CHIP = 1_000_000 / 2.0 / 8
 
 
 def main():
+    if not _device_responsive():
+        print("bench.py: device backend unresponsive (axon tunnel stall?) "
+              "— refusing to hang; retry when the tunnel recovers",
+              file=sys.stderr)
+        sys.exit(2)
     on_tpu = jax.devices()[0].platform == "tpu"
     shape = (256, 256, 64) if on_tpu else (32, 32, 4)
     g = 2
