@@ -40,6 +40,19 @@ PARS = {
 MULTI_METHODS = ["fi", "core-set", "ensemble", "influence"]
 SINGLE_METHODS = ["rep-entropy", "BALD", "AU_4U", "SuPix", "QBC-JS"]
 
+# NNAL_CKPT_EVERY=K runs the campaign with anchored checkpoints (the full
+# ~0.5 GB resume pull every K rounds instead of every round; crash-resume
+# replays from the anchor, see config.model.ckpt_full_every).  The method
+# is then recorded as "<name>@ckptK" so both variants can coexist in the
+# artifact.
+_CKPT_EVERY = int(os.environ.get("NNAL_CKPT_EVERY", "1"))
+if _CKPT_EVERY > 1:
+    PARS["ckpt_full_every"] = _CKPT_EVERY
+
+
+def _method_tag(method):
+    return (f"{method}@ckpt{_CKPT_EVERY}" if _CKPT_EVERY > 1 else method)
+
 
 def _subjects(n, seed0=0):
     from nnal_tpu.data.io import synthetic_subject
@@ -109,7 +122,8 @@ def run_single(method, out):
         t0 = time.perf_counter()
         res = expr.run_method(method, 64)
         dt = time.perf_counter() - t0
-        rec = {"method": method, "queries": int(res["n_queries"]),
+        rec = {"method": _method_tag(method),
+               "queries": int(res["n_queries"]),
                "wall_s": round(dt, 1),
                "phase_s": _phase_totals(root, method),
                "perf": [round(float(v), 3) for v in res["perf"]]}
@@ -144,7 +158,8 @@ def run_multi(method, out):
         t0 = time.perf_counter()
         res = expr.run_method(method, 64)
         dt = time.perf_counter() - t0
-        rec = {"method": method, "queries": int(res["n_queries"]),
+        rec = {"method": _method_tag(method),
+               "queries": int(res["n_queries"]),
                "wall_s": round(dt, 1),
                "phase_s": _phase_totals(root, method),
                "perf": [round(float(v), 3) for v in res["perf"]]}

@@ -73,6 +73,16 @@ class ModelConfig:
     # background pull contends with scoring dispatches and makes BOTH
     # slower (measured: select 4.7 s -> 24-53 s/round)
     async_checkpoint: bool = False
+    # write the FULL resume checkpoint (params + Adam moments, the ~0.5 GB
+    # device pull) only every K rounds; intermediate rounds skip it (the
+    # multi-subject engine still writes its params-only per-iter history
+    # copy). Crash-resume stays bit-identical: queries are journaled and
+    # the finetune RNG is keyed on the optimizer step, so resume replays
+    # the skipped rounds' finetunes from the last anchor (~1.4 s/round on
+    # chip vs ~21 s/round of checkpoint pull on the tunnel). 1 = every
+    # round (reference semantics). A completed run_method always ends
+    # with a full save, so only crashes ever replay.
+    ckpt_full_every: int = 1
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05

@@ -361,6 +361,28 @@ class MultiImgExperiment:
         train_g, pool_g = j.membership()   # global index space
         sizes = [len(p) for p in pools]
 
+        # ckpt_full_every > 1: the resume point on disk may be an anchor
+        # from an earlier round — replay the journaled rounds' finetunes
+        # (same bit-identical argument as the single-subject engine:
+        # train_g grows by appending, finetune RNG is step-keyed)
+        anchor = (0 if al_state is None
+                  else int(al_state.get("round", round_id)))
+        if anchor < round_id:
+            # multi journals store (voxel, subject) 2 x k matrices
+            qarrs = [load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
+                     for it in j.query_iters()]
+            counts = [a.shape[-1] if a.ndim == 2 else len(a)
+                      for a in qarrs]
+            lens, n = [], len(train_g) - sum(counts)
+            for c in counts:
+                n += c
+                lens.append(n)
+            for r in range(anchor, round_id):
+                tv = [pools[i][loc] for i, loc in
+                      enumerate(global2local_inds(train_g[:lens[r]],
+                                                  sizes))]
+                state = self.finetune_multimg(spec, state, tx, tv)
+
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)
 
@@ -372,6 +394,9 @@ class MultiImgExperiment:
         timer = PhaseTimer(j.path("phases.jsonl"))
         if getattr(self, "_ckpt_writer", None) is None:
             self._ckpt_writer = AsyncCheckpointWriter()
+
+        # entry state is reproducible as-is (anchor ckpt or replay above)
+        last_full_round = round_id
 
         while n_queries < max_queries and len(pool_g) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_g))
@@ -471,30 +496,42 @@ class MultiImgExperiment:
             with timer.phase("checkpoint"):
                 # async: the ~0.5 GB params+moments pull rides the tunnel
                 # while the next round's scoring runs on device; finetune
-                # waits before donating these buffers (finetune_multimg)
+                # waits before donating these buffers (finetune_multimg).
+                # Non-anchor rounds (ckpt_full_every > 1) pull params+bn
+                # only — the per-iter history copy keeps reference parity
+                # while the 2/3 of the payload that is Adam moments stays
+                # on device (resume replays from the last anchor).
+                K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
+                full = round_id % K == 0
                 params_d, bn_d, opt_d = (state.params, state.bn_state,
                                          state.opt_state)
                 step_now, rid = int(state.step), round_id
 
                 def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
-                          step_now=step_now, rid=rid):
+                          step_now=step_now, rid=rid, full=full):
                     # pull once for both files: history copy + resume point
                     from nnal_tpu.models.checkpoint import \
                         _chunked_device_get
 
-                    pulled = _chunked_device_get(
-                        {"p": params_d, "b": bn_d, "o": opt_d})
+                    payload = {"p": params_d, "b": bn_d}
+                    if full:
+                        payload["o"] = opt_d
+                    pulled = _chunked_device_get(payload)
                     save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
                                     pulled["p"], bn_state=pulled["b"])
-                    save_checkpoint(j.path("curr_weights.npz"), pulled["p"],
-                                    bn_state=pulled["b"],
-                                    opt_state=pulled["o"],
-                                    al_state={"step": step_now})
+                    if full:
+                        save_checkpoint(j.path("curr_weights.npz"),
+                                        pulled["p"], bn_state=pulled["b"],
+                                        opt_state=pulled["o"],
+                                        al_state={"step": step_now,
+                                                  "round": rid})
 
                 if getattr(cfg.model, "async_checkpoint", False):
                     self._ckpt_writer.submit(_save)
                 else:
                     _save()
+                if full:
+                    last_full_round = round_id
                 j.save_state(round_id=round_id, rng_state=self.rng.state(),
                              n_train=len(train_g), n_pool=len(pool_g))
             timer.commit_round(round_id - 1, n_train=len(train_g),
@@ -502,6 +539,14 @@ class MultiImgExperiment:
 
         with timer.phase("checkpoint"):
             self._ckpt_writer.wait()   # final round's save must land
+            if last_full_round != round_id:
+                # a completed invocation always leaves a full resume point;
+                # only crashes between anchors ever take the replay path
+                save_checkpoint(j.path("curr_weights.npz"), state.params,
+                                bn_state=state.bn_state,
+                                opt_state=state.opt_state,
+                                al_state={"step": int(state.step),
+                                          "round": round_id})
         if timer.current:
             # tail record so the final async wait stays visible in the
             # phase journal (summed with its round by consumers)

@@ -282,6 +282,34 @@ class PWExperiment:
         state.step += int(idx_mat.shape[0])
         return state
 
+    # ------------------------------------------------------------- replay
+    def _replay_to_round(self, j, spec, params_state, al_state,
+                         train_inds, round_id):
+        """Rebuild training state at ``round_id`` from an anchor checkpoint.
+
+        With ``ckpt_full_every > 1`` the full (params + optimizer-moment)
+        resume point is only written every K rounds; a crash between
+        anchors resumes by re-running the journaled rounds' finetunes
+        from the anchor.  Replay is bit-identical because query sets are
+        journaled, each round's labeled set is a *prefix* of the current
+        ``train_inds`` (the loop only ever appends), and the finetune RNG
+        is keyed on the optimizer step, not on a process cursor.
+        """
+        state, tx = params_state
+        anchor = (0 if al_state is None
+                  else int(al_state.get("round", round_id)))
+        if anchor >= round_id:
+            return state
+        counts = [len(load_inds(os.path.join(j.queries_dir, f"{it}.txt")))
+                  for it in j.query_iters()]
+        lens, n = [], len(train_inds) - sum(counts)
+        for c in counts:
+            n += c
+            lens.append(n)
+        for r in range(anchor, round_id):
+            state = self.finetune(spec, (state, tx), train_inds[:lens[r]])
+        return state
+
     # ------------------------------------------------------------- AL loop
     def run_method(self, method_name: str, max_queries: int) -> Dict:
         """The AL loop (reference ``run_method``, PW_AL.py:278-498),
@@ -319,6 +347,14 @@ class PWExperiment:
 
         train_inds, pool_inds = j.membership()
 
+        # ckpt_full_every > 1: the checkpoint on disk may be an *anchor*
+        # from an earlier round (full saves are skipped in between).
+        # Queries are journaled and each round's labeled set is a prefix
+        # of the current one, so replaying the skipped rounds' finetunes
+        # (step-keyed RNG) rebuilds this round's state bit-identically.
+        state = self._replay_to_round(j, spec, (state, tx), al_state,
+                                      train_inds, round_id)
+
         from nnal_tpu.core.profiling import PhaseTimer
         from nnal_tpu.core.tb import TBWriter
 
@@ -331,6 +367,8 @@ class PWExperiment:
         tb = TBWriter(getattr(cfg, "tb_logdir", None)
                       and os.path.join(str(getattr(cfg, "tb_logdir")),
                                        method_name))
+        # entry state is reproducible as-is (anchor ckpt or replay above)
+        last_full_round = round_id
 
         while n_queries < max_queries:
             t0 = time.time()
@@ -399,23 +437,31 @@ class PWExperiment:
                 f.write(f"{round_id - 1} {dt:.3f}\n")
 
             with timer.phase("checkpoint"):
-                # async: the params+moments pull rides the tunnel while the
-                # next round's scoring runs; the wait above (and the guard
-                # in finetune) protects the donated buffers
-                params_d, bn_d, opt_d = (state.params, state.bn_state,
-                                         state.opt_state)
-                step_now = int(state.step)
+                # anchor rounds write the full resume point; in between,
+                # ckpt_full_every > 1 skips the ~0.5 GB pull entirely
+                # (resume replays the journaled finetunes from the anchor)
+                K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
+                if round_id % K == 0:
+                    # async: the params+moments pull rides the tunnel while
+                    # the next round's scoring runs; the wait above (and
+                    # the guard in finetune) protects the donated buffers
+                    params_d, bn_d, opt_d = (state.params, state.bn_state,
+                                             state.opt_state)
+                    step_now, rid_now = int(state.step), round_id
 
-                def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
-                          step_now=step_now):
-                    save_checkpoint(j.path("curr_weights.npz"), params_d,
-                                    bn_state=bn_d, opt_state=opt_d,
-                                    al_state={"step": step_now})
+                    def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
+                              step_now=step_now, rid_now=rid_now):
+                        save_checkpoint(j.path("curr_weights.npz"),
+                                        params_d, bn_state=bn_d,
+                                        opt_state=opt_d,
+                                        al_state={"step": step_now,
+                                                  "round": rid_now})
 
-                if getattr(cfg.model, "async_checkpoint", False):
-                    self._ckpt_writer.submit(_save)
-                else:
-                    _save()
+                    if getattr(cfg.model, "async_checkpoint", False):
+                        self._ckpt_writer.submit(_save)
+                    else:
+                        _save()
+                    last_full_round = round_id
             timer.commit_round(round_id - 1, n_train=len(train_inds),
                                n_pool=len(pool_inds), f_measure=fm)
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
@@ -423,6 +469,16 @@ class PWExperiment:
 
         with timer.phase("checkpoint"):
             self._ckpt_writer.wait()   # final round's save must land
+            if last_full_round != round_id:
+                # a completed invocation always leaves a full resume point
+                # so downstream consumers read FINAL weights and a later
+                # run_method call resumes replay-free; only crashes between
+                # anchors ever take the replay path
+                save_checkpoint(j.path("curr_weights.npz"), state.params,
+                                bn_state=state.bn_state,
+                                opt_state=state.opt_state,
+                                al_state={"step": int(state.step),
+                                          "round": round_id})
         if timer.current:
             timer.commit_round(round_id - 1, tail=True)
         tb.close()
