@@ -190,10 +190,31 @@ class Experiment:
         round_id = len(j.query_iters())
         train_inds, pool_inds = j.membership()
 
+        # ckpt_full_every > 1: the resume point may be an anchor from an
+        # earlier round — replay the journaled rounds' retrains (same
+        # bit-identical argument as the patch-wise engines: train_inds
+        # grows by appending, the retrain RNG is step-keyed)
+        anchor = (0 if al_state is None
+                  else int(al_state.get("round", round_id)))
+        if anchor < round_id:
+            counts = [len(load_inds(os.path.join(j.queries_dir,
+                                                 f"{it}.txt")))
+                      for it in j.query_iters()]
+            lens, n = [], len(train_inds) - sum(counts)
+            for c in counts:
+                n += c
+                lens.append(n)
+            for r in range(anchor, round_id):
+                state = self._retrain(spec, state, tx,
+                                      train_inds[:lens[r]],
+                                      cfg.model.epochs)
+
         from nnal_tpu.core.profiling import PhaseTimer
 
         # same per-phase JSONL stream as the patch-wise engines (§5.1)
         timer = PhaseTimer(j.path("phases.jsonl"))
+        # entry state is reproducible as-is (anchor ckpt or replay above)
+        last_full_round = round_id
 
         while n_queries < max_queries and len(pool_inds) > 0:
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
@@ -231,15 +252,30 @@ class Experiment:
                 f.write(" ".join(str(int(p)) for p in preds) + "\n")
 
             with timer.phase("checkpoint"):
-                save_checkpoint(j.path("curr_weights.npz"), state.params,
-                                bn_state=state.bn_state,
-                                opt_state=state.opt_state,
-                                al_state={"step": int(state.step)})
+                # anchor rounds write the full resume point; in between,
+                # ckpt_full_every > 1 skips the pull (resume replays)
+                K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
+                if round_id % K == 0:
+                    save_checkpoint(j.path("curr_weights.npz"),
+                                    state.params,
+                                    bn_state=state.bn_state,
+                                    opt_state=state.opt_state,
+                                    al_state={"step": int(state.step),
+                                              "round": round_id})
+                    last_full_round = round_id
             timer.commit_round(round_id - 1, n_train=len(train_inds),
                                n_pool=len(pool_inds), accuracy=float(acc))
             j.save_state(round_id=round_id, rng_state=self.rng.state(),
                          n_train=len(train_inds), n_pool=len(pool_inds))
 
+        if last_full_round != round_id:
+            # a completed invocation always leaves a full resume point;
+            # only crashes between anchors ever take the replay path
+            save_checkpoint(j.path("curr_weights.npz"), state.params,
+                            bn_state=state.bn_state,
+                            opt_state=state.opt_state,
+                            al_state={"step": int(state.step),
+                                      "round": round_id})
         return {"n_queries": n_queries,
                 "accs": j.load_evals("accs.txt"),
                 "train_inds": train_inds, "pool_inds": pool_inds}

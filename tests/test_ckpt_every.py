@@ -145,6 +145,60 @@ def test_single_engine_anchor_writes_and_replay_resume(tmp_path):
     _assert_identical(ref, _artifacts(str(b_root), "random"))
 
 
+def test_classification_engine_replay_resume(tmp_path):
+    import nnal_tpu.engine.experiment as cls_mod
+    from nnal_tpu.engine.experiment import Experiment
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(160, 8, 8, 1)).astype(np.float32)
+    y = (X.mean(axis=(1, 2, 3)) > 0).astype(np.int64)
+    X[y == 1] += 0.8
+    cfg_pars = {
+        "model_name": "PW", "nclass": 2, "patch_shape": (8, 8, 1),
+        "k": 3, "B": 16, "ntb": 64, "b": 16, "epochs": 1,
+        "learning_rate": 3e-4, "optimizer_name": "Adam",
+        "dropout_rate": 0.2, "init_size": 8, "test_ratio": 0.25,
+        "seed": 7, "ckpt_full_every": 3,
+    }
+
+    def fresh(root):
+        expr = Experiment(str(root), ExperimentConfig.from_pars(cfg_pars))
+        expr.attach_data(X, y)
+        return expr
+
+    a_root = tmp_path / "uninterrupted"
+    expr = fresh(a_root)
+    run = expr.add_run()
+    expr.add_method("entropy", run)
+    res = expr.run_method("entropy", run, 12)
+    assert res["n_queries"] == 12
+
+    b_root = tmp_path / "resumed"
+    expr = fresh(b_root)
+    run = expr.add_run()
+    expr.add_method("entropy", run)
+    with _SuppressResume(cls_mod) as sup:
+        expr.run_method("entropy", run, 6)
+    assert sup.suppressed >= 1
+    expr2 = fresh(b_root)
+    res2 = expr2.run_method("entropy", run, 12)
+    assert res2["n_queries"] == 12
+
+    for name in ("accs.txt", "predicts.txt"):
+        ea = open(a_root / "0" / "entropy" / name).read()
+        eb = open(b_root / "0" / "entropy" / name).read()
+        assert ea == eb, f"{name} differs after replay resume"
+    pa = load_checkpoint(str(a_root / "0" / "entropy"
+                             / "curr_weights.npz"))[0]
+    pb = load_checkpoint(str(b_root / "0" / "entropy"
+                             / "curr_weights.npz"))[0]
+    import jax
+
+    for x_, y_ in zip(jax.tree_util.tree_leaves(pa),
+                      jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(x_), np.asarray(y_))
+
+
 def test_multi_engine_replay_resume_keeps_history_copies(tmp_path):
     import nnal_tpu.engine.multi_experiment as mm_mod
     from nnal_tpu.engine.multi_experiment import MultiImgExperiment
