@@ -40,16 +40,21 @@ try:  # optional: pynrrd (reference's primary format, patch_utils.py:5)
     import nrrd as _nrrd
 
     register_reader(".nrrd", lambda p: _nrrd.read(p)[0])
-except ImportError:
-    pass
+except ImportError:  # self-contained fallback (data/formats.py)
+    from .formats import read_nrrd as _read_nrrd
+
+    register_reader(".nrrd", lambda p: _read_nrrd(p)[0])
 
 try:  # optional: nibabel (reference datasets/utils.py:3)
     import nibabel as _nib
 
     register_reader(".nii", lambda p: np.asanyarray(_nib.load(p).dataobj))
     register_reader(".nii.gz", lambda p: np.asanyarray(_nib.load(p).dataobj))
-except ImportError:
-    pass
+except ImportError:  # self-contained fallback (data/formats.py)
+    from .formats import read_nifti as _read_nifti
+
+    register_reader(".nii", _read_nifti)
+    register_reader(".nii.gz", _read_nifti)
 
 
 @dataclass
