@@ -48,32 +48,44 @@ def main():
         out["date"] = datetime.date.today().isoformat()
         out["note"] = NOTE
 
+    def upsert(line):
+        line = line.strip()
+        if not line.startswith("{"):
+            return
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return
+        if "config" not in rec:
+            return
+        out["configs"] = ([c for c in out["configs"]
+                           if c["config"] != rec["config"]] + [rec])
+        out["configs"].sort(key=lambda c: c["config"])
+        json.dump(out, open(path, "w"), indent=1)
+
     buf = io.StringIO()
 
     class Tee(io.TextIOBase):
+        """Upsert each completed JSON line as it is printed, so a
+        mid-suite tunnel stall (or kill) keeps every config that DID
+        finish — the artifact's partial-run claim depends on this
+        happening before bench_suite.main() returns."""
+
         def write(self, s):
             buf.write(s)
             sys.stderr.write(s)
+            while "\n" in buf.getvalue():
+                head, rest = buf.getvalue().split("\n", 1)
+                buf.seek(0)
+                buf.truncate()
+                buf.write(rest)
+                upsert(head)
             return len(s)
 
     sys.argv = ["bench_suite.py"] + which
     with redirect_stdout(Tee()):
         bench_suite.main()
-
-    for line in buf.getvalue().splitlines():
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            rec = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        if "config" not in rec:
-            continue
-        out["configs"] = ([c for c in out["configs"]
-                           if c["config"] != rec["config"]] + [rec])
-        out["configs"].sort(key=lambda c: c["config"])
-        json.dump(out, open(path, "w"), indent=1)
+    upsert(buf.getvalue())  # unterminated final line, if any
 
     json.dump(out, open(path, "w"), indent=1)
     print("wrote", path)

@@ -37,12 +37,21 @@ def save_inds(path: str, inds) -> None:
     np.savetxt(path, np.asarray(inds, dtype=np.int64), fmt="%d")
 
 
-def load_inds(path: str) -> np.ndarray:
+def load_inds(path: str, matrix: bool = False) -> np.ndarray:
+    """Load an int index file.
+
+    ``matrix=True`` is for multi-subject (voxel, subject) query journals,
+    which are ALWAYS 2 x k on disk: a k=1 file is textually identical to a
+    1-D length-2 file (np.savetxt writes both as two one-value lines), so
+    the caller's context — not the file — must disambiguate.  ``ndmin=2``
+    keeps the (2, 1) shape that plain loadtxt would squeeze to (2,).
+    """
     if os.path.getsize(path) == 0:
         # empty membership files are routine (e.g. init_size=0)
-        return np.zeros(0, dtype=np.int64)
-    arr = np.atleast_1d(np.loadtxt(path, dtype=np.int64))
-    return arr
+        return np.zeros((2, 0) if matrix else 0, dtype=np.int64)
+    if matrix:
+        return np.loadtxt(path, dtype=np.int64, ndmin=2)
+    return np.atleast_1d(np.loadtxt(path, dtype=np.int64))
 
 
 def append_row(path: str, row) -> None:
@@ -102,11 +111,15 @@ class MethodJournal:
             out.append(load_inds(os.path.join(self.queries_dir, f"{it}.txt")))
         return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
-    def n_queried(self) -> int:
+    def n_queried(self, matrix: bool = False) -> int:
+        """Total queried so far.  ``matrix=True`` for multi-subject
+        journals whose files are (voxel, subject) 2 x k matrices — a k=1
+        matrix file is indistinguishable from a 1-D length-2 file on
+        disk, so auto-detection by ndim would double-count it."""
         total = 0
         for i in self.query_iters():
-            arr = load_inds(os.path.join(self.queries_dir, f"{i}.txt"))
-            # multi-subject journals store (voxel, subject) 2 x k matrices
+            arr = load_inds(os.path.join(self.queries_dir, f"{i}.txt"),
+                            matrix=matrix)
             total += arr.shape[-1] if arr.ndim == 2 else len(arr)
         return int(total)
 

@@ -118,14 +118,29 @@ def read_nrrd(path: str):
             dpath = os.path.join(os.path.dirname(path), datafile)
             with open(dpath, "rb") as df:
                 payload = df.read()
-            skip = int(fields.get("line skip", fields.get("lineskip", 0)))
-            for _ in range(skip):
-                payload = payload.split(b"\n", 1)[1]
+            lskip = int(fields.get("line skip", fields.get("lineskip", 0)))
+            for i in range(lskip):
+                nl = payload.find(b"\n")
+                if nl < 0:
+                    raise ValueError(
+                        f"{dpath}: line skip {lskip} exceeds the "
+                        f"{i} newline(s) present")
+                payload = payload[nl + 1:]
+            bskip = int(fields.get("byte skip", fields.get("byteskip", 0)))
+            if bskip > 0:
+                payload = payload[bskip:]
         else:
             payload = f.read()
+            bskip = 0
     n = int(np.prod(sizes)) if sizes else 0
     if enc in ("raw",):
+        if bskip == -1:
+            # byte skip: -1 (raw only, per spec): data is the file tail
+            payload = payload[len(payload) - n * dtype.itemsize:]
         buf = payload[: n * dtype.itemsize]
+        if len(buf) < n * dtype.itemsize:
+            raise ValueError(f"{path}: raw payload has {len(buf)} bytes, "
+                             f"need {n * dtype.itemsize}")
     elif enc in ("gzip", "gz"):
         buf = zlib.decompress(payload, zlib.MAX_WBITS | 32)
     elif enc in ("bzip2", "bz2"):
@@ -227,12 +242,25 @@ def read_nifti(path: str) -> np.ndarray:
         dtype = np.dtype(bo + _NIFTI_DTYPES[datatype])
         (vox_offset,) = struct.unpack(bo + "f", hdr[108:112])
         slope, inter = struct.unpack(bo + "2f", hdr[112:120])
-        off = int(vox_offset) if magic[:3] == b"n+1" else 0
-        if off > 348:
-            f.read(off - 348)
         n = int(np.prod(shape))
-        arr = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype,
-                            count=n).reshape(shape, order="F")
+        if magic[:3] == b"ni1":
+            # detached .hdr/.img pair: voxels live in the companion .img
+            base = path[:-3] if path.endswith(".gz") else path
+            root, _ = os.path.splitext(base)
+            img = root + ".img"
+            iopen = open
+            if not os.path.exists(img) and os.path.exists(img + ".gz"):
+                img, iopen = img + ".gz", gzip.open
+            with iopen(img, "rb") as fi:
+                fi.read(int(vox_offset))
+                raw = fi.read(n * dtype.itemsize)
+        else:
+            off = int(vox_offset)
+            if off > 348:
+                f.read(off - 348)
+            raw = f.read(n * dtype.itemsize)
+        arr = np.frombuffer(raw, dtype=dtype, count=n).reshape(shape,
+                                                               order="F")
     # nibabel applies scaling unless it is absent (slope 0) or identity
     if slope != 0.0 and (slope != 1.0 or inter != 0.0):
         arr = arr * np.float64(slope) + np.float64(inter)

@@ -50,11 +50,13 @@ try:  # optional: nibabel (reference datasets/utils.py:3)
 
     register_reader(".nii", lambda p: np.asanyarray(_nib.load(p).dataobj))
     register_reader(".nii.gz", lambda p: np.asanyarray(_nib.load(p).dataobj))
+    register_reader(".hdr", lambda p: np.asanyarray(_nib.load(p).dataobj))
 except ImportError:  # self-contained fallback (data/formats.py)
     from .formats import read_nifti as _read_nifti
 
     register_reader(".nii", _read_nifti)
     register_reader(".nii.gz", _read_nifti)
+    register_reader(".hdr", _read_nifti)  # detached .hdr/.img pair
 
 
 @dataclass

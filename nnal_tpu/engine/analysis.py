@@ -46,10 +46,12 @@ def test_scores_matrix(expr, method_name: str,
     scores = np.zeros((imgnum, qnum))
     if start_ind > 0 and os.path.exists(save_path):
         # the saved matrix may be narrower than the journal (rounds ran
-        # since the last scoring pass) — copy it into the leading slice
-        old = np.atleast_2d(np.loadtxt(save_path))
-        scores[:old.shape[0], :min(old.shape[1], qnum)] = \
-            old[:, :min(old.shape[1], qnum)]
+        # since the last scoring pass) — copy it into the leading slice.
+        # ndmin=2 keeps a single-column (imgnum, 1) save from loading as
+        # a row vector (plain loadtxt squeezes, atleast_2d transposes).
+        old = np.loadtxt(save_path, ndmin=2)
+        r, c = min(old.shape[0], imgnum), min(old.shape[1], qnum)
+        scores[:r, :c] = old[:r, :c]
 
     stats = multimg_stats(expr.test_subjects)
     evs = expr._evaluators(spec, expr.test_subjects, stats)
@@ -71,10 +73,13 @@ def test_scores_matrix(expr, method_name: str,
     return scores
 
 
-def query_similarity_analysis(expr, method_name: str,
-                              params=None) -> List[np.ndarray]:
+def query_similarity_analysis(expr, method_name: str, params=None,
+                              matrix: bool = False) -> List[np.ndarray]:
     """Per-round (k, k) cosine-similarity matrices of the queried patches'
-    feature vectors (reference ``get_Qsims``)."""
+    feature vectors (reference ``get_Qsims``).  Pass ``matrix=True`` for
+    multi-subject journals, whose query files are (voxel, subject) 2 x k
+    matrices — a k=1 file is textually identical to two 1-D indices, so
+    the journal's shape cannot be auto-detected."""
     j = MethodJournal(expr.root_dir, method_name)
     spec = expr.build_model()
     ev = expr.make_evaluator(spec)
@@ -83,8 +88,9 @@ def query_similarity_analysis(expr, method_name: str,
             jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
     sims = []
     for it in j.query_iters():
-        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
-        if q.ndim == 2:          # multi-subject (voxel, subject) journals
+        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
+                      matrix=matrix)
+        if q.ndim == 2:          # multi-subject: take the voxel row
             q = q[0]
         F = ev.evaluate(params, q, ("feature_layer",))["feature_layer"]
         F = np.asarray(F)

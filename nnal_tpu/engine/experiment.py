@@ -128,9 +128,26 @@ class Experiment:
         cache = getattr(self, "_step_fns", None)
         if cache is None:
             cache = self._step_fns = {}
-        if id(tx) not in cache:
-            cache[id(tx)] = make_train_step(spec, tx, mc_t=int(m.mc_t))
-        step_fn = cache[id(tx)]
+        # honor lwf_lambda/lwf_T in this engine too (config keys must not
+        # be silently engine-specific)
+        lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
+        lwf_T = float(getattr(m, "lwf_T", 2.0))
+        ck = (id(tx), lwf_lambda, lwf_T)
+        if ck not in cache:
+            cache[ck] = make_train_step(spec, tx, mc_t=int(m.mc_t),
+                                        lwf_lambda=lwf_lambda, lwf_T=lwf_T)
+        step_fn = cache[ck]
+        if lwf_lambda > 0.0:
+            # previous model's logits act as distillation targets; record
+            # the round-entry params once (reference get_LwF,
+            # model_utils.py:98-135) and evaluate them per fetched batch
+            fwd = getattr(self, "_lwf_fwd", None)
+            if fwd is None:
+                from nnal_tpu.models.cnn import apply_cnn
+
+                fwd = self._lwf_fwd = jax.jit(
+                    lambda p, x: apply_cnn(spec, p, x).logits)
+            old_params = jax.tree_util.tree_map(jnp.copy, state.params)
         # per-call streams keyed by the replay-stable optimizer step
         host = self.rng.fold(f"retrain-{state.step}").host
         jrng = self.rng.fold(f"retrain-dropout-{state.step}").next()
@@ -156,9 +173,10 @@ class Experiment:
                 x = jnp.asarray(xb)
                 y = jnp.asarray(make_onehot(yb, m.nclass))
                 key = jax.random.fold_in(jrng, state.step)
+                ol = fwd(old_params, x) if lwf_lambda > 0.0 else None
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
-                    jnp.asarray(state.step), None, w)
+                    jnp.asarray(state.step), None, w, ol)
                 state.step += 1
         return state
 

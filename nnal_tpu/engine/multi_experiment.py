@@ -213,10 +213,17 @@ class MultiImgExperiment:
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), m.b)
+        # honor lwf_lambda/lwf_T here too — a config key that works in
+        # one engine and is silently ignored in another is the same
+        # defect class as the r02 fi diag_load finding
+        lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
+        lwf_T = float(getattr(m, "lwf_T", 2.0))
+        ck = (id(tx), m.b, lwf_lambda, lwf_T)
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
-                                              mc_t=int(m.mc_t))
+                                              mc_t=int(m.mc_t),
+                                              lwf_lambda=lwf_lambda,
+                                              lwf_T=lwf_T)
         run = cache[ck]
         # honor config class_weights like the single-subject engine does
         # (the reference's multimg path trains unweighted, PW_AL.py:
@@ -235,9 +242,24 @@ class MultiImgExperiment:
         else:
             cw_vec = jnp.ones((m.nclass,), jnp.float32)
         key = jax.random.fold_in(jrng, state.step)
-        state.params, state.opt_state, _ = run(
-            state.params, state.opt_state, x_all, y_all,
-            jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
+        if lwf_lambda > 0.0:
+            # previous model's logits over the labeled set, recorded once
+            # per round (reference get_LwF, model_utils.py:98-135)
+            fwd = getattr(self, "_lwf_fwd", None)
+            if fwd is None:
+                from nnal_tpu.models.cnn import apply_cnn
+
+                fwd = self._lwf_fwd = jax.jit(
+                    lambda p, x: apply_cnn(spec, p, x).logits)
+            old_logits = fwd(state.params, x_all)
+            state.params, state.opt_state, _ = run(
+                state.params, state.opt_state, x_all, y_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key,
+                old_logits)
+        else:
+            state.params, state.opt_state, _ = run(
+                state.params, state.opt_state, x_all, y_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
         state.step += int(idx_mat.shape[0])
         return state
 
@@ -356,7 +378,7 @@ class MultiImgExperiment:
         saved = j.load_state()
         if saved is not None:
             self.rng.restore(saved["rng"])
-        n_queries = j.n_queried()
+        n_queries = j.n_queried(matrix=True)
         round_id = len(j.query_iters())
         train_g, pool_g = j.membership()   # global index space
         sizes = [len(p) for p in pools]
@@ -368,11 +390,12 @@ class MultiImgExperiment:
         anchor = (0 if al_state is None
                   else int(al_state.get("round", round_id)))
         if anchor < round_id:
-            # multi journals store (voxel, subject) 2 x k matrices
-            qarrs = [load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
-                     for it in j.query_iters()]
-            counts = [a.shape[-1] if a.ndim == 2 else len(a)
-                      for a in qarrs]
+            # multi journals store (voxel, subject) 2 x k matrices;
+            # matrix=True because a k=1 file reads as (2,) otherwise and
+            # would count as 2 queries, shifting every replay prefix
+            counts = [load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
+                                matrix=True).shape[1]
+                      for it in j.query_iters()]
             lens, n = [], len(train_g) - sum(counts)
             for c in counts:
                 n += c

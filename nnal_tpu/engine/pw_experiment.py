@@ -370,7 +370,9 @@ class PWExperiment:
         # entry state is reproducible as-is (anchor ckpt or replay above)
         last_full_round = round_id
 
-        while n_queries < max_queries:
+        # pool guard: without it an exhausted pool yields k=0 rounds that
+        # query nothing and never reach max_queries (infinite loop)
+        while n_queries < max_queries and len(pool_inds) > 0:
             t0 = time.time()
             k = min(cfg.query.k, max_queries - n_queries, len(pool_inds))
             if cfg.query.iter_k:
