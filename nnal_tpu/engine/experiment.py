@@ -109,16 +109,9 @@ class Experiment:
         return j
 
     def _cached_tx(self):
-        """Reuse the optimizer across run_method calls: the jitted step
-        cache keys on ``id(tx)``, and a fresh optax transformation per call
-        would recompile the identical train program (shape-stability
-        standing rule)."""
-        m = self.config.model
-        key = (m.optimizer_name, m.learning_rate)
-        if getattr(self, "_tx_key", None) == key:
-            return getattr(self, "_tx", None)
-        self._tx_key = key
-        return None
+        from nnal_tpu.engine.common import cached_tx
+
+        return cached_tx(self, self.config.model)
 
     # ------------------------------------------------------------- training
     def _retrain(self, spec, state, tx, train_inds, epochs: int):
@@ -209,23 +202,14 @@ class Experiment:
         train_inds, pool_inds = j.membership()
 
         # ckpt_full_every > 1: the resume point may be an anchor from an
-        # earlier round — replay the journaled rounds' retrains (same
-        # bit-identical argument as the patch-wise engines: train_inds
-        # grows by appending, the retrain RNG is step-keyed)
-        anchor = (0 if al_state is None
-                  else int(al_state.get("round", round_id)))
-        if anchor < round_id:
-            counts = [len(load_inds(os.path.join(j.queries_dir,
-                                                 f"{it}.txt")))
-                      for it in j.query_iters()]
-            lens, n = [], len(train_inds) - sum(counts)
-            for c in counts:
-                n += c
-                lens.append(n)
-            for r in range(anchor, round_id):
-                state = self._retrain(spec, state, tx,
-                                      train_inds[:lens[r]],
-                                      cfg.model.epochs)
+        # earlier round — replay the journaled rounds' retrains
+        # (bit-identical; see engine.common.replay_prefix_lens)
+        from nnal_tpu.engine.common import replay_prefix_lens
+
+        for ln in replay_prefix_lens(j, al_state, round_id,
+                                     len(train_inds)):
+            state = self._retrain(spec, state, tx, train_inds[:ln],
+                                  cfg.model.epochs)
 
         from nnal_tpu.core.profiling import PhaseTimer
 

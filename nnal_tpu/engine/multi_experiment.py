@@ -264,15 +264,9 @@ class MultiImgExperiment:
         return state
 
     def _cached_tx(self):
-        """Reuse the optimizer across run_method calls: the scanned-
-        finetune cache keys on ``id(tx)``, and a fresh optax transformation
-        per call would recompile the identical program."""
-        m = self.config.model
-        key = (m.optimizer_name, m.learning_rate)
-        if getattr(self, "_tx_key", None) == key:
-            return getattr(self, "_tx", None)
-        self._tx_key = key
-        return None
+        from nnal_tpu.engine.common import cached_tx
+
+        return cached_tx(self, self.config.model)
 
     # ------------------------------------------------------------- committee
     def _build_committee(self, spec, state, tx, train_vox, round_id):
@@ -385,26 +379,15 @@ class MultiImgExperiment:
 
         # ckpt_full_every > 1: the resume point on disk may be an anchor
         # from an earlier round — replay the journaled rounds' finetunes
-        # (same bit-identical argument as the single-subject engine:
-        # train_g grows by appending, finetune RNG is step-keyed)
-        anchor = (0 if al_state is None
-                  else int(al_state.get("round", round_id)))
-        if anchor < round_id:
-            # multi journals store (voxel, subject) 2 x k matrices;
-            # matrix=True because a k=1 file reads as (2,) otherwise and
-            # would count as 2 queries, shifting every replay prefix
-            counts = [load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
-                                matrix=True).shape[1]
-                      for it in j.query_iters()]
-            lens, n = [], len(train_g) - sum(counts)
-            for c in counts:
-                n += c
-                lens.append(n)
-            for r in range(anchor, round_id):
-                tv = [pools[i][loc] for i, loc in
-                      enumerate(global2local_inds(train_g[:lens[r]],
-                                                  sizes))]
-                state = self.finetune_multimg(spec, state, tx, tv)
+        # (bit-identical; see engine.common.replay_prefix_lens —
+        # matrix=True because multi journals are (voxel, subject) 2 x k)
+        from nnal_tpu.engine.common import replay_prefix_lens
+
+        for ln in replay_prefix_lens(j, al_state, round_id, len(train_g),
+                                     matrix=True):
+            tv = [pools[i][loc] for i, loc in
+                  enumerate(global2local_inds(train_g[:ln], sizes))]
+            state = self.finetune_multimg(spec, state, tx, tv)
 
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)

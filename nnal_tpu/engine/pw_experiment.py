@@ -161,15 +161,9 @@ class PWExperiment:
         return j
 
     def _cached_tx(self):
-        """Reuse the optimizer across run_method calls: the scanned-
-        finetune cache keys on ``id(tx)``, and a fresh optax transformation
-        per call would recompile the identical program."""
-        m = self.config.model
-        key = (m.optimizer_name, m.learning_rate)
-        if getattr(self, "_tx_key", None) == key:
-            return getattr(self, "_tx", None)
-        self._tx_key = key
-        return None
+        from nnal_tpu.engine.common import cached_tx
+
+        return cached_tx(self, self.config.model)
 
     # ------------------------------------------------------------- training
     def finetune(self, spec, params_state, train_inds, *, epochs=None,
@@ -285,29 +279,15 @@ class PWExperiment:
     # ------------------------------------------------------------- replay
     def _replay_to_round(self, j, spec, params_state, al_state,
                          train_inds, round_id):
-        """Rebuild training state at ``round_id`` from an anchor checkpoint.
+        """Rebuild training state at ``round_id`` from an anchor checkpoint
+        by re-running the journaled rounds' finetunes (bit-identical; see
+        ``engine.common.replay_prefix_lens``)."""
+        from nnal_tpu.engine.common import replay_prefix_lens
 
-        With ``ckpt_full_every > 1`` the full (params + optimizer-moment)
-        resume point is only written every K rounds; a crash between
-        anchors resumes by re-running the journaled rounds' finetunes
-        from the anchor.  Replay is bit-identical because query sets are
-        journaled, each round's labeled set is a *prefix* of the current
-        ``train_inds`` (the loop only ever appends), and the finetune RNG
-        is keyed on the optimizer step, not on a process cursor.
-        """
         state, tx = params_state
-        anchor = (0 if al_state is None
-                  else int(al_state.get("round", round_id)))
-        if anchor >= round_id:
-            return state
-        counts = [len(load_inds(os.path.join(j.queries_dir, f"{it}.txt")))
-                  for it in j.query_iters()]
-        lens, n = [], len(train_inds) - sum(counts)
-        for c in counts:
-            n += c
-            lens.append(n)
-        for r in range(anchor, round_id):
-            state = self.finetune(spec, (state, tx), train_inds[:lens[r]])
+        for ln in replay_prefix_lens(j, al_state, round_id,
+                                     len(train_inds)):
+            state = self.finetune(spec, (state, tx), train_inds[:ln])
         return state
 
     # ------------------------------------------------------------- AL loop
