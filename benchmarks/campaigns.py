@@ -49,9 +49,21 @@ _CKPT_EVERY = int(os.environ.get("NNAL_CKPT_EVERY", "1"))
 if _CKPT_EVERY > 1:
     PARS["ckpt_full_every"] = _CKPT_EVERY
 
+# NNAL_HIST_F16=1 stores the multi engine's per-iteration history
+# checkpoints in float16 (config.model.hist_dtype), halving the per-round
+# device->host pull; recorded as "<name>@...h16".
+_HIST_F16 = os.environ.get("NNAL_HIST_F16", "") == "1"
+if _HIST_F16:
+    PARS["hist_dtype"] = "float16"
+
 
 def _method_tag(method):
-    return (f"{method}@ckpt{_CKPT_EVERY}" if _CKPT_EVERY > 1 else method)
+    tag = method
+    if _CKPT_EVERY > 1:
+        tag += f"@ckpt{_CKPT_EVERY}"
+    if _HIST_F16:
+        tag += "@h16" if "@" not in tag else "h16"
+    return tag
 
 
 def _subjects(n, seed0=0):

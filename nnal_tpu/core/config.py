@@ -83,6 +83,13 @@ class ModelConfig:
     # round (reference semantics). A completed run_method always ends
     # with a full save, so only crashes ever replay.
     ckpt_full_every: int = 1
+    # dtype for the multi-subject engine's per-iteration history
+    # checkpoints (curr_weights_<i>.npz — analysis-only artifacts, the
+    # reference's curr_weights_%d.h5). "float16" halves the per-round
+    # device->host pull, the dominant cost on tunneled deployments
+    # (CLAUDE.md: bytes, not streams, are the lever). Resume points
+    # (anchors, curr_weights.npz) always stay full precision.
+    hist_dtype: str = "float32"
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05

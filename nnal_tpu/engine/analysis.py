@@ -59,8 +59,13 @@ def test_scores_matrix(expr, method_name: str,
         wpath = j.path(f"curr_weights_{iters[i] + 1}.npz")
         if not os.path.exists(wpath):
             continue
-        params = jax.tree_util.tree_map(jnp.asarray,
-                                        load_checkpoint(wpath)[0])
+        # history checkpoints may be stored in float16 (hist_dtype);
+        # upcast so the evaluator runs in its normal precision
+        params = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v, jnp.float32)
+            if np.issubdtype(np.asarray(v).dtype, np.floating)
+            else jnp.asarray(v),
+            load_checkpoint(wpath)[0])
         for s, ev in enumerate(evs):
             vols, mask = expr.test_subjects[s]
             inds, labels = generate_grid_samples(

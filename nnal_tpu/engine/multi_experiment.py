@@ -512,20 +512,35 @@ class MultiImgExperiment:
                 params_d, bn_d, opt_d = (state.params, state.bn_state,
                                          state.opt_state)
                 step_now, rid = int(state.step), round_id
+                # history copies are analysis-only: hist_dtype=float16
+                # halves their device->host bytes (cast on device, one
+                # tiny cached program per leaf shape). Resume points stay
+                # full precision, so replay stays bit-identical.
+                hd = str(getattr(cfg.model, "hist_dtype", "float32"))
+                hist_p, hist_b = params_d, bn_d
+                if hd != "float32" and not full:
+                    cast = jnp.dtype(hd)
+                    to_h = (lambda v: v.astype(cast)
+                            if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    hist_p = jax.tree_util.tree_map(to_h, params_d)
+                    hist_b = (jax.tree_util.tree_map(to_h, bn_d)
+                              if bn_d is not None else None)
 
-                def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
-                          step_now=step_now, rid=rid, full=full):
+                def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
+                          bn_d=bn_d, opt_d=opt_d, step_now=step_now,
+                          rid=rid, full=full):
                     # pull once for both files: history copy + resume point
                     from nnal_tpu.models.checkpoint import \
                         _chunked_device_get
 
-                    payload = {"p": params_d, "b": bn_d}
+                    payload = {"p": hist_p, "b": hist_b}
                     if full:
                         payload["o"] = opt_d
                     pulled = _chunked_device_get(payload)
                     save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
                                     pulled["p"], bn_state=pulled["b"])
                     if full:
+                        # on anchor rounds hist_p IS params_d (f32)
                         save_checkpoint(j.path("curr_weights.npz"),
                                         pulled["p"], bn_state=pulled["b"],
                                         opt_state=pulled["o"],
