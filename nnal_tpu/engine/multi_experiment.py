@@ -519,12 +519,20 @@ class MultiImgExperiment:
                 hd = str(getattr(cfg.model, "hist_dtype", "float32"))
                 hist_p, hist_b = params_d, bn_d
                 if hd != "float32" and not full:
-                    cast = jnp.dtype(hd)
-                    to_h = (lambda v: v.astype(cast)
-                            if jnp.issubdtype(v.dtype, jnp.floating) else v)
-                    hist_p = jax.tree_util.tree_map(to_h, params_d)
-                    hist_b = (jax.tree_util.tree_map(to_h, bn_d)
-                              if bn_d is not None else None)
+                    # ONE jitted whole-tree cast: eager per-leaf astype
+                    # dispatched ~10 tiny programs, each a separate remote
+                    # compile on tunneled backends (measured: it ate the
+                    # byte savings in short campaigns)
+                    caster = getattr(self, "_hist_cast", None)
+                    if caster is None:
+                        cast = jnp.dtype(hd)
+                        to_h = (lambda v: v.astype(cast)
+                                if jnp.issubdtype(v.dtype, jnp.floating)
+                                else v)
+                        caster = self._hist_cast = jax.jit(
+                            lambda t: jax.tree_util.tree_map(to_h, t))
+                    hist_p = caster(params_d)
+                    hist_b = caster(bn_d) if bn_d is not None else None
 
                 def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
                           bn_d=bn_d, opt_d=opt_d, step_now=step_now,
