@@ -55,6 +55,11 @@ _plat = os.environ.get("JAX_PLATFORMS")
 if _plat:
     jax.config.update("jax_platforms", _plat)
 
+# persistent XLA cache: remote compiles dominate cold-start bench time
+from nnal_tpu.core.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from nnal_tpu.data.io import synthetic_subject  # noqa: E402
 from nnal_tpu.data.patches import pad_volumes  # noqa: E402
 from nnal_tpu.models.cnn import init_cnn  # noqa: E402

@@ -56,6 +56,15 @@ _HIST_F16 = os.environ.get("NNAL_HIST_F16", "") == "1"
 if _HIST_F16:
     PARS["hist_dtype"] = "float16"
 
+# NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
+# for the campaign (second run with the same dir skips remote compiles);
+# recorded as "<name>@...cc" so cold and warm rows can coexist.
+_CC = os.environ.get("NNAL_COMPILE_CACHE", "")
+if _CC and _CC != "0":
+    from nnal_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 
 def _method_tag(method):
     tag = method
@@ -63,6 +72,8 @@ def _method_tag(method):
         tag += f"@ckpt{_CKPT_EVERY}"
     if _HIST_F16:
         tag += "@h16" if "@" not in tag else "h16"
+    if _CC and _CC != "0":
+        tag += "@cc" if "@" not in tag else "cc"
     return tag
 
 

@@ -89,6 +89,11 @@ def create_run(root_dir: str, overrides: str = "",
 
 
 def main(argv=None):
+    # process entry point: warm/persist XLA compiles across invocations
+    # (remote TPU compiles are the dominant per-campaign one-time cost)
+    from nnal_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic = "--synthetic" in argv
     argv = [a for a in argv if a != "--synthetic"]

@@ -223,6 +223,14 @@ def set_parameters(template: dict, overrides: str) -> dict:
         key, _, raw = item.partition("=")
         key = key.strip()
         raw = raw.strip()
+
+        def _load(s):
+            # YAML has no tuple literal: accept "(9,9,1)" as a tuple so
+            # reference-style overrides like patch_shape=(25,25,1) work
+            if s.startswith("(") and s.endswith(")"):
+                return tuple(yaml.safe_load("[" + s[1:-1] + "]"))
+            return yaml.safe_load(s)
+
         if key in pars and pars[key] is not None:
             t = type(pars[key])
             if t is bool:
@@ -230,7 +238,7 @@ def set_parameters(template: dict, overrides: str) -> dict:
             elif t in (int, float, str):
                 pars[key] = t(raw)
             else:
-                pars[key] = yaml.safe_load(raw)
+                pars[key] = _load(raw)
         else:
-            pars[key] = yaml.safe_load(raw)
+            pars[key] = _load(raw)
     return pars

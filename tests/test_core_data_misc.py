@@ -34,6 +34,11 @@ def test_set_parameters_coercion():
     assert pars["learning_rate"] == 1e-3
     assert pars["model_name"] == "VGG"
     assert pars["extra"] == [1, 2]
+    # tuple literals (YAML has none): reference-style patch_shape override
+    pars = set_parameters({"patch_shape": (25, 25, 1)},
+                          "patch_shape=(9,9,1),other=(1,2)")
+    assert pars["patch_shape"] == (9, 9, 1)
+    assert pars["other"] == (1, 2)
 
 
 def test_rng_stream_replayable():
