@@ -39,5 +39,14 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
         return None
     path = path or (env if env else _DEFAULT)
     os.makedirs(path, exist_ok=True)
+    changed = jax.config.jax_compilation_cache_dir != path
     jax.config.update("jax_compilation_cache_dir", path)
+    if changed:
+        # The cache object is created lazily on first compile and pins the
+        # directory it saw then; re-pointing the config mid-process (e.g. a
+        # test redirecting an already-warm process) needs an explicit reset
+        # or reads/writes keep going to the old directory.
+        from jax._src import compilation_cache as _cc
+        if _cc.is_initialized():
+            _cc.reset_cache()
     return path

@@ -13,9 +13,26 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# persistent XLA compilation cache across test runs AND the subprocess
+# tests' children: the suite compiles the same PW1/finetune programs every
+# run, which dominates gate wall time.  Cache keys hash program content, so
+# code changes can't serve stale executables. NNAL_COMPILE_CACHE=0 disables.
+# The env var alone only covers CHILD processes (their sitecustomize jax
+# import reads it at interpreter startup); for THIS process jax was already
+# imported by sitecustomize before conftest ran, so the config must be
+# updated explicitly after import.
+_cc = None
+if os.environ.get("NNAL_COMPILE_CACHE", "") != "0":
+    _cc = os.path.join(os.path.expanduser("~"), ".cache", "nnal_tpu",
+                       "xla-cpu-tests")
+    os.makedirs(_cc, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cc)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+if _cc is not None:
+    jax.config.update("jax_compilation_cache_dir", _cc)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
