@@ -56,6 +56,14 @@ _HIST_F16 = os.environ.get("NNAL_HIST_F16", "") == "1"
 if _HIST_F16:
     PARS["hist_dtype"] = "float16"
 
+# NNAL_HIST_EVERY=H writes the per-iteration history checkpoint only every
+# H rounds (0 = never; config.model.hist_every) — with anchored checkpoints
+# this zeroes the tunnel pull on non-anchor rounds; recorded as
+# "<name>@...heH".
+_HIST_EVERY = int(os.environ.get("NNAL_HIST_EVERY", "1"))
+if _HIST_EVERY != 1:
+    PARS["hist_every"] = _HIST_EVERY
+
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
@@ -72,6 +80,9 @@ def _method_tag(method):
         tag += f"@ckpt{_CKPT_EVERY}"
     if _HIST_F16:
         tag += "@h16" if "@" not in tag else "h16"
+    if _HIST_EVERY != 1:
+        tag += (f"@he{_HIST_EVERY}" if "@" not in tag
+                else f"he{_HIST_EVERY}")
     if _CC and _CC != "0":
         tag += "@cc" if "@" not in tag else "cc"
     return tag

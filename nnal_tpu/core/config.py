@@ -90,6 +90,15 @@ class ModelConfig:
     # (CLAUDE.md: bytes, not streams, are the lever). Resume points
     # (anchors, curr_weights.npz) always stay full precision.
     hist_dtype: str = "float32"
+    # write the per-iteration history checkpoint only every K rounds
+    # (0 = never). 1 = reference semantics (curr_weights_%d.h5 each
+    # iteration, PW_AL.py:895-898). With ckpt_full_every > 1 this is the
+    # only device->host pull left on non-anchor rounds, so hist_every=0
+    # makes those rounds transfer ZERO checkpoint bytes over the tunnel;
+    # resume durability is unaffected (queries are journaled, replay runs
+    # from the last anchor). Trade-off: per-iteration analysis artifacts
+    # (engine/analysis.test_scores_matrix) need the history files.
+    hist_every: int = 1
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05

@@ -509,6 +509,12 @@ class MultiImgExperiment:
                 # on device (resume replays from the last anchor).
                 K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
                 full = round_id % K == 0
+                # hist_every=H writes the analysis-only per-iter history
+                # copy every H rounds (0 = never): with ckpt_full_every>1
+                # it is the only pull left on non-anchor rounds, so
+                # skipping it makes those rounds checkpoint-byte-free
+                H = int(getattr(cfg.model, "hist_every", 1))
+                want_hist = H > 0 and round_id % H == 0
                 params_d, bn_d, opt_d = (state.params, state.bn_state,
                                          state.opt_state)
                 step_now, rid = int(state.step), round_id
@@ -518,7 +524,7 @@ class MultiImgExperiment:
                 # full precision, so replay stays bit-identical.
                 hd = str(getattr(cfg.model, "hist_dtype", "float32"))
                 hist_p, hist_b = params_d, bn_d
-                if hd != "float32" and not full:
+                if hd != "float32" and want_hist and not full:
                     # ONE jitted whole-tree cast: eager per-leaf astype
                     # dispatched ~10 tiny programs, each a separate remote
                     # compile on tunneled backends (measured: it ate the
@@ -536,17 +542,22 @@ class MultiImgExperiment:
 
                 def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
                           bn_d=bn_d, opt_d=opt_d, step_now=step_now,
-                          rid=rid, full=full):
+                          rid=rid, full=full, want_hist=want_hist):
                     # pull once for both files: history copy + resume point
                     from nnal_tpu.models.checkpoint import \
                         _chunked_device_get
 
-                    payload = {"p": hist_p, "b": hist_b}
+                    payload = {}
+                    if want_hist or full:
+                        payload["p"], payload["b"] = hist_p, hist_b
                     if full:
                         payload["o"] = opt_d
+                    if not payload:        # hist_every skipped, non-anchor:
+                        return             # zero checkpoint bytes this round
                     pulled = _chunked_device_get(payload)
-                    save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
-                                    pulled["p"], bn_state=pulled["b"])
+                    if want_hist:
+                        save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
+                                        pulled["p"], bn_state=pulled["b"])
                     if full:
                         # on anchor rounds hist_p IS params_d (f32)
                         save_checkpoint(j.path("curr_weights.npz"),

@@ -91,3 +91,59 @@ def test_hist_dtype_matches_f32_training_exactly(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p32),
                     jax.tree_util.tree_leaves(p16)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hist_every_zero_writes_no_history(tmp_path):
+    """hist_every=0 disables the analysis-only per-iter history copies
+    entirely — with anchored checkpoints non-anchor rounds then transfer
+    zero checkpoint bytes — without touching training or resume."""
+    import jax
+
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+
+    def run(root, **kw):
+        cfg = ExperimentConfig.from_pars(_pars(ckpt_full_every=3, **kw))
+        expr = MultiImgExperiment(root, cfg)
+        expr.attach_subjects(subs)
+        expr.prep_data()
+        expr.add_method("random")
+        expr.run_method("random", 6)
+        return MethodJournal(root, "random")
+
+    j0 = run(str(tmp_path / "he0"), hist_every=0)
+    jd = run(str(tmp_path / "he1"))
+
+    # no per-iter history files, but the default run has them
+    assert not [f for f in os.listdir(j0.path(""))
+                if f.startswith("curr_weights_")]
+    assert [f for f in os.listdir(jd.path(""))
+            if f.startswith("curr_weights_")]
+
+    # the resume point still lands and the trajectory is unchanged
+    p0 = load_checkpoint(j0.path("curr_weights.npz"))[0]
+    pd = load_checkpoint(jd.path("curr_weights.npz"))[0]
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # journal resume continues cleanly with no history files present
+    expr2 = MultiImgExperiment(str(tmp_path / "he0"))
+    expr2.attach_subjects(subs)
+    res = expr2.run_method("random", 9)
+    assert res["n_queries"] == 9
+
+
+def test_hist_every_k_writes_every_kth_round(tmp_path):
+    cfg = ExperimentConfig.from_pars(_pars(hist_every=2, ckpt_full_every=4))
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    expr = MultiImgExperiment(str(tmp_path / "e"), cfg)
+    expr.attach_subjects(subs)
+    expr.prep_data()
+    expr.add_method("random")
+    expr.run_method("random", 9)       # rounds 1..3 at k=3
+    j = MethodJournal(str(tmp_path / "e"), "random")
+    hist = sorted(f for f in os.listdir(j.path(""))
+                  if f.startswith("curr_weights_"))
+    assert hist == ["curr_weights_2.npz"]
