@@ -111,9 +111,14 @@ def _eps_layer(spec, params, layer, h, E, li, cd):
             wsum = conv(h, ones)
         e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
         z = z + e * (wsum + 1.0)
-        h = act(z) if "A" in layer.op_order else z
         if cd is not None:
-            h = h.astype(cd)
+            # cast BEFORE the activation: bitwise-identical for relu
+            # (rounding preserves sign, so relu∘round == round∘relu), and
+            # the activation's saved backward residual becomes bf16
+            # instead of the f32 conv output — those residual bytes are
+            # what bound the scoring z-chunk on 16 GB HBM
+            z = z.astype(cd)
+        h = act(z) if "A" in layer.op_order else z
         return h, li + 1
     if layer.kind == "fc":
         p = params[layer.name]
@@ -122,9 +127,9 @@ def _eps_layer(spec, params, layer, h, E, li, cd):
                     preferred_element_type=jnp.float32) + p["b"]
         s = jnp.sum(h2.astype(jnp.float32), axis=1, keepdims=True)
         z = z + E[:, li:li + 1] * (s + 1.0)
-        h = act(z) if "A" in layer.op_order else z
         if cd is not None:
-            h = h.astype(cd)
+            z = z.astype(cd)          # before act, as in the conv branch
+        h = act(z) if "A" in layer.op_order else z
         return h, li + 1
     if layer.kind in ("pool", "avgpool"):
         return _main_op(spec, layer, {}, h, rank), li
