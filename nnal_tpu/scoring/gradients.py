@@ -80,13 +80,38 @@ def _make_conv_f32acc(strides, padding, rank):
     return conv
 
 
+@jax.custom_vjp
+def _relu_save_output(x):
+    return jax.nn.relu(x)
+
+
+def _relu_save_output_fwd(x):
+    y = jax.nn.relu(x)
+    return y, y
+
+
+def _relu_save_output_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros((), g.dtype)),)
+
+
+# relu whose backward residual is its OUTPUT (the mask y>0 equals x>0
+# exactly, matching jax.nn.relu's zero-subgradient-at-0 convention, so the
+# gradients are bitwise identical).  The stock relu saves its INPUT, which
+# keeps BOTH the pre-activation and the next layer's input copy live
+# through the scoring backward — the output is live anyway as the next
+# conv/fc residual, so this frees one full activation per layer and is
+# what (with the pre-act downcast) fits larger z-chunks in HBM.
+_relu_save_output.defvjp(_relu_save_output_fwd, _relu_save_output_bwd)
+
+
 def _eps_layer(spec, params, layer, h, E, li, cd):
     """One eps-injected layer application (see :func:`_apply_with_eps`).
     Returns ``(h_out, li_out)``."""
     from nnal_tpu.models.cnn import _act, _dimension_numbers, _main_op
 
     rank = spec.spatial_rank
-    act = _act(spec.activation)
+    act = (_relu_save_output if spec.activation == "relu"
+           else _act(spec.activation))
     if layer.kind == "conv":
         p = params[layer.name]
         W = p["W"].astype(h.dtype)
