@@ -29,53 +29,15 @@ from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
 
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
-                                   "ops", "mc", "cd"))
-def _grid_chunk(spec, params, slices_nhwc, mu, sd, patch_shape,
-                grid_spacing, ops, mc, rng, cd=None):
-    """``slices_nhwc``: (zc, D1p, D2p, m) padded slices.  Extract all grid
-    windows, normalize, forward.  Returns per-op arrays of length
-    zc * nx * ny (grid order: z-major, then x, then y)."""
-    d1, d2, _ = patch_shape
-    m = slices_nhwc.shape[-1]
-    g = grid_spacing
-    patches = jax.lax.conv_general_dilated_patches(
-        slices_nhwc, filter_shape=(d1, d2), window_strides=(g, g),
-        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # feature order is (C, fh, fw) -> model layout (d1, d2, m)
-    zc, nx, ny, _ = patches.shape
-    x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
-    x = (x - mu) / sd
-    if cd is not None:
-        x = x.astype(cd)
-        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
-    out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=rng)
-    res = {}
-    for op in ops:
-        if op == "posteriors":
-            res[op] = out.posteriors[:, 1] if spec.nclass == 2 \
-                else out.posteriors
-        elif op == "posteriors_full":
-            res[op] = out.posteriors
-        elif op == "prediction":
-            res[op] = out.prediction
-        elif op == "feature_layer":
-            res[op] = out.feature
-        elif op == "logits":
-            res[op] = out.logits
-        else:
-            raise ValueError(op)
-    return res
-
-
-@partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
                                    "z_inner", "ops", "mc", "cd"))
 def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
                      grid_spacing, z_inner, ops, mc, rng, cd=None):
     """Whole-volume grid sweep in ONE program: ``lax.map`` over z-chunks of
-    ``z_inner`` slices.  Only small per-patch outputs (scores/predictions)
-    are supported — that's the point: a single device dispatch per sweep
-    instead of one per chunk (per-dispatch latency dominates on tunneled
-    TPUs)."""
+    ``z_inner`` slices — a single device dispatch per sweep instead of one
+    per chunk (per-dispatch latency dominates on tunneled TPUs).  Large
+    per-patch outputs (``feature_layer``: the whole-grid (n, 4096) tensor)
+    simply land in the map's preallocated HBM output buffer — same bytes
+    the old per-chunk concat materialized, 1/8th the dispatches."""
     d1, d2, _ = patch_shape
     g = grid_spacing
     m = slices_padded.shape[-1]
@@ -104,8 +66,14 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
             if op == "posteriors":
                 res.append(out.posteriors[:, 1] if spec.nclass == 2
                            else out.posteriors)
+            elif op == "posteriors_full":
+                res.append(out.posteriors)
             elif op == "prediction":
                 res.append(out.prediction)
+            elif op == "feature_layer":
+                res.append(out.feature)
+            elif op == "logits":
+                res.append(out.logits)
             else:
                 raise ValueError(op)
         return tuple(res)
@@ -194,7 +162,8 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
     return divs.reshape(-1)
 
 
-_SCAN_OPS = {"posteriors", "prediction"}
+_SCAN_OPS = {"posteriors", "posteriors_full", "prediction", "feature_layer",
+             "logits"}
 
 
 class GridPoolEvaluator(PoolEvaluator):
@@ -284,42 +253,20 @@ class GridPoolEvaluator(PoolEvaluator):
         ops = tuple(ops)
         mc = mc_rng is not None
         rng = mc_rng if mc else jax.random.key(0)
-        if set(ops) <= _SCAN_OPS:
-            # small outputs: one dispatch for the whole volume
-            z_pad = -self.nz % self.z_chunk
-            slices = self._slices
-            if z_pad:
-                slices = jnp.pad(slices,
-                                 ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-            outs = _grid_sweep_scan(self.spec, params, slices, self.mu,
-                                    self.sd, self.patch_shape,
-                                    self.grid_spacing, self.z_chunk, ops,
-                                    mc, rng, self.compute_dtype)
-            n_valid = self.nz * self.nx * self.ny
-            if as_device:
-                rows_d = jnp.asarray(rows)
-                return {op: o[:n_valid][rows_d]
-                        for op, o in zip(ops, outs)}
-            return {op: np.asarray(o)[:n_valid][rows]
-                    for op, o in zip(ops, outs)}
-        chunks: Dict[str, list] = {op: [] for op in ops}
-        for z0 in range(0, self.nz, self.z_chunk):
-            block = self._slices[z0:z0 + self.z_chunk]
-            pad = self.z_chunk - block.shape[0]
-            if pad:
-                block = jnp.pad(block, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            crng = jax.random.fold_in(rng, z0) if mc else rng
-            res = _grid_chunk(self.spec, params, block, self.mu, self.sd,
-                              self.patch_shape, self.grid_spacing, ops, mc,
-                              crng, self.compute_dtype)
-            rows_per = self.nx * self.ny
-            for op in ops:
-                arr = res[op] if as_device else np.asarray(res[op])
-                keep = rows_per * min(self.z_chunk, self.nz - z0)
-                chunks[op].append(arr[:keep])
+        # one dispatch for the whole volume, whatever the op mix
+        z_pad = -self.nz % self.z_chunk
+        slices = self._slices
+        if z_pad:
+            slices = jnp.pad(slices,
+                             ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        outs = _grid_sweep_scan(self.spec, params, slices, self.mu,
+                                self.sd, self.patch_shape,
+                                self.grid_spacing, self.z_chunk, ops,
+                                mc, rng, self.compute_dtype)
+        n_valid = self.nz * self.nx * self.ny
         if as_device:
             rows_d = jnp.asarray(rows)
-            return {op: jnp.concatenate(chunks[op], axis=0)[rows_d]
-                    for op in ops}
-        full = {op: np.concatenate(chunks[op], axis=0) for op in ops}
-        return {op: full[op][rows] for op in ops}
+            return {op: o[:n_valid][rows_d]
+                    for op, o in zip(ops, outs)}
+        return {op: np.asarray(o)[:n_valid][rows]
+                for op, o in zip(ops, outs)}
