@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -67,8 +68,9 @@ if _HIST_EVERY != 1:
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
-_CC = os.environ.get("NNAL_COMPILE_CACHE", "")
-if _CC and _CC != "0":
+_CC = os.environ.get("NNAL_COMPILE_CACHE", "").strip()
+_CC_ON = _CC.lower() not in ("", "0", "off", "none")
+if _CC_ON:
     from nnal_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -83,7 +85,7 @@ def _method_tag(method):
     if _HIST_EVERY != 1:
         tag += (f"@he{_HIST_EVERY}" if "@" not in tag
                 else f"he{_HIST_EVERY}")
-    if _CC and _CC != "0":
+    if _CC_ON:
         tag += "@cc" if "@" not in tag else "cc"
     return tag
 
@@ -203,8 +205,11 @@ def run_multi(method, out):
 
 def main():
     args = sys.argv[1:]
-    tag = args[0] if args and args[0].startswith("r") else "r03"
-    methods = [a for a in args if not a.startswith("r")] or None
+    # a round tag is r<digits> ("r03"), NOT any r-word — "rep-entropy" and
+    # "random" are methods
+    is_tag = lambda a: re.fullmatch(r"r\d+", a) is not None
+    tag = args[0] if args and is_tag(args[0]) else "r03"
+    methods = [a for a in args if not is_tag(a)] or None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"CAMPAIGNS_{tag}.json")
     out = {

@@ -10,8 +10,10 @@ round recorded the opposite; that observation did not reproduce and is
 superseded by this module's test and the committed warm-campaign rows).
 
 Environment:
-  NNAL_COMPILE_CACHE=<dir>  cache directory (default ~/.cache/nnal_tpu/xla)
-  NNAL_COMPILE_CACHE=0      disable
+  NNAL_COMPILE_CACHE=<dir>          cache directory (default
+                                    ~/.cache/nnal_tpu/xla)
+  NNAL_COMPILE_CACHE=0 | off | none disable (all three spellings; ignored
+                                    when the caller passes an explicit path)
 """
 
 from __future__ import annotations
@@ -35,7 +37,9 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     import jax
 
     env = os.environ.get("NNAL_COMPILE_CACHE", "")
-    if env == "0" or (path is None and env.lower() in ("off", "none")):
+    # every disable spelling behaves identically, and only when the caller
+    # did not pass an explicit path (an explicit argument always wins)
+    if path is None and env.lower() in ("0", "off", "none"):
         return None
     path = path or (env if env else _DEFAULT)
     os.makedirs(path, exist_ok=True)

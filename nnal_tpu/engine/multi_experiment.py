@@ -523,34 +523,44 @@ class MultiImgExperiment:
                 # tiny cached program per leaf shape). Resume points stay
                 # full precision, so replay stays bit-identical.
                 hd = str(getattr(cfg.model, "hist_dtype", "float32"))
+                cast_hist = hd != "float32" and want_hist
                 hist_p, hist_b = params_d, bn_d
-                if hd != "float32" and want_hist and not full:
+                if cast_hist:
                     # ONE jitted whole-tree cast: eager per-leaf astype
                     # dispatched ~10 tiny programs, each a separate remote
                     # compile on tunneled backends (measured: it ate the
-                    # byte savings in short campaigns)
-                    caster = getattr(self, "_hist_cast", None)
-                    if caster is None:
+                    # byte savings in short campaigns). Cache keyed on the
+                    # dtype so a config change mid-instance rebuilds it.
+                    cached = getattr(self, "_hist_cast", (None, None))
+                    if cached[0] != hd:
                         cast = jnp.dtype(hd)
                         to_h = (lambda v: v.astype(cast)
                                 if jnp.issubdtype(v.dtype, jnp.floating)
                                 else v)
-                        caster = self._hist_cast = jax.jit(
-                            lambda t: jax.tree_util.tree_map(to_h, t))
+                        cached = (hd, jax.jit(
+                            lambda t: jax.tree_util.tree_map(to_h, t)))
+                        self._hist_cast = cached
+                    caster = cached[1]
                     hist_p = caster(params_d)
                     hist_b = caster(bn_d) if bn_d is not None else None
 
                 def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
                           bn_d=bn_d, opt_d=opt_d, step_now=step_now,
-                          rid=rid, full=full, want_hist=want_hist):
-                    # pull once for both files: history copy + resume point
+                          rid=rid, full=full, want_hist=want_hist,
+                          cast_hist=cast_hist):
+                    # share one pull between the history copy and the
+                    # resume point when they are the same tensors
                     from nnal_tpu.models.checkpoint import \
                         _chunked_device_get
 
                     payload = {}
-                    if want_hist or full:
+                    if want_hist:
                         payload["p"], payload["b"] = hist_p, hist_b
                     if full:
+                        if cast_hist or not want_hist:
+                            # resume point stays full precision even on
+                            # anchor rounds where the history copy is cast
+                            payload["rp"], payload["rb"] = params_d, bn_d
                         payload["o"] = opt_d
                     if not payload:        # hist_every skipped, non-anchor:
                         return             # zero checkpoint bytes this round
@@ -559,9 +569,10 @@ class MultiImgExperiment:
                         save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
                                         pulled["p"], bn_state=pulled["b"])
                     if full:
-                        # on anchor rounds hist_p IS params_d (f32)
                         save_checkpoint(j.path("curr_weights.npz"),
-                                        pulled["p"], bn_state=pulled["b"],
+                                        pulled.get("rp", pulled.get("p")),
+                                        bn_state=pulled.get(
+                                            "rb", pulled.get("b")),
                                         opt_state=pulled["o"],
                                         al_state={"step": step_now,
                                                   "round": rid})

@@ -104,6 +104,24 @@ def _relu_save_output_bwd(y, g):
 _relu_save_output.defvjp(_relu_save_output_fwd, _relu_save_output_bwd)
 
 
+def _cast_act(spec, layer, act, z, cd):
+    """Apply ``layer``'s activation with the compute-dtype downcast placed
+    where it is numerically safe.  For relu the cast goes BEFORE the
+    activation: rounding preserves sign, so relu∘round == round∘relu
+    bitwise, and the activation's saved backward residual becomes bf16
+    instead of the f32 conv output — those residual bytes are what bound
+    the scoring z-chunk on 16 GB HBM.  For any other activation (elu/
+    tanh/gelu are curved, so act(bf16(z)) != bf16(act(z))) the cast stays
+    AFTER, preserving the f32 activation numerics."""
+    if cd is None:
+        return act(z) if "A" in layer.op_order else z
+    if spec.activation == "relu":
+        z = z.astype(cd)
+        return act(z) if "A" in layer.op_order else z
+    h = act(z) if "A" in layer.op_order else z
+    return h.astype(cd)
+
+
 def _eps_layer(spec, params, layer, h, E, li, cd):
     """One eps-injected layer application (see :func:`_apply_with_eps`).
     Returns ``(h_out, li_out)``."""
@@ -136,14 +154,7 @@ def _eps_layer(spec, params, layer, h, E, li, cd):
             wsum = conv(h, ones)
         e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
         z = z + e * (wsum + 1.0)
-        if cd is not None:
-            # cast BEFORE the activation: bitwise-identical for relu
-            # (rounding preserves sign, so relu∘round == round∘relu), and
-            # the activation's saved backward residual becomes bf16
-            # instead of the f32 conv output — those residual bytes are
-            # what bound the scoring z-chunk on 16 GB HBM
-            z = z.astype(cd)
-        h = act(z) if "A" in layer.op_order else z
+        h = _cast_act(spec, layer, act, z, cd)
         return h, li + 1
     if layer.kind == "fc":
         p = params[layer.name]
@@ -152,9 +163,7 @@ def _eps_layer(spec, params, layer, h, E, li, cd):
                     preferred_element_type=jnp.float32) + p["b"]
         s = jnp.sum(h2.astype(jnp.float32), axis=1, keepdims=True)
         z = z + E[:, li:li + 1] * (s + 1.0)
-        if cd is not None:
-            z = z.astype(cd)          # before act, as in the conv branch
-        h = act(z) if "A" in layer.op_order else z
+        h = _cast_act(spec, layer, act, z, cd)
         return h, li + 1
     if layer.kind in ("pool", "avgpool"):
         return _main_op(spec, layer, {}, h, rank), li

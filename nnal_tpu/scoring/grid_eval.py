@@ -31,13 +31,17 @@ from nnal_tpu.scoring.pool_eval import PoolEvaluator
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
                                    "z_inner", "ops", "mc", "cd"))
 def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
-                     grid_spacing, z_inner, ops, mc, rng, cd=None):
+                     grid_spacing, z_inner, ops, mc, rng, cd=None,
+                     step_base=0):
     """Whole-volume grid sweep in ONE program: ``lax.map`` over z-chunks of
     ``z_inner`` slices — a single device dispatch per sweep instead of one
     per chunk (per-dispatch latency dominates on tunneled TPUs).  Large
     per-patch outputs (``feature_layer``: the whole-grid (n, 4096) tensor)
-    simply land in the map's preallocated HBM output buffer — same bytes
-    the old per-chunk concat materialized, 1/8th the dispatches."""
+    land in the map's preallocated HBM output buffer — fine when the
+    caller keeps them on device (core-set/rep-entropy), so the host path
+    slab-loops instead (see ``evaluate``).  ``step_base`` offsets the MC
+    dropout-key fold so a slab starting at chunk c reproduces the full
+    sweep's keys bitwise."""
     d1, d2, _ = patch_shape
     g = grid_spacing
     m = slices_padded.shape[-1]
@@ -59,7 +63,7 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
             p_c = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
         else:
             p_c = params
-        key = jax.random.fold_in(rng, step) if mc else rng
+        key = jax.random.fold_in(rng, step_base + step) if mc else rng
         out = apply_cnn(spec, p_c, x, mc_dropout=mc, dropout_rng=key)
         res = []
         for op in ops:
@@ -162,8 +166,10 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
     return divs.reshape(-1)
 
 
-_SCAN_OPS = {"posteriors", "posteriors_full", "prediction", "feature_layer",
-             "logits"}
+# ops whose per-patch output is wide (d_feature / nclass columns): the
+# host path pulls these slab-by-slab so only one z-chunk of the wide
+# tensor is ever resident in HBM (a stride-1 feature sweep is tens of GB)
+_WIDE_OPS = {"posteriors_full", "feature_layer", "logits"}
 
 
 class GridPoolEvaluator(PoolEvaluator):
@@ -253,7 +259,29 @@ class GridPoolEvaluator(PoolEvaluator):
         ops = tuple(ops)
         mc = mc_rng is not None
         rng = mc_rng if mc else jax.random.key(0)
-        # one dispatch for the whole volume, whatever the op mix
+        n_valid = self.nz * self.nx * self.ny
+        if not as_device and (set(ops) & _WIDE_OPS):
+            # host pull of a wide op: slab loop so device memory holds one
+            # z-chunk of the wide tensor, not the whole grid's
+            rows_per = self.nx * self.ny
+            chunks: Dict[str, list] = {op: [] for op in ops}
+            for c, z0 in enumerate(range(0, self.nz, self.z_chunk)):
+                block = self._slices[z0:z0 + self.z_chunk]
+                pad = self.z_chunk - block.shape[0]
+                if pad:
+                    block = jnp.pad(block,
+                                    ((0, pad), (0, 0), (0, 0), (0, 0)))
+                outs = _grid_sweep_scan(self.spec, params, block, self.mu,
+                                        self.sd, self.patch_shape,
+                                        self.grid_spacing, self.z_chunk,
+                                        ops, mc, rng, self.compute_dtype,
+                                        step_base=c)
+                keep = rows_per * min(self.z_chunk, self.nz - z0)
+                for op, o in zip(ops, outs):
+                    chunks[op].append(np.asarray(o)[:keep])
+            full = {op: np.concatenate(chunks[op], axis=0) for op in ops}
+            return {op: full[op][rows] for op in ops}
+        # one dispatch for the whole volume
         z_pad = -self.nz % self.z_chunk
         slices = self._slices
         if z_pad:
@@ -263,7 +291,6 @@ class GridPoolEvaluator(PoolEvaluator):
                                 self.sd, self.patch_shape,
                                 self.grid_spacing, self.z_chunk, ops,
                                 mc, rng, self.compute_dtype)
-        n_valid = self.nz * self.nx * self.ny
         if as_device:
             rows_d = jnp.asarray(rows)
             return {op: o[:n_valid][rows_d]

@@ -3,8 +3,23 @@
 import os
 
 import jax
+import pytest
 
 from nnal_tpu.core.compile_cache import enable_compilation_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_cache_dir():
+    """conftest.py points the cache at the shared test dir to cut gate
+    wall time; every test here redirects it (often at a tmp_path pytest
+    deletes), so restore — and reset the lazily-pinned cache object — or
+    every alphabetically-later test file compiles uncached."""
+    before = jax.config.jax_compilation_cache_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", before)
+    from jax._src import compilation_cache as _cc
+    if _cc.is_initialized():
+        _cc.reset_cache()
 
 
 def test_enable_sets_config_and_creates_dir(tmp_path, monkeypatch):
@@ -22,11 +37,20 @@ def test_env_var_overrides_default(tmp_path, monkeypatch):
     assert os.path.isdir(d)
 
 
-def test_disable_via_env(monkeypatch):
-    monkeypatch.setenv("NNAL_COMPILE_CACHE", "0")
+@pytest.mark.parametrize("spelling", ["0", "off", "none", "OFF"])
+def test_disable_via_env(monkeypatch, spelling):
+    monkeypatch.setenv("NNAL_COMPILE_CACHE", spelling)
     before = jax.config.jax_compilation_cache_dir
     assert enable_compilation_cache() is None
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_explicit_path_beats_env_disable(tmp_path, monkeypatch):
+    """A caller-supplied path wins over every env disable spelling."""
+    monkeypatch.setenv("NNAL_COMPILE_CACHE", "0")
+    d = str(tmp_path / "explicit")
+    assert enable_compilation_cache(d) == d
+    assert jax.config.jax_compilation_cache_dir == d
 
 
 def test_cache_round_trip_on_cpu(tmp_path, monkeypatch):
@@ -49,4 +73,3 @@ def test_cache_round_trip_on_cpu(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_compilation_cache_dir", None)

@@ -67,6 +67,36 @@ def test_hist_dtype_f16_halves_history_not_resume(tmp_path):
     assert res["n_queries"] == 9
 
 
+def test_hist_dtype_f16_on_anchor_rounds_too(tmp_path):
+    """With ckpt_full_every=1 every round is an anchor; the history copy
+    must still honor hist_dtype (pulled separately from the f32 resume
+    point) — a run with only anchors may not silently fall back to f32
+    history files."""
+    import jax
+
+    root = str(tmp_path / "e")
+    cfg = ExperimentConfig.from_pars(_pars(hist_dtype="float16"))
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    expr = MultiImgExperiment(root, cfg)
+    expr.attach_subjects(subs)
+    expr.prep_data()
+    expr.add_method("random")
+    expr.run_method("random", 6)
+    j = MethodJournal(root, "random")
+
+    for i in (1, 2):
+        hist = load_checkpoint(j.path(f"curr_weights_{i}.npz"))[0]
+        fl = [np.asarray(v) for v in jax.tree_util.tree_leaves(hist)
+              if np.issubdtype(np.asarray(v).dtype, np.floating)]
+        assert fl and all(v.dtype == np.float16 for v in fl)
+
+    params = load_checkpoint(j.path("curr_weights.npz"))[0]
+    rl = [np.asarray(v) for v in jax.tree_util.tree_leaves(params)
+          if np.issubdtype(np.asarray(v).dtype, np.floating)]
+    assert rl and all(v.dtype == np.float32 for v in rl)
+
+
 def test_hist_dtype_matches_f32_training_exactly(tmp_path):
     """hist_dtype only changes the STORED history copies — the training
     trajectory (and thus the resume point) must be bit-identical to a
