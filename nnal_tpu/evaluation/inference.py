@@ -35,7 +35,9 @@ def full_slice_patchwise(evaluator: PoolEvaluator, params,
     PW_analyze_results.py:673-770).
 
     A grid evaluator is re-spaced to stride 1 so the dense sweep rides the
-    im2col fast path instead of per-voxel gathers.
+    im2col fast path instead of per-voxel gathers; all requested slices go
+    through ONE evaluate call, so the grid path sweeps each touched z-slab
+    once (the old per-slice loop re-swept the volume per slice).
     """
     from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
@@ -43,13 +45,16 @@ def full_slice_patchwise(evaluator: PoolEvaluator, params,
             and evaluator.grid_spacing != 1:
         evaluator = evaluator.with_spacing(1)
     s = evaluator.orig_shape
-    out = {}
-    for z in slices:
-        inds2d = np.arange(s[0] * s[1])
-        inds3d = expand_raveled_inds(inds2d, z, 2, s)
-        vals = evaluator.evaluate(params, inds3d, (op,))[op]
-        out[z] = vals.reshape(s[0], s[1])
-    return out
+    slices = list(slices)
+    if not slices:
+        return {}
+    inds2d = np.arange(s[0] * s[1])
+    all_inds = np.concatenate(
+        [expand_raveled_inds(inds2d, z, 2, s) for z in slices])
+    vals = evaluator.evaluate(params, all_inds, (op,))[op]
+    per = s[0] * s[1]
+    return {z: np.asarray(vals[i * per:(i + 1) * per]).reshape(s[0], s[1])
+            for i, z in enumerate(slices)}
 
 
 def full_volume_patchwise(evaluator: PoolEvaluator, params,

@@ -171,6 +171,20 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
 # tensor is ever resident in HBM (a stride-1 feature sweep is tens of GB)
 _WIDE_OPS = {"posteriors_full", "feature_layer", "logits"}
 
+# off-grid index sets route through a stride-1 slab sweep when the sweep
+# is cheaper than per-patch dynamic-slice gathers; the measured rate gap
+# is ~200x (697K/s im2col sweep vs ~3K/s arbitrary gather on TPU —
+# CLAUDE.md pool-sweep note), so 128 is a conservative routing margin
+_DENSE_OFFGRID_RATIO = 128
+
+
+@jax.jit
+def _gather_rows(outs, idx):
+    """Row-gather each sweep output on device so only the selected rows'
+    bytes cross the host link (callers bucket-pad ``idx`` to keep this
+    program's shape set small)."""
+    return tuple(o[idx] for o in outs)
+
 
 class GridPoolEvaluator(PoolEvaluator):
     """Pool evaluator specialized for grid-sampled pools (d3 == 1)."""
@@ -249,38 +263,81 @@ class GridPoolEvaluator(PoolEvaluator):
         ev.ny = len(range(0, s2, ev.grid_spacing))
         return ev
 
+    def _offgrid_dense_worthwhile(self, inds: np.ndarray) -> bool:
+        """True when a stride-1 slab sweep over the touched z-slabs beats
+        per-patch dynamic-slice gathers for this off-grid index set."""
+        if not getattr(self, "offgrid_dense", True) or len(inds) == 0:
+            return False
+        s1, s2, s3 = self.orig_shape
+        slabs = len(np.unique((np.asarray(inds, np.int64) % s3)
+                              // self.z_chunk))
+        return (len(inds) * _DENSE_OFFGRID_RATIO
+                > slabs * s1 * s2 * self.z_chunk)
+
+    def _eval_slabs(self, params, rows: np.ndarray, ops, mc, rng
+                    ) -> Dict[str, np.ndarray]:
+        """Slab-restricted host evaluation: one z-chunk dispatch per slab
+        that contains requested rows (slabs with none are skipped), with
+        the requested rows gathered ON DEVICE — index vectors bucket-pad
+        to powers of two so the gather program set stays small — so only
+        the selected rows' bytes cross the host link.  MC dropout keys
+        fold the slab's global chunk id (``step_base``), so results are
+        bitwise those of the whole-volume sweep."""
+        rows = np.asarray(rows, np.int64)
+        slab_rows = self.nx * self.ny * self.z_chunk
+        slab_ids = rows // slab_rows
+        results: Dict[str, np.ndarray] = {}
+        for slab in np.unique(slab_ids):
+            sel = np.nonzero(slab_ids == slab)[0]
+            local = rows[sel] - slab * slab_rows
+            z0 = int(slab) * self.z_chunk
+            block = self._slices[z0:z0 + self.z_chunk]
+            pad = self.z_chunk - block.shape[0]
+            if pad:
+                block = jnp.pad(block, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            outs = _grid_sweep_scan(self.spec, params, block, self.mu,
+                                    self.sd, self.patch_shape,
+                                    self.grid_spacing, self.z_chunk, ops,
+                                    mc, rng, self.compute_dtype,
+                                    step_base=int(slab))
+            bucket = max(256, 1 << int(np.ceil(np.log2(len(local)))))
+            idx = np.zeros(bucket, np.int32)
+            idx[:len(local)] = local
+            g = _gather_rows(tuple(outs), jnp.asarray(idx))
+            for op, o in zip(ops, g):
+                arr = np.asarray(o)[:len(local)]
+                if op not in results:
+                    results[op] = np.empty((len(rows),) + arr.shape[1:],
+                                           arr.dtype)
+                results[op][sel] = arr
+        return results
+
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
                  mc_rng=None, as_device: bool = False
                  ) -> Dict[str, np.ndarray]:
         rows = self._grid_rows(pool_inds)
         if rows is None:
+            # off-grid indices: a dense stride-1 slab sweep over the
+            # touched z-slabs beats the ~3K patches/s arbitrary gather
+            # once the set is big/clustered enough (deferred r2 item)
+            if not as_device and self._offgrid_dense_worthwhile(pool_inds):
+                ev1 = self if self.grid_spacing == 1 else self.with_spacing(1)
+                return ev1.evaluate(params, pool_inds, ops, mc_rng)
             return super().evaluate(params, pool_inds, ops, mc_rng,
                                     as_device)
         ops = tuple(ops)
         mc = mc_rng is not None
         rng = mc_rng if mc else jax.random.key(0)
         n_valid = self.nz * self.nx * self.ny
-        if not as_device and (set(ops) & _WIDE_OPS):
-            # host pull of a wide op: slab loop so device memory holds one
-            # z-chunk of the wide tensor, not the whole grid's
-            rows_per = self.nx * self.ny
-            chunks: Dict[str, list] = {op: [] for op in ops}
-            for c, z0 in enumerate(range(0, self.nz, self.z_chunk)):
-                block = self._slices[z0:z0 + self.z_chunk]
-                pad = self.z_chunk - block.shape[0]
-                if pad:
-                    block = jnp.pad(block,
-                                    ((0, pad), (0, 0), (0, 0), (0, 0)))
-                outs = _grid_sweep_scan(self.spec, params, block, self.mu,
-                                        self.sd, self.patch_shape,
-                                        self.grid_spacing, self.z_chunk,
-                                        ops, mc, rng, self.compute_dtype,
-                                        step_base=c)
-                keep = rows_per * min(self.z_chunk, self.nz - z0)
-                for op, o in zip(ops, outs):
-                    chunks[op].append(np.asarray(o)[:keep])
-            full = {op: np.concatenate(chunks[op], axis=0) for op in ops}
-            return {op: full[op][rows] for op in ops}
+        if not as_device and len(rows):
+            n_slabs = -(-self.nz // self.z_chunk)
+            needed = len(np.unique(np.asarray(rows, np.int64)
+                                   // (self.nx * self.ny * self.z_chunk)))
+            # wide ops always slab (bounds HBM to one z-chunk of the wide
+            # tensor AND pulls only the requested rows); narrow ops slab
+            # only when whole slabs can be skipped
+            if (set(ops) & _WIDE_OPS) or needed < n_slabs:
+                return self._eval_slabs(params, rows, ops, mc, rng)
         # one dispatch for the whole volume
         z_pad = -self.nz % self.z_chunk
         slices = self._slices

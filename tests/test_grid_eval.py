@@ -153,3 +153,58 @@ def test_fim_sweep_matches_fused_scorer():
     np.testing.assert_allclose(res["shrunk"][:zc * nx * ny],
                                np.asarray(ref["shrunk"]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_slab_restricted_rows_match_full_sweep():
+    """Rows confined to a few slices take the slab-restricted path (only
+    the touched z-slabs are swept) and must equal the one-dispatch
+    whole-volume sweep bitwise, including wide ops and MC keys."""
+    grid_ev, _, params, inds = _setup()
+    s3 = grid_ev.orig_shape[2]
+    sub = inds[(inds % s3) <= 1]          # slices 0-1 only (slab 0)
+    sub = sub[::-1].copy()                # arbitrary order
+    for mc in (None, jax.random.key(9)):
+        slab = grid_ev.evaluate(params, sub,
+                                ("posteriors", "feature_layer"), mc_rng=mc)
+        full = grid_ev.evaluate(params, sub,
+                                ("posteriors", "feature_layer"), mc_rng=mc,
+                                as_device=True)
+        for op in ("posteriors", "feature_layer"):
+            np.testing.assert_array_equal(slab[op], np.asarray(full[op]))
+
+
+def test_offgrid_dense_route_matches_oracle():
+    """A large off-grid index set routes through the stride-1 slab sweep
+    and must match the dynamic-slice oracle within conv-extraction
+    tolerance; tiny sets stay on the gather path."""
+    grid_ev, slow_ev, params, _ = _setup()
+    s1, s2, s3 = grid_ev.orig_shape
+    rng = np.random.RandomState(0)
+    n = s1 * s2 * 2                       # dense enough for the heuristic
+    off = (rng.randint(0, s1, n) * s2 + rng.randint(0, s2, n)) * s3 \
+        + rng.randint(0, 2, n)            # clustered on slices 0-1
+    off[0] = (1 * s2 + 1) * s3            # guarantee an off-grid voxel
+    assert grid_ev._grid_rows(off) is None
+    assert grid_ev._offgrid_dense_worthwhile(off)
+    fast = grid_ev.evaluate(params, off, ("posteriors",))["posteriors"]
+    slow = slow_ev.evaluate(params, off, ("posteriors",))["posteriors"]
+    np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-5)
+    assert not grid_ev._offgrid_dense_worthwhile(off[:3])
+
+
+def test_full_volume_patchwise_single_sweep():
+    """full_slice_patchwise batches all slices into one evaluate call; the
+    stacked volume must equal the slow per-voxel oracle."""
+    from nnal_tpu.evaluation.inference import full_volume_patchwise
+    from nnal_tpu.data.indexing import expand_raveled_inds
+
+    grid_ev, slow_ev, params, _ = _setup(shape=(14, 16, 5))
+    vol = full_volume_patchwise(grid_ev, params, op="posteriors")
+    s = grid_ev.orig_shape
+    assert vol.shape == s
+    z = 2
+    inds3d = expand_raveled_inds(np.arange(s[0] * s[1]), z, 2, s)
+    slow = slow_ev.evaluate(params, inds3d,
+                            ("posteriors",))["posteriors"]
+    np.testing.assert_allclose(vol[:, :, z].ravel(), slow,
+                               rtol=2e-4, atol=2e-5)
