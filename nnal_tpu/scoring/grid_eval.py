@@ -172,10 +172,11 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
 _WIDE_OPS = {"posteriors_full", "feature_layer", "logits"}
 
 # off-grid index sets route through a stride-1 slab sweep when the sweep
-# is cheaper than per-patch dynamic-slice gathers; the measured rate gap
-# is ~200x (697K/s im2col sweep vs ~3K/s arbitrary gather on TPU —
-# CLAUDE.md pool-sweep note), so 128 is a conservative routing margin
-_DENSE_OFFGRID_RATIO = 128
+# is cheaper than per-patch dynamic-slice gathers.  Measured on chip
+# (benchmarks/INFERENCE_r03.json, 25x25x2 bf16): sweep ~680K patches/s vs
+# gather ~88K/s — a ~7.7x per-patch gap, so 6 is a conservative routing
+# margin (borderline sets stay on the exact-cost gather path)
+_DENSE_OFFGRID_RATIO = 6
 
 
 @jax.jit
@@ -261,6 +262,11 @@ class GridPoolEvaluator(PoolEvaluator):
         s1, s2, _ = self.orig_shape
         ev.nx = len(range(0, s1, ev.grid_spacing))
         ev.ny = len(range(0, s2, ev.grid_spacing))
+        # keep patches-per-dispatch (and thus activation HBM) roughly what
+        # the caller sized z_chunk for: a g=2 -> 1 re-space quadruples the
+        # rows per slice, so the z-chunk shrinks by the same factor
+        ev.z_chunk = max(1, (self.z_chunk * self.nx * self.ny)
+                         // (ev.nx * ev.ny))
         return ev
 
     def _offgrid_dense_worthwhile(self, inds: np.ndarray) -> bool:

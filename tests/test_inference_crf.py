@@ -155,3 +155,19 @@ def test_finetune_wpool_and_reset(tmp_path):
     expr.reset_method("entropy")
     t2, p2 = j.membership()
     assert len(t2) == 6  # back to init_size
+
+
+def test_fcn_inference_bf16_close_to_f32():
+    """compute_dtype=bfloat16 serving tracks the f32 posteriors within
+    bf16 resolution and keeps predictions mostly identical."""
+    spec = create_tiramisu103(2, (16, 16, 1), growth=2, depths=(2, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    x = np.random.RandomState(0).randn(4, 16, 16, 1).astype(np.float32)
+    p32 = FCNInference(spec, batch=2).segment(params, x, op="posteriors")
+    inf16 = FCNInference(spec, batch=2, compute_dtype=jnp.bfloat16)
+    p16 = inf16.segment(params, x, op="posteriors")
+    assert p16.dtype == np.float32
+    assert np.abs(p32 - p16).max() < 0.08
+    pr32 = FCNInference(spec, batch=2).segment(params, x, op="prediction")
+    pr16 = inf16.segment(params, x, op="prediction")
+    assert (pr32 == pr16).mean() > 0.97
