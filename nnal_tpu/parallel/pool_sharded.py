@@ -278,3 +278,83 @@ def grid_row_to_voxel(rows, orig_shape, grid_spacing: int) -> np.ndarray:
     gx = rem % nx
     z = rem // nx
     return (gx * g * s2 + gy * g) * s3 + z
+
+
+def make_sharded_dense_segmenter(spec, mesh: Mesh, patch_shape, orig_shape,
+                                 op: str = "posteriors", z_inner: int = 1,
+                                 compute_dtype=None):
+    """Mesh-sharded whole-volume dense segmentation (serving): axial
+    slices shard over the ``data`` axis and each shard runs the stride-1
+    im2col sweep over its slice block (the single-device path of
+    ``evaluation.inference.full_volume_patchwise``), streaming ``z_inner``
+    slices per ``lax.map`` step so HBM holds one chunk of patch
+    activations per shard.  No collectives are needed — each output voxel
+    belongs to exactly one shard — so throughput scales linearly with
+    ``mesh.shape['data']``.
+
+    Returns ``run(params, padded, mu, sd) -> (s1, s2, s3) ndarray`` of
+    per-voxel ``op`` values ('posteriors' = P(class 1) for binary specs,
+    or 'prediction').
+    """
+    from jax.experimental.shard_map import shard_map
+
+    d1, d2, d3 = patch_shape
+    assert d3 == 1
+    s1, s2, s3 = orig_shape
+    dp = mesh.shape["data"]
+    z_pad = -s3 % (dp * z_inner)
+    rows_per_step = z_inner * s1 * s2
+
+    def local(params, slices_block, mu, sd):
+        zc = slices_block.shape[0]
+        nsteps = zc // z_inner
+        m = slices_block.shape[-1]
+        blocks = slices_block.reshape((nsteps, z_inner)
+                                      + slices_block.shape[1:])
+        if compute_dtype is not None:
+            p_c = jax.tree_util.tree_map(
+                lambda v: v.astype(compute_dtype), params)
+        else:
+            p_c = params
+
+        def seg_step(blk):
+            patches = jax.lax.conv_general_dilated_patches(
+                blk, filter_shape=(d1, d2), window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = patches.reshape(rows_per_step, m, d1, d2
+                                ).transpose(0, 2, 3, 1)
+            x = (x - mu) / sd
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+            out = apply_cnn(spec, p_c, x)
+            if op == "prediction":
+                return out.prediction
+            return out.posteriors[:, 1].astype(jnp.float32) \
+                if spec.nclass == 2 else out.posteriors
+
+        vals = jax.lax.map(seg_step, blocks)
+        return vals.reshape((zc * s1 * s2,) + vals.shape[2:])
+
+    sharded = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=P("data"),
+        check_rep=False))
+
+    def run(params, padded, mu, sd) -> np.ndarray:
+        slices = jnp.transpose(jnp.asarray(padded), (3, 1, 2, 0))
+        if z_pad:
+            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        rep = NamedSharding(mesh, P())
+        out = sharded(
+            jax.device_put(params, rep),
+            jax.device_put(slices, NamedSharding(mesh, P("data"))),
+            jax.device_put(jnp.asarray(np.asarray(mu, np.float32)), rep),
+            jax.device_put(jnp.asarray(np.asarray(sd, np.float32)), rep))
+        flat = np.asarray(out)[:s3 * s1 * s2]
+        # shard-local layout is (z, x, y); volume convention is (x, y, z)
+        return np.moveaxis(flat.reshape((s3, s1, s2) + flat.shape[1:]),
+                           0, 2)
+
+    return run

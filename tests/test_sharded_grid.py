@@ -61,3 +61,39 @@ def test_grid_row_roundtrip():
     rows = (z * nx + x // g) * ny + y // g
     back = grid_row_to_voxel(rows, shape, g)
     np.testing.assert_array_equal(back, inds)
+
+
+@needs_8
+def test_sharded_dense_segmenter_matches_single_device():
+    """Mesh-sharded whole-volume serving == the single-device batched
+    full_volume_patchwise sweep (same stride-1 im2col extraction, so only
+    batch-tiling reduction order can differ)."""
+    from nnal_tpu.evaluation.inference import full_volume_patchwise
+    from nnal_tpu.parallel.pool_sharded import make_sharded_dense_segmenter
+
+    mesh = make_mesh(8, model_parallel=1)
+    shape = (14, 16, 11)   # odd z to exercise shard padding
+    patch_shape = (7, 7, 1)
+    vols, _ = synthetic_subject(shape=shape, n_modalities=2, seed=0)
+    spec = create_pw1(2, 0.0, (7, 7, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    padded = pad_volumes(vols, patch_shape)
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+
+    run = make_sharded_dense_segmenter(spec, mesh, patch_shape, shape,
+                                       op="posteriors")
+    vol_sh = run(params, padded, mu, sd)
+    assert vol_sh.shape == shape
+
+    ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                           grid_spacing=2, z_chunk=4)
+    vol_1 = full_volume_patchwise(ev, params, op="posteriors")
+    np.testing.assert_allclose(vol_sh, vol_1, rtol=1e-5, atol=1e-6)
+
+    pred_sh = make_sharded_dense_segmenter(spec, mesh, patch_shape, shape,
+                                           op="prediction")(params, padded,
+                                                            mu, sd)
+    assert pred_sh.shape == shape
+    np.testing.assert_array_equal(
+        pred_sh, full_volume_patchwise(ev, params, op="prediction"))
