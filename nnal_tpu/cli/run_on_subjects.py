@@ -31,7 +31,6 @@ def run_on_subjects(expr, method_name: str, subjects: Sequence,
     from nnal_tpu.evaluation.metrics import f_measure
     from nnal_tpu.models.checkpoint import load_checkpoint
     from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
-    from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
     spec = expr.build_model()
     if params is None:
@@ -45,14 +44,8 @@ def run_on_subjects(expr, method_name: str, subjects: Sequence,
         mu, sd = stats[i, 0::2], stats[i, 1::2]
         padded = pad_volumes(vols, patch_shape)
         orig = tuple(np.asarray(vols[0]).shape)
-        if patch_shape[2] == 1:
-            ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape,
-                                   orig,
-                                   grid_spacing=expr.config.data
-                                   .grid_spacing,
-                                   ntb=expr.config.query.ntb)
-        else:
-            ev = PoolEvaluator(spec, padded, mu, sd, patch_shape, orig,
+        ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, orig,
+                               grid_spacing=expr.config.data.grid_spacing,
                                ntb=expr.config.query.ntb)
         preds = full_volume_patchwise(ev, params, "prediction")
         f1 = f_measure(preds, np.asarray(mask))

@@ -31,7 +31,6 @@ from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 from nnal_tpu.models.cnn import init_cnn
 from nnal_tpu.models.specs import create_model
 from nnal_tpu.models.train import init_train_state
-from nnal_tpu.scoring.pool_eval import PoolEvaluator
 from nnal_tpu.scoring.strategies import QueryContext, query_multimg
 
 
@@ -99,17 +98,14 @@ class MultiImgExperiment:
             sd = stats[i, 1::2]
             padded = pad_volumes(vols, patch_shape)
             orig = tuple(np.asarray(vols[0]).shape)
-            if patch_shape[2] == 1:
-                from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+            from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
-                evs.append(GridPoolEvaluator(
-                    spec, padded, mu, sd, patch_shape, orig,
-                    grid_spacing=self.config.data.grid_spacing,
-                    ntb=self.config.query.ntb, compute_dtype=cd))
-            else:
-                evs.append(PoolEvaluator(spec, padded, mu, sd, patch_shape,
-                                         orig, ntb=self.config.query.ntb,
-                                         compute_dtype=cd))
+            # d3 > 1 rides the same im2col sweep via z-neighbor channel
+            # stacking (grid_eval.GridPoolEvaluator docstring)
+            evs.append(GridPoolEvaluator(
+                spec, padded, mu, sd, patch_shape, orig,
+                grid_spacing=self.config.data.grid_spacing,
+                ntb=self.config.query.ntb, compute_dtype=cd))
         return evs
 
     def add_method(self, method_name: str):

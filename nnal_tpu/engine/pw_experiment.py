@@ -120,18 +120,14 @@ class PWExperiment:
         patch_shape = tuple(self.config.model.patch_shape)
         padded = pad_volumes(vols, patch_shape)
         cd = eval_compute_dtype(self.config.model.dtype)
-        if patch_shape[2] == 1:
-            # grid pools sweep via im2col — the fast TPU path (arbitrary
-            # window gathers measure ~3K patches/s; im2col is vectorized)
-            from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+        # grid pools sweep via im2col — the fast TPU path; d3 > 1 rides
+        # it too via z-neighbor channel stacking (grid_eval docstring)
+        from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
-            return GridPoolEvaluator(
-                spec, padded, mu, sd, patch_shape, tuple(vols[0].shape),
-                grid_spacing=self.config.data.grid_spacing,
-                ntb=self.config.query.ntb, compute_dtype=cd)
-        return PoolEvaluator(spec, padded, mu, sd, patch_shape,
-                             tuple(vols[0].shape),
-                             ntb=self.config.query.ntb, compute_dtype=cd)
+        return GridPoolEvaluator(
+            spec, padded, mu, sd, patch_shape, tuple(vols[0].shape),
+            grid_spacing=self.config.data.grid_spacing,
+            ntb=self.config.query.ntb, compute_dtype=cd)
 
     # ------------------------------------------------------------- methods
     def add_method(self, method_name: str, init_size: Optional[int] = None):

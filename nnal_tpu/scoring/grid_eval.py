@@ -11,8 +11,10 @@ orders of magnitude faster.
 :class:`GridPoolEvaluator` scores the *whole grid* slice-by-slice in one
 jitted program (extract -> normalize -> forward), then selects the rows the
 caller asked for.  Indices that are not grid-aligned fall back to the
-dynamic-slice path transparently.  Requires ``patch_shape[2] == 1`` (the
-patch-wise workhorse layout).
+dynamic-slice path transparently (or, when big and clustered, to a
+stride-1 slab sweep).  Multi-slice patches (``d3 > 1``) ride the same 2D
+im2col by stacking each voxel's z-neighbors as channels (see
+:class:`GridPoolEvaluator`).
 """
 
 from __future__ import annotations
@@ -188,22 +190,45 @@ def _gather_rows(outs, idx):
 
 
 class GridPoolEvaluator(PoolEvaluator):
-    """Pool evaluator specialized for grid-sampled pools (d3 == 1)."""
+    """Pool evaluator specialized for grid-sampled pools.
+
+    Multi-slice patches (``d3 > 1``) ride the same 2D im2col sweep: the
+    slice stack holds each voxel's ``d3`` z-neighbors as extra channels
+    (modality-major, matching the gather's ``(b, d1, d2, m*d3)`` layout,
+    data/patches.py:59), so ``conv_general_dilated_patches`` over
+    ``(d1, d2)`` windows reproduces the 3D gather exactly — at the
+    strided-copy rate instead of per-patch dynamic slices.  Costs
+    ``d3``x the slice-stack bytes and per-dispatch activation HBM.
+    """
 
     def __init__(self, spec, padded, mu, sd, patch_shape, orig_shape,
                  grid_spacing: int, ntb: int = 4096, z_chunk: int = 4,
                  compute_dtype=None):
         super().__init__(spec, padded, mu, sd, patch_shape, orig_shape,
                          ntb=ntb, compute_dtype=compute_dtype)
-        assert patch_shape[2] == 1, "grid evaluator requires d3 == 1"
         self.grid_spacing = int(grid_spacing)
         self.z_chunk = int(z_chunk)
         s1, s2, s3 = orig_shape
         self.nx = len(range(0, s1, self.grid_spacing))
         self.ny = len(range(0, s2, self.grid_spacing))
         self.nz = s3
-        # (D3, D1p, D2p, m) slice stack, device-resident
-        self._slices = jnp.transpose(self.padded, (3, 1, 2, 0))
+        d3 = self.patch_shape[2]
+        if d3 == 1:
+            # (D3, D1p, D2p, m) slice stack, device-resident
+            self._slices = jnp.transpose(self.padded, (3, 1, 2, 0))
+        else:
+            # stack z-shifted views as channels: slice z's channel
+            # j*d3 + t is padded modality j at depth z + t (the window
+            # start in the padded volume IS the original z coordinate)
+            p = self.padded                      # (m, D1p, D2p, D3p)
+            views = jnp.stack([p[..., t:t + s3] for t in range(d3)],
+                              axis=1)            # (m, d3, D1p, D2p, s3)
+            self._slices = jnp.transpose(views, (4, 2, 3, 0, 1)).reshape(
+                (s3,) + p.shape[1:3] + (p.shape[0] * d3,))
+        # sweep-side normalization constants span the concatenated depth
+        # axis (the gather repeats per-modality stats the same way)
+        self._mu_c = jnp.repeat(self.mu, d3)
+        self._sd_c = jnp.repeat(self.sd, d3)
 
     def fim_sweep(self, params, compute_dtype=None):
         """Posterior + diag-FIM ingredients for the WHOLE grid in one
@@ -217,7 +242,8 @@ class GridPoolEvaluator(PoolEvaluator):
         if z_pad:
             slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
         p1, unc, shrunk = _grid_fim_sweep(
-            self.spec, params, slices, self.mu, self.sd, self.patch_shape,
+            self.spec, params, slices, self._mu_c, self._sd_c,
+            self.patch_shape,
             self.grid_spacing, self.z_chunk, cd)
         n_valid = self.nz * self.nx * self.ny
         return {"p1": np.asarray(p1)[:n_valid],
@@ -234,7 +260,8 @@ class GridPoolEvaluator(PoolEvaluator):
         if z_pad:
             slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
         divs = _grid_perturb_sweep(
-            self.spec, params, teacher_params, slices, self.mu, self.sd,
+            self.spec, params, teacher_params, slices, self._mu_c,
+            self._sd_c,
             self.patch_shape, self.grid_spacing, self.z_chunk, rng,
             measure, gaussian_std, rotation_angle, self.compute_dtype)
         return np.asarray(divs)[:self.nz * self.nx * self.ny]
@@ -301,8 +328,9 @@ class GridPoolEvaluator(PoolEvaluator):
             pad = self.z_chunk - block.shape[0]
             if pad:
                 block = jnp.pad(block, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            outs = _grid_sweep_scan(self.spec, params, block, self.mu,
-                                    self.sd, self.patch_shape,
+            outs = _grid_sweep_scan(self.spec, params, block,
+                                    self._mu_c, self._sd_c,
+                                    self.patch_shape,
                                     self.grid_spacing, self.z_chunk, ops,
                                     mc, rng, self.compute_dtype,
                                     step_base=int(slab))
@@ -350,8 +378,8 @@ class GridPoolEvaluator(PoolEvaluator):
         if z_pad:
             slices = jnp.pad(slices,
                              ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        outs = _grid_sweep_scan(self.spec, params, slices, self.mu,
-                                self.sd, self.patch_shape,
+        outs = _grid_sweep_scan(self.spec, params, slices, self._mu_c,
+                                self._sd_c, self.patch_shape,
                                 self.grid_spacing, self.z_chunk, ops,
                                 mc, rng, self.compute_dtype)
         if as_device:

@@ -208,3 +208,56 @@ def test_full_volume_patchwise_single_sweep():
                             ("posteriors",))["posteriors"]
     np.testing.assert_allclose(vol[:, :, z].ravel(), slow,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_d3_grid_sweep_matches_dynamic_slice():
+    """Multi-slice patches (d3=3) ride the im2col sweep via z-neighbor
+    channel stacking and must match the dynamic-slice gather oracle —
+    on-grid rows, slab-restricted subsets, and the fused FIM sweep."""
+    from nnal_tpu.ops.scoring_fused import pool_score_fused
+    from nnal_tpu.data.patches import gather_patches_normalized
+
+    shape, m, g, d3 = (20, 22, 9), 2, 3, 3
+    vols, mask = synthetic_subject(shape=shape, n_modalities=m, seed=2)
+    patch_shape = (9, 9, d3)
+    spec = create_pw1(2, 0.0, (9, 9, m * d3))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    padded = pad_volumes(vols, patch_shape)
+    grid_ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                                grid_spacing=g, z_chunk=2)
+    slow_ev = PoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                            ntb=256)
+    inds, _ = generate_grid_samples(shape, g, mask)
+
+    # the stacked channels reproduce the 3D gather bitwise
+    x_gather = gather_patches_normalized(padded, jax.numpy.asarray(inds[:8]),
+                                         mu, sd, patch_shape, shape)
+    rows = grid_ev._grid_rows(inds[:8])
+    fast = grid_ev.evaluate(params, inds, ("posteriors", "feature_layer"))
+    slow = slow_ev.evaluate(params, inds, ("posteriors", "feature_layer"))
+    for op in ("posteriors", "feature_layer"):
+        np.testing.assert_allclose(fast[op], slow[op], rtol=2e-4,
+                                   atol=2e-5, err_msg=op)
+
+    # slab-restricted subset == whole sweep (bitwise)
+    s3 = shape[2]
+    sub = inds[(inds % s3) <= 1][::-1].copy()
+    a = grid_ev.evaluate(params, sub, ("posteriors",))
+    b = grid_ev.evaluate(params, sub, ("posteriors",), as_device=True)
+    np.testing.assert_array_equal(a["posteriors"],
+                                  np.asarray(b["posteriors"]))
+
+    # fused FIM sweep == pool_score_fused on gathered patches
+    sweep = grid_ev.fim_sweep(params)
+    rows_all = grid_ev._grid_rows(inds)
+    ref = pool_score_fused(spec, params,
+                           gather_patches_normalized(
+                               padded, jax.numpy.asarray(inds[:32]), mu, sd,
+                               patch_shape, shape), True, None)
+    np.testing.assert_allclose(sweep["p1"][rows_all[:32]],
+                               np.asarray(ref["p1"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(sweep["shrunk"][rows_all[:32]],
+                               np.asarray(ref["shrunk"]), rtol=5e-3,
+                               atol=5e-5)
