@@ -104,7 +104,9 @@ def bench_offgrid_pool(on_tpu):
         out = ev.evaluate(params, inds, ("posteriors",))["posteriors"]
         return time.perf_counter() - t0, out
 
-    n_sc = 65536 if on_tpu else 1024
+    # CPU count sits WELL below the routing threshold (1024 lands exactly
+    # on the boundary: 1024*6 == 3 slabs * 32*32*2)
+    n_sc = 65536 if on_tpu else 512
     scat = (rng.randint(0, s1, n_sc) * s2
             + rng.randint(0, s2, n_sc)) * s3 + rng.randint(0, s3, n_sc)
     scat[0] = (1 * s2 + 1) * s3 + 1       # guarantee off-grid
@@ -145,6 +147,43 @@ def bench_offgrid_pool(on_tpu):
            "checksum": float(np.asarray(out_cl, np.float64).mean())})
 
 
+def bench_d3_sweep(on_tpu):
+    """Multi-slice (d3=3) grid-pool scoring via the z-neighbor channel
+    stack — the path that previously fell back to per-patch gathers."""
+    shape = (256, 256, 48) if on_tpu else (28, 28, 6)
+    d = 25 if on_tpu else 9
+    m, d3, g = 2, 3, 2
+    spec = create_model("PW", nclass=2, dropout_rate=0.5,
+                        patch_shape=(d, d, m * d3))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, _ = synthetic_subject(shape=shape, n_modalities=m, seed=0)
+    padded = pad_volumes(vols, (d, d, d3))
+    mu = np.array([float(v.mean()) for v in vols])
+    sd = np.array([float(v.std()) for v in vols])
+    # z_chunk=2: the d3 stack triples the channels, so two stride-2
+    # slices carry ~1.5x the activation bytes of the d3=1 bench's z4
+    ev = GridPoolEvaluator(spec, padded, mu, sd, (d, d, d3), shape,
+                           grid_spacing=g, z_chunk=2,
+                           compute_dtype=jnp.bfloat16 if on_tpu else None)
+    rng_np = np.random.RandomState(0)
+    inds = (rng_np.randint(0, shape[0] // g, 4096) * g * shape[1]
+            + rng_np.randint(0, shape[1] // g, 4096) * g) * shape[2] \
+        + rng_np.randint(0, shape[2], 4096)
+    ev.evaluate(params, inds, ("posteriors",), as_device=True)  # warmup
+    n_pool = ev.nx * ev.ny * ev.nz
+    t0 = time.perf_counter()
+    out = ev.evaluate(params, inds, ("posteriors",), as_device=True)
+    post = np.asarray(out["posteriors"])
+    dt = time.perf_counter() - t0
+    _emit({"bench": "d3_pool_sweep",
+           "metric": "pool_patches_scored_per_sec_per_chip",
+           "value": round(n_pool / dt, 1),
+           "unit": "patches/s/chip (whole-grid posterior sweep, 3-slice "
+                   "25x25x(2x3) patches via z-neighbor channel stack)",
+           "pool": n_pool, "wall_s": round(dt, 3),
+           "checksum": float(post.astype(np.float64).mean())})
+
+
 def bench_fcn_volume(on_tpu):
     hw = 256 if on_tpu else 32
     nsl = 64 if on_tpu else 4
@@ -176,6 +215,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     bench_pw_full_volume(on_tpu)
     bench_offgrid_pool(on_tpu)
+    bench_d3_sweep(on_tpu)
     bench_fcn_volume(on_tpu)
     if write:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

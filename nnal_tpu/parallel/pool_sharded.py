@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nnal_tpu.data.patches import gather_patches_normalized
 from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.scoring.grid_eval import extract_normalize
 
 
 def make_sharded_pool_selector(spec, mesh: Mesh, patch_shape, orig_shape,
@@ -114,20 +115,13 @@ def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
         # slices_block: (zc, D1p, D2p, m) — this shard's slice range
         zc = slices_block.shape[0]
         nsteps = zc // z_inner
-        m = slices_block.shape[-1]
         shard = jax.lax.axis_index("data")
         blocks = slices_block.reshape((nsteps, z_inner)
                                       + slices_block.shape[1:])
 
         def score_step(args):
             step, blk = args
-            patches = jax.lax.conv_general_dilated_patches(
-                blk, filter_shape=(d1, d2), window_strides=(g, g),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = patches.reshape(rows_per_step, m, d1, d2
-                                ).transpose(0, 2, 3, 1)
-            x = (x - mu) / sd
+            x = extract_normalize(blk, d1, d2, g, mu, sd)
             out = apply_cnn(spec, params, x)
             unc = jnp.abs(out.posteriors[:, 1] - 0.5)
             row_z = jax.lax.broadcasted_iota(
@@ -202,20 +196,13 @@ def make_sharded_fim_grid_selector(spec, mesh: Mesh, patch_shape,
     def local(params, slices_block, mu, sd):
         zc = slices_block.shape[0]
         nsteps = zc // z_inner
-        m = slices_block.shape[-1]
         shard = jax.lax.axis_index("data")
         blocks = slices_block.reshape((nsteps, z_inner)
                                       + slices_block.shape[1:])
 
         def score_step(args):
             step, blk = args
-            patches = jax.lax.conv_general_dilated_patches(
-                blk, filter_shape=(d1, d2), window_strides=(g, g),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = patches.reshape(rows_per_step, m, d1, d2
-                                ).transpose(0, 2, 3, 1)
-            x = (x - mu) / sd
+            x = extract_normalize(blk, d1, d2, g, mu, sd)
             out = pool_score_fused(spec, params, x, True, compute_dtype)
             row_z = jax.lax.broadcasted_iota(
                 jnp.int32, (rows_per_step, 1), 0)[:, 0] // (nx * ny)
@@ -303,12 +290,10 @@ def make_sharded_dense_segmenter(spec, mesh: Mesh, patch_shape, orig_shape,
     s1, s2, s3 = orig_shape
     dp = mesh.shape["data"]
     z_pad = -s3 % (dp * z_inner)
-    rows_per_step = z_inner * s1 * s2
 
     def local(params, slices_block, mu, sd):
         zc = slices_block.shape[0]
         nsteps = zc // z_inner
-        m = slices_block.shape[-1]
         blocks = slices_block.reshape((nsteps, z_inner)
                                       + slices_block.shape[1:])
         if compute_dtype is not None:
@@ -318,13 +303,7 @@ def make_sharded_dense_segmenter(spec, mesh: Mesh, patch_shape, orig_shape,
             p_c = params
 
         def seg_step(blk):
-            patches = jax.lax.conv_general_dilated_patches(
-                blk, filter_shape=(d1, d2), window_strides=(1, 1),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = patches.reshape(rows_per_step, m, d1, d2
-                                ).transpose(0, 2, 3, 1)
-            x = (x - mu) / sd
+            x = extract_normalize(blk, d1, d2, 1, mu, sd)
             if compute_dtype is not None:
                 x = x.astype(compute_dtype)
             out = apply_cnn(spec, p_c, x)

@@ -30,6 +30,21 @@ from nnal_tpu.models.cnn import apply_cnn
 from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
 
+def extract_normalize(blk, d1, d2, g, mu, sd):
+    """im2col window extraction + per-channel normalization — THE shared
+    front end of every sweep here and in ``parallel/pool_sharded`` (keep
+    them in lockstep; channels may be ``m*d3`` z-neighbor stacks, in
+    which case ``mu``/``sd`` must already be depth-repeated).  Returns
+    ``(zc*nx*ny, d1, d2, C)`` rows in z-major grid order."""
+    patches = jax.lax.conv_general_dilated_patches(
+        blk, filter_shape=(d1, d2), window_strides=(g, g),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zc, nx, ny, _ = patches.shape
+    c = blk.shape[-1]
+    x = patches.reshape(zc * nx * ny, c, d1, d2).transpose(0, 2, 3, 1)
+    return (x - mu) / sd
+
+
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "grid_spacing",
                                    "z_inner", "ops", "mc", "cd"))
 def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
@@ -46,7 +61,6 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
     sweep's keys bitwise."""
     d1, d2, _ = patch_shape
     g = grid_spacing
-    m = slices_padded.shape[-1]
     nz_p = slices_padded.shape[0]
     nsteps = nz_p // z_inner
     blocks = slices_padded.reshape((nsteps, z_inner)
@@ -54,12 +68,7 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
 
     def one(args):
         step, blk = args
-        patches = jax.lax.conv_general_dilated_patches(
-            blk, filter_shape=(d1, d2), window_strides=(g, g),
-            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        zc, nx, ny, _ = patches.shape
-        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
-        x = (x - mu) / sd
+        x = extract_normalize(blk, d1, d2, g, mu, sd)
         if cd is not None:
             x = x.astype(cd)
             p_c = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
@@ -104,18 +113,12 @@ def _grid_fim_sweep(spec, params, slices_padded, mu, sd, patch_shape,
 
     d1, d2, _ = patch_shape
     g = grid_spacing
-    m = slices_padded.shape[-1]
     nsteps = slices_padded.shape[0] // z_inner
     blocks = slices_padded.reshape((nsteps, z_inner)
                                    + slices_padded.shape[1:])
 
     def one(blk):
-        patches = jax.lax.conv_general_dilated_patches(
-            blk, filter_shape=(d1, d2), window_strides=(g, g),
-            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        zc, nx, ny, _ = patches.shape
-        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
-        x = (x - mu) / sd
+        x = extract_normalize(blk, d1, d2, g, mu, sd)
         out = pool_score_fused(spec, params, x, True, cd)
         return out["p1"], out["uncertainty"], out["shrunk"]
 
@@ -138,7 +141,6 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
 
     d1, d2, _ = patch_shape
     g = grid_spacing
-    m = slices_padded.shape[-1]
     nsteps = slices_padded.shape[0] // z_inner
     blocks = slices_padded.reshape((nsteps, z_inner)
                                    + slices_padded.shape[1:])
@@ -150,12 +152,7 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
 
     def one(args):
         step, blk = args
-        patches = jax.lax.conv_general_dilated_patches(
-            blk, filter_shape=(d1, d2), window_strides=(g, g),
-            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        zc, nx, ny, _ = patches.shape
-        x = patches.reshape(zc * nx * ny, m, d1, d2).transpose(0, 2, 3, 1)
-        x = (x - mu) / sd
+        x = extract_normalize(blk, d1, d2, g, mu, sd)
         if cd is not None:
             x = x.astype(cd)
         key = jax.random.fold_in(rng, step)
@@ -213,10 +210,16 @@ class GridPoolEvaluator(PoolEvaluator):
         self.ny = len(range(0, s2, self.grid_spacing))
         self.nz = s3
         d3 = self.patch_shape[2]
+        # even depths can't sweep: the pad margin is (d3-1)//2 per side,
+        # so the last z's window runs past the padded volume and the
+        # gather's dynamic_slice CLAMPS it (reference semantics) — the
+        # channel stack can't reproduce that shift, so even d3 delegates
+        # every evaluate to the exact dynamic-slice path
+        self._sweep_ok = d3 % 2 == 1
         if d3 == 1:
             # (D3, D1p, D2p, m) slice stack, device-resident
             self._slices = jnp.transpose(self.padded, (3, 1, 2, 0))
-        else:
+        elif self._sweep_ok:
             # stack z-shifted views as channels: slice z's channel
             # j*d3 + t is padded modality j at depth z + t (the window
             # start in the padded volume IS the original z coordinate)
@@ -349,12 +352,13 @@ class GridPoolEvaluator(PoolEvaluator):
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
                  mc_rng=None, as_device: bool = False
                  ) -> Dict[str, np.ndarray]:
-        rows = self._grid_rows(pool_inds)
+        rows = self._grid_rows(pool_inds) if self._sweep_ok else None
         if rows is None:
             # off-grid indices: a dense stride-1 slab sweep over the
-            # touched z-slabs beats the ~3K patches/s arbitrary gather
-            # once the set is big/clustered enough (deferred r2 item)
-            if not as_device and self._offgrid_dense_worthwhile(pool_inds):
+            # touched z-slabs beats the per-patch arbitrary gather (~8x
+            # per patch) once the set is big/clustered enough
+            if not as_device and self._sweep_ok \
+                    and self._offgrid_dense_worthwhile(pool_inds):
                 ev1 = self if self.grid_spacing == 1 else self.with_spacing(1)
                 return ev1.evaluate(params, pool_inds, ops, mc_rng)
             return super().evaluate(params, pool_inds, ops, mc_rng,
@@ -369,8 +373,11 @@ class GridPoolEvaluator(PoolEvaluator):
                                    // (self.nx * self.ny * self.z_chunk)))
             # wide ops always slab (bounds HBM to one z-chunk of the wide
             # tensor AND pulls only the requested rows); narrow ops slab
-            # only when whole slabs can be skipped
-            if (set(ops) & _WIDE_OPS) or needed < n_slabs:
+            # only when at least HALF the slabs can be skipped — on the
+            # tunneled chip per-dispatch latency dominates, so trading one
+            # whole-volume dispatch for n_slabs-1 slab dispatches to save
+            # a sliver of compute is a regression
+            if (set(ops) & _WIDE_OPS) or needed <= n_slabs // 2:
                 return self._eval_slabs(params, rows, ops, mc, rng)
         # one dispatch for the whole volume
         z_pad = -self.nz % self.z_chunk

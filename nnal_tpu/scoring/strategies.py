@@ -242,7 +242,7 @@ def _au_4u_scores(ctx: QueryContext) -> np.ndarray:
     angle = ctx.extra.get("rotation_angle")
     measure = ctx.extra.get("output_perturbation_measure", "CE")
     rows = ev._grid_rows(ctx.pool_inds) \
-        if isinstance(ev, GridPoolEvaluator) else None
+        if isinstance(ev, GridPoolEvaluator) and ev._sweep_ok else None
     if rows is not None:
         # grid pools: single-dispatch whole-volume im2col sweep (the same
         # production path every other pool-scale op uses)

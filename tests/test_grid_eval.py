@@ -231,10 +231,18 @@ def test_d3_grid_sweep_matches_dynamic_slice():
                             ntb=256)
     inds, _ = generate_grid_samples(shape, g, mask)
 
-    # the stacked channels reproduce the 3D gather bitwise
+    # the stacked channels reproduce the 3D gather bitwise: extract the
+    # full grid from the channel stack exactly as the sweep does and
+    # compare the gathered rows' patches value-for-value
+    from nnal_tpu.scoring.grid_eval import extract_normalize
+
     x_gather = gather_patches_normalized(padded, jax.numpy.asarray(inds[:8]),
                                          mu, sd, patch_shape, shape)
-    rows = grid_ev._grid_rows(inds[:8])
+    rows = np.asarray(grid_ev._grid_rows(inds[:8]))
+    x_sweep = extract_normalize(grid_ev._slices, 9, 9, g,
+                                grid_ev._mu_c, grid_ev._sd_c)
+    np.testing.assert_array_equal(np.asarray(x_sweep)[rows],
+                                  np.asarray(x_gather))
     fast = grid_ev.evaluate(params, inds, ("posteriors", "feature_layer"))
     slow = slow_ev.evaluate(params, inds, ("posteriors", "feature_layer"))
     for op in ("posteriors", "feature_layer"):
@@ -261,3 +269,27 @@ def test_d3_grid_sweep_matches_dynamic_slice():
     np.testing.assert_allclose(sweep["shrunk"][rows_all[:32]],
                                np.asarray(ref["shrunk"]), rtol=5e-3,
                                atol=5e-5)
+
+
+def test_even_d3_delegates_to_gather_path():
+    """Even patch depths can't sweep (the gather's dynamic_slice clamps
+    the last z's window, which a channel stack can't reproduce) — the
+    evaluator must construct fine and delegate every evaluate to the
+    exact dynamic-slice path."""
+    shape, m, d3 = (16, 16, 6), 1, 2
+    vols, mask = synthetic_subject(shape=shape, n_modalities=m, seed=1)
+    patch_shape = (7, 7, d3)
+    spec = create_pw1(2, 0.0, (7, 7, m * d3))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    padded = pad_volumes(vols, patch_shape)
+    grid_ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                                grid_spacing=2, z_chunk=2)
+    assert not grid_ev._sweep_ok
+    slow_ev = PoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                            ntb=128)
+    inds, _ = generate_grid_samples(shape, 2, mask)
+    a = grid_ev.evaluate(params, inds[:40], ("posteriors",))["posteriors"]
+    b = slow_ev.evaluate(params, inds[:40], ("posteriors",))["posteriors"]
+    np.testing.assert_array_equal(a, b)
