@@ -59,15 +59,86 @@ def gather_patches(padded: jnp.ndarray, inds: jnp.ndarray,
     return rearrange(patches, "b m a c d -> b a c (m d)")
 
 
-@partial(jax.jit, static_argnames=("patch_shape", "orig_shape"))
+@partial(jax.jit, static_argnames=("patch_shape", "orig_shape", "b_inner"))
+def gather_patches_rowtake(padded: jnp.ndarray, inds: jnp.ndarray,
+                           patch_shape: Tuple[int, int, int],
+                           orig_shape: Tuple[int, int, int],
+                           b_inner: int = 1024) -> jnp.ndarray:
+    """``gather_patches`` rewritten for the TPU memory system: whole padded
+    ROWS are gathered (one flat take of ``(D2p, m)`` slices — large,
+    contiguous DMAs instead of the per-element scalar-indexed gathers a
+    vmapped ``dynamic_slice`` lowers to), then each patch's ``d2`` columns
+    are selected on the MXU via a per-patch one-hot matmul.  The one-hot
+    contraction picks exactly one input per output (products with an exact
+    1.0, additions of exact zeros) and runs at ``Precision.HIGHEST``, so
+    the result is **bit-identical** to :func:`gather_patches` — asserted
+    in tests and re-verified on hardware by ``benchmarks/gather_bench.py``.
+
+    Reads ``d1*d3`` full rows (~``D2p/d2`` x the patch's bytes) per patch —
+    a bandwidth trade for avoiding tiny-slice gathers.  ``b_inner`` chunks
+    the batch inside ``lax.map`` to bound the row buffer.
+    """
+    d1, d2, d3 = patch_shape
+    m, D1p, D2p, D3p = padded.shape
+    b = inds.shape[0]
+    if b < b_inner:   # small batches: one right-sized chunk, not 1024-pad
+        b_inner = max(1, 1 << int(np.ceil(np.log2(b))))
+    # (z, x) row-major flat rows: row (z', x') holds padded[:, x', :, z']
+    flat = jnp.transpose(padded, (3, 1, 2, 0)).reshape(D3p * D1p, D2p, m)
+    x, y, z = _unravel3(inds, orig_shape)
+    # dynamic_slice clamps each start so the window stays in-bounds
+    # (even patch dims shift the final start) — reproduce that exactly
+    x = jnp.clip(x, 0, D1p - d1)
+    y = jnp.clip(y, 0, D2p - d2)
+    z = jnp.clip(z, 0, D3p - d3)
+
+    pad_b = -b % b_inner
+    if pad_b:
+        x, y, z = (jnp.pad(v, (0, pad_b)) for v in (x, y, z))
+    cols = jnp.arange(D2p)
+
+    def chunk(args):
+        cx, cy, cz = args
+        rid = ((cz[:, None, None] + jnp.arange(d3)[None, :, None]) * D1p
+               + cx[:, None, None] + jnp.arange(d1)[None, None, :])
+        rows = flat[rid.reshape(-1)]        # (bi*d3*d1, D2p, m)
+        rows = rows.reshape(b_inner, d3 * d1, D2p, m)
+        oh = (cols[None, :, None]
+              == cy[:, None, None] + jnp.arange(d2)[None, None, :]
+              ).astype(rows.dtype)          # (bi, D2p, d2)
+        out = jnp.einsum("brcm,bck->brkm", rows, oh,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(b_inner, d3, d1, d2, m)
+
+    xb, yb, zb = (v.reshape(-1, b_inner) for v in (x, y, z))
+    out = jax.lax.map(chunk, (xb, yb, zb)).reshape(-1, d3, d1, d2, m)
+    if pad_b:
+        out = out[:b]
+    # channel layout (m-major over d3) matches gather_patches
+    return rearrange(out, "b t a c m -> b a c (m t)")
+
+
+@partial(jax.jit, static_argnames=("patch_shape", "orig_shape", "impl"))
 def gather_patches_normalized(padded: jnp.ndarray, inds: jnp.ndarray,
                               mu: jnp.ndarray, sigma: jnp.ndarray,
                               patch_shape: Tuple[int, int, int],
-                              orig_shape: Tuple[int, int, int]) -> jnp.ndarray:
+                              orig_shape: Tuple[int, int, int],
+                              impl: str = None) -> jnp.ndarray:
     """Patch gather fused with per-modality ``(x - mu) / sigma`` normalization
-    (reference normalizes after gather, patch_utils.py:1199-1204)."""
+    (reference normalizes after gather, patch_utils.py:1199-1204).
+
+    ``impl``: 'dynslice' (vmapped dynamic_slice) or 'rowtake' (row DMAs +
+    one-hot MXU column select — bit-identical, faster for large scattered
+    batches on TPU).  Default comes from ``NNAL_GATHER_IMPL`` (read at
+    trace time; set it before the first call in a process)."""
+    import os
+
     d3 = patch_shape[2]
-    patches = gather_patches(padded, inds, patch_shape, orig_shape)
+    if impl is None:
+        impl = os.environ.get("NNAL_GATHER_IMPL", "dynslice")
+    gather = {"dynslice": gather_patches,
+              "rowtake": gather_patches_rowtake}[impl]
+    patches = gather(padded, inds, patch_shape, orig_shape)
     m = padded.shape[0]
     # broadcast per-modality stats over the concatenated depth axis
     mu_full = jnp.repeat(jnp.asarray(mu, patches.dtype), d3)

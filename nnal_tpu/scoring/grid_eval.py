@@ -350,8 +350,16 @@ class GridPoolEvaluator(PoolEvaluator):
         return results
 
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
-                 mc_rng=None, as_device: bool = False
+                 mc_rng=None, as_device: bool = False, mask=None
                  ) -> Dict[str, np.ndarray]:
+        if "loss" in ops:
+            # label-dependent op: the base class handles the split and the
+            # chunk-mean semantics (its non-loss remainder re-enters here)
+            rest = tuple(o for o in ops if o != "loss")
+            res = self.evaluate(params, pool_inds, rest, mc_rng,
+                                as_device) if rest else {}
+            res["loss"] = self._eval_loss(params, pool_inds, mask)
+            return res
         rows = self._grid_rows(pool_inds) if self._sweep_ok else None
         if rows is None:
             # off-grid indices: a dense stride-1 slab sweep over the

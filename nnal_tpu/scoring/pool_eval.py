@@ -58,6 +58,23 @@ def _eval_chunk(spec, params, padded, inds, mu, sd, patch_shape, orig_shape,
     return res
 
 
+@partial(jax.jit, static_argnames=("spec", "patch_shape", "orig_shape",
+                                   "cd"))
+def _loss_chunk(spec, params, padded, inds, labels_onehot, mu, sd,
+                patch_shape, orig_shape, cd=None):
+    """Per-patch CE loss for one chunk (the 'loss' op's device program —
+    separate from ``_eval_chunk`` so the stable sweep programs and their
+    persisted compile-cache entries are untouched)."""
+    x = gather_patches_normalized(padded, inds, mu, sd, patch_shape,
+                                  orig_shape)
+    if cd is not None:
+        x = x.astype(cd)
+        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+    out = apply_cnn(spec, params, x)
+    logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
+    return -jnp.sum(labels_onehot * logp, axis=-1)
+
+
 def eval_compute_dtype(name):
     """Map the config's ``model.dtype`` string to an evaluator compute
     dtype: 'float32' (default, bit-parity with the numpy oracles) -> None;
@@ -91,13 +108,27 @@ class PoolEvaluator:
 
     def evaluate(self, params, pool_inds,
                  ops: Sequence[str] = ("posteriors",),
-                 mc_rng=None, as_device: bool = False
+                 mc_rng=None, as_device: bool = False, mask=None
                  ) -> Dict[str, np.ndarray]:
         """Sweep ``pool_inds`` in ntb-sized chunks; returns host arrays of
         length ``len(pool_inds)`` per requested op.  ``as_device`` keeps
         the outputs on device — essential for large feature sweeps
         (core-set's (pool, 4096) features round-tripping through host cost
-        minutes per AL round over the tunnel)."""
+        minutes per AL round over the tunnel).
+
+        The 'loss' op needs ``mask`` (the label volume): each chunk's rows
+        receive that chunk's MEAN CE vs the mask labels — the reference's
+        broadcast-assignment semantics (``vals[batch_inds] = batch_vals``
+        with a scalar ``model.loss``, PW_NN.py:529-535).  The reference's
+        remaining ``batch_eval`` varname, 'hess_vecp', lives in
+        ``scoring/influence`` (the HVP/CG machinery consumes it there)."""
+        ops_in = tuple(ops)
+        if "loss" in ops_in:
+            rest = tuple(o for o in ops_in if o != "loss")
+            res = self.evaluate(params, pool_inds, rest, mc_rng,
+                                as_device) if rest else {}
+            res["loss"] = self._eval_loss(params, pool_inds, mask)
+            return res
         inds = np.asarray(pool_inds, dtype=np.int64)
         n = len(inds)
         ops = tuple(ops)
@@ -119,6 +150,31 @@ class PoolEvaluator:
                 chunks[op].append(arr[:arr.shape[0] - pad] if pad else arr)
         cat = jnp.concatenate if as_device else np.concatenate
         return {op: cat(chunks[op], axis=0) for op in ops}
+
+    def _eval_loss(self, params, pool_inds, mask) -> np.ndarray:
+        """Chunk-mean CE per index (see ``evaluate``'s 'loss' op)."""
+        from nnal_tpu.data.batching import make_onehot
+        from nnal_tpu.data.patches import gather_labels
+
+        assert mask is not None, "op='loss' needs the label mask"
+        inds = np.asarray(pool_inds, dtype=np.int64)
+        n = len(inds)
+        vals = np.empty(n, np.float64)
+        for lo in range(0, n, self.ntb):
+            chunk = inds[lo:lo + self.ntb]
+            nc = len(chunk)
+            pad = self.ntb - nc
+            labels = gather_labels(mask, chunk, self.orig_shape)
+            y = make_onehot(np.asarray(labels, np.int64), self.spec.nclass)
+            if pad > 0:
+                chunk = np.concatenate([chunk, np.zeros(pad, np.int64)])
+                y = np.concatenate([y, np.zeros((pad, y.shape[1]))])
+            ce = _loss_chunk(self.spec, params, self.padded,
+                             jnp.asarray(chunk), jnp.asarray(y, np.float32),
+                             self.mu, self.sd, self.patch_shape,
+                             self.orig_shape, self.compute_dtype)
+            vals[lo:lo + nc] = float(np.mean(np.asarray(ce)[:nc]))
+        return vals
 
     @classmethod
     def from_volumes(cls, spec, vols, stats, patch_shape, ntb=4096):

@@ -293,3 +293,51 @@ def test_even_d3_delegates_to_gather_path():
     a = grid_ev.evaluate(params, inds[:40], ("posteriors",))["posteriors"]
     b = slow_ev.evaluate(params, inds[:40], ("posteriors",))["posteriors"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_loss_op_chunk_mean_semantics():
+    """The 'loss' op reproduces the reference's broadcast-assignment:
+    every index in a chunk gets that chunk's MEAN CE vs the mask labels
+    (PW_NN.py:485-535), with the ragged tail averaged over its true
+    length only."""
+    import jax.numpy as jnp
+
+    vols, mask = synthetic_subject(shape=(22, 26, 7), n_modalities=2,
+                                   seed=0)
+    patch_shape = (9, 9, 1)
+    spec = create_pw1(2, 0.0, (9, 9, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    padded = pad_volumes(vols, patch_shape)
+    ev = PoolEvaluator(spec, padded, mu, sd, patch_shape, (22, 26, 7),
+                       ntb=64)
+    rng = np.random.default_rng(0)
+    inds = rng.choice(22 * 26 * 7, size=150, replace=False)  # ragged tail
+
+    res = ev.evaluate(params, inds, ("loss", "posteriors"), mask=mask)
+    assert set(res) == {"loss", "posteriors"}
+
+    # oracle: per-sample CE -> chunk means
+    from nnal_tpu.data.batching import make_onehot
+    from nnal_tpu.data.patches import (gather_labels,
+                                       gather_patches_normalized)
+    from nnal_tpu.models.cnn import apply_cnn
+
+    expect = np.empty(len(inds))
+    for lo in range(0, len(inds), 64):
+        chunk = inds[lo:lo + 64]
+        x = gather_patches_normalized(padded, jnp.asarray(chunk), mu, sd,
+                                      patch_shape, (22, 26, 7))
+        y = make_onehot(np.asarray(gather_labels(mask, chunk, (22, 26, 7)),
+                                   np.int64), 2)
+        logp = jax.nn.log_softmax(apply_cnn(spec, params, x).logits, -1)
+        ce = -np.sum(y * np.asarray(logp), axis=-1)
+        expect[lo:lo + len(chunk)] = ce.mean()
+    np.testing.assert_allclose(res["loss"], expect, rtol=1e-5, atol=1e-6)
+
+    # grid evaluator routes 'loss' through the same path
+    gev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, (22, 26, 7),
+                            grid_spacing=3, z_chunk=3, ntb=64)
+    res_g = gev.evaluate(params, inds, ("loss",), mask=mask)
+    np.testing.assert_allclose(res_g["loss"], expect, rtol=1e-5, atol=1e-6)

@@ -6,6 +6,7 @@ from nnal_tpu.data.patches import (
     gather_patches,
     gather_patches_multimg,
     gather_patches_normalized,
+    gather_patches_rowtake,
     pad_volumes,
     patch_radii,
 )
@@ -106,6 +107,27 @@ def test_multimg_gather():
     assert np.asarray(patches[0]).shape == (2, 3, 3, 2)
     assert np.asarray(patches[2]).shape == (1, 3, 3, 2)
     assert len(np.asarray(labels[0])) == 2
+
+
+def test_rowtake_gather_bit_identical():
+    """The row-take + one-hot-matmul gather must be BIT-identical to the
+    dynamic-slice gather (it feeds the same rank-parity-critical paths),
+    including even patch dims (dynamic_slice start clamping) and a batch
+    that is not a multiple of the inner chunk."""
+    rng = np.random.default_rng(7)
+    shape = (12, 14, 9)
+    vols = [rng.normal(size=shape).astype(np.float32),
+            rng.normal(size=shape).astype(np.float32)]
+    for patch_shape in [(5, 5, 3), (5, 5, 1), (4, 6, 2), (3, 3, 2)]:
+        padded = pad_volumes(vols, patch_shape)
+        n = int(np.prod(shape))
+        inds = np.concatenate([[0, n - 1],
+                               rng.choice(n, size=37, replace=False)])
+        ref = np.asarray(gather_patches(padded, jnp.asarray(inds),
+                                        patch_shape, shape))
+        fast = np.asarray(gather_patches_rowtake(
+            padded, jnp.asarray(inds), patch_shape, shape, b_inner=16))
+        np.testing.assert_array_equal(fast, ref, err_msg=str(patch_shape))
 
 
 def test_patch_radii():
