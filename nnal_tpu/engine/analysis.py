@@ -105,6 +105,40 @@ def query_similarity_analysis(expr, method_name: str, params=None,
     return sims
 
 
+def query_type_analysis(expr, method_name: str, var_kernel: int = 5,
+                        var_thr: float = 2.0, matrix: bool = False
+                        ) -> List[np.ndarray]:
+    """Per-round partition types of the queried voxels — 0 masked /
+    1 high-variance background / 2 low-variance background (reference
+    ``get_queries_type``/``get_sample_type``, PW_analyze_results.py:52-85;
+    there the type is the stored third column of a balanced-sampling
+    ``inds.txt``, here it is recomputed from the mask and the same
+    log-local-variance rule as ``data.samplers.sample_masked_volume``,
+    patch_utils.py:628-792 — identical information, and it works for
+    grid-sampled pools whose journal never stored types)."""
+    from nnal_tpu.data.samplers import local_variance_map
+
+    j = MethodJournal(expr.root_dir, method_name)
+    vols, mask = expr._load_subject()
+    img = np.asarray(vols[0])
+    log_var = np.array(local_variance_map(jnp.asarray(img), var_kernel))
+    log_var[log_var == 0] += 1e-1
+    log_var = np.log(log_var)
+    mask_flat = np.asarray(mask).reshape(-1) > 0
+    hvar_flat = log_var.reshape(-1) > var_thr
+    types = []
+    for it in j.query_iters():
+        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
+                      matrix=matrix)
+        if q.ndim == 2:          # multi-subject: take the voxel row
+            q = q[0]
+        t = np.full(len(q), 2, np.int64)
+        t[hvar_flat[q]] = 1
+        t[mask_flat[q]] = 0
+        types.append(t)
+    return types
+
+
 def full_test_slice_dcrf(experiments: Sequence, method_name: str = "random",
                          slice_step: int = 2) -> dict:
     """Whole-volume DCRF evaluation over several experiments (reference

@@ -148,3 +148,22 @@ def test_run_on_subjects(ran_expr, tmp_path):
     assert 0.0 <= out[0] <= 1.0
     segs = np.load(tmp_path / "subj" / "0" / "segs.npy")
     assert segs.shape == (20, 20, 6)
+
+
+def test_query_type_analysis(ran_expr):
+    """Per-round query partition types (reference get_queries_type /
+    get_sample_type, PW_analyze_results.py:52-85): 0 masked / 1 hi-var
+    bg / 2 lo-var bg, consistent with the mask for type 0."""
+    from nnal_tpu.core.journal import MethodJournal, load_inds
+    from nnal_tpu.engine.analysis import query_type_analysis
+
+    types = query_type_analysis(ran_expr, "entropy")
+    assert len(types) == 2          # two rounds journaled
+    j = MethodJournal(ran_expr.root_dir, "entropy")
+    mask_flat = ran_expr._mask.reshape(-1) > 0
+    for it, t in zip(j.query_iters(), types):
+        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
+        assert len(t) == len(q)
+        assert set(np.unique(t)) <= {0, 1, 2}
+        # type 0 <=> the queried voxel is inside the mask
+        np.testing.assert_array_equal(t == 0, mask_flat[q])

@@ -40,3 +40,61 @@ def test_visualize_run(tmp_path):
     import os
 
     assert os.path.getsize(p) > 0
+
+
+def test_interp_slice_posteriors_grid_exact():
+    """Bilinear on a complete sample grid: exact at the samples and exact
+    for a linear field everywhere inside the hull (reference
+    get_interp_slice_posts, PW_analyze_results.py:866)."""
+    from nnal_tpu.evaluation.visualize import interp_slice_posteriors
+
+    gx = np.arange(0, 12, 3)
+    gy = np.arange(0, 16, 4)
+    xx, yy = np.meshgrid(gx, gy, indexing="ij")
+    x, y = xx.ravel(), yy.ravel()
+    vals = 0.5 * x + 0.25 * y + 1.0          # linear field
+    out = interp_slice_posteriors(x, y, vals, (12, 16))
+    assert out.shape == (12, 16)
+    # exact at the samples
+    np.testing.assert_allclose(out[x, y], vals, atol=1e-12)
+    # exact linear reconstruction inside the hull
+    ix, iy = np.meshgrid(np.arange(gx.max() + 1), np.arange(gy.max() + 1),
+                         indexing="ij")
+    np.testing.assert_allclose(out[:gx.max() + 1, :gy.max() + 1],
+                               0.5 * ix + 0.25 * iy + 1.0, atol=1e-9)
+    # clamped (not extrapolated) outside the hull
+    np.testing.assert_allclose(out[11, :gy.max() + 1],
+                               out[gx.max(), :gy.max() + 1], atol=1e-12)
+
+
+def test_interp_slice_posteriors_scattered():
+    from nnal_tpu.evaluation.visualize import interp_slice_posteriors
+
+    x = np.array([0, 5, 2])
+    y = np.array([0, 5, 7])
+    vals = np.array([1.0, 2.0, 3.0])
+    out = interp_slice_posteriors(x, y, vals, (8, 8))
+    np.testing.assert_allclose(out[x, y], vals, atol=1e-12)
+    assert np.isfinite(out).all()
+    assert out.min() >= vals.min() - 1e-9 and out.max() <= vals.max() + 1e-9
+
+
+def test_overlay_superpixels():
+    """mask_SuPix parity (PW_analyze_results.py:339-388): selected
+    superpixels filled, all superpixel boundaries marked."""
+    from nnal_tpu.evaluation.visualize import overlay_superpixels
+
+    overseg = np.zeros((6, 6, 2), np.int64)
+    overseg[:, 3:, :] = 1      # two vertical superpixels per slice
+    codes = np.array([[1], [1]])    # slice 1, label 1
+    out = overlay_superpixels(overseg, codes, show_bound=True)
+    assert out.shape == overseg.shape
+    # selected superpixel's members are all set on slice 1
+    assert out[:, 3:, 1].all()
+    # boundary columns are set on both slices
+    assert out[:, 2, 0].all() and out[:, 3, 0].all()
+    # interior of unselected superpixel on slice 0 stays clear
+    assert not out[:, 0, 0].any() and not out[:, 5, 0].any()
+    # without boundaries only the selection is marked
+    out2 = overlay_superpixels(overseg, codes, show_bound=False)
+    assert out2[:, 3:, 1].all() and not out2[:, :, 0].any()
