@@ -282,6 +282,87 @@ class Experiment:
                 "accs": j.load_evals("accs.txt"),
                 "train_inds": train_inds, "pool_inds": pool_inds}
 
+    # ------------------------------------------------------------- run mgmt
+    def get_runs(self):
+        """Run folders of this experiment, ordered (reference ``get_runs``,
+        AL.py:112-123; we restrict to digit-named dirs since the root also
+        holds ``parameters.txt``)."""
+        return sorted((d for d in os.listdir(self.root_dir)
+                       if d.isdigit()
+                       and os.path.isdir(os.path.join(self.root_dir, d))),
+                      key=int)
+
+    def organize_runs(self) -> None:
+        """Renumber run folders to 0..n-1 (reference ``organize_runs``,
+        AL.py:133-145)."""
+        for i, name in enumerate(self.get_runs()):
+            if i != int(name):
+                os.rename(os.path.join(self.root_dir, name),
+                          os.path.join(self.root_dir, str(i)))
+
+    def remove_run(self, run: int) -> None:
+        """Delete a run folder and renumber the rest (reference
+        ``remove_run``, AL.py:125-131)."""
+        import shutil
+
+        shutil.rmtree(self._run_dir(int(run)))
+        self.organize_runs()
+
+    def reset_method(self, method_name: str, run: int) -> None:
+        """Wipe one (run, method) back to the run's initial membership and
+        weights (reference ``reset_method``, AL.py:502-515)."""
+        import shutil
+
+        mdir = os.path.join(self._run_dir(run), method_name)
+        if os.path.exists(mdir):
+            shutil.rmtree(mdir)
+        self.add_method(method_name, run)
+
+    def read_queries(self, method_name: str, run: int):
+        """Per-iteration query counts, iteration-ordered (reference
+        ``read_queries``, AL.py:517-533 — which listed the directory
+        unordered and crashed on 1-query files via ``len(0-d array)``;
+        ``load_inds`` here is atleast-1d so k=1 rounds count correctly)."""
+        j = MethodJournal(self._run_dir(run), method_name)
+        return [len(load_inds(os.path.join(j.queries_dir, f"{it}.txt")))
+                for it in j.query_iters()]
+
+    def eval_run(self, run: int, eval_method: str = "accuracy",
+                 save: bool = True) -> Dict[str, np.ndarray]:
+        """Recompute per-iteration metric curves from each method's saved
+        ``predicts.txt`` against the run's ground-truth test labels
+        (reference ``eval_run``, AL.py:535-587).  ``accuracy`` writes a
+        (rounds,) curve; ``PR`` writes a (2, rounds) example-based
+        precision/recall matrix — both to ``accs.txt`` when ``save``."""
+        rdir = self._run_dir(run)
+        test_inds = load_inds(os.path.join(rdir, "test_inds.txt"))
+        test_labels = np.asarray(self._pool.labels)[test_inds]
+        methods = [d for d in os.listdir(rdir)
+                   if os.path.isdir(os.path.join(rdir, d))
+                   and os.path.exists(os.path.join(rdir, d, "predicts.txt"))]
+        out: Dict[str, np.ndarray] = {}
+        for method in methods:
+            yhat = np.loadtxt(os.path.join(rdir, method, "predicts.txt"),
+                              dtype=np.int64, ndmin=2)
+            if eval_method == "accuracy":
+                crit = np.array([accuracy(yhat[i], test_labels)
+                                 for i in range(yhat.shape[0])])
+            elif eval_method == "PR":
+                from nnal_tpu.evaluation.metrics import example_based_pr
+
+                nclass = self.config.model.nclass
+                lab_hot = make_onehot(test_labels, nclass)
+                crit = np.zeros((2, yhat.shape[0]))
+                for i in range(yhat.shape[0]):
+                    crit[:, i] = example_based_pr(
+                        make_onehot(yhat[i], nclass), lab_hot)
+            else:
+                raise ValueError(f"unknown eval_method {eval_method!r}")
+            if save:
+                np.savetxt(os.path.join(rdir, method, "accs.txt"), crit)
+            out[method] = crit
+        return out
+
     # ------------------------------------------------------------- analysis
     def read_run(self, run: int, method_name: str) -> np.ndarray:
         """Accuracy curve for one (run, method) (reference ``read_run``,

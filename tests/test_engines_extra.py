@@ -77,6 +77,45 @@ def test_classification_fi_and_egl(tmp_path, cls_cfg):
         assert np.isfinite(res["accs"]).all()
 
 
+def test_run_management(tmp_path, cls_cfg):
+    """get_runs/remove_run/organize_runs/reset_method/read_queries/eval_run
+    (reference AL.py:112-145, 502-587)."""
+    X, y = _cls_data(80, seed=2)
+    expr = Experiment(str(tmp_path / "cls3"), cls_cfg)
+    expr.attach_data(X, y)
+    r0 = expr.add_run()
+    r1 = expr.add_run()
+    assert expr.get_runs() == ["0", "1"]
+    expr.add_method("entropy", r1)
+    res = expr.run_method("entropy", r1, 5)
+    assert expr.read_queries("entropy", r1) == [5]
+
+    # eval_run recomputes the accuracy curve from predicts.txt and matches
+    # the curve recorded live during the campaign
+    ev = expr.eval_run(r1, "accuracy")
+    assert np.allclose(ev["entropy"], res["accs"])
+    pr = expr.eval_run(r1, "PR", save=False)
+    assert pr["entropy"].shape == (2, 1)
+    assert ((pr["entropy"] >= 0) & (pr["entropy"] <= 1)).all()
+
+    # reset_method wipes the journal back to the run's initial state
+    expr.reset_method("entropy", r1)
+    assert expr.read_queries("entropy", r1) == []
+    tr, pool = __import__(
+        "nnal_tpu.core.journal", fromlist=["MethodJournal"]
+    ).MethodJournal(expr._run_dir(r1), "entropy").membership()
+    init_tr = np.loadtxt(os.path.join(expr._run_dir(r1),
+                                      "init_train_inds.txt"), dtype=np.int64)
+    assert np.array_equal(np.sort(tr), np.sort(init_tr))
+
+    # remove_run(0) deletes and renumbers: old run 1 (with its method dir)
+    # becomes run 0
+    expr.remove_run(r0)
+    assert expr.get_runs() == ["0"]
+    assert os.path.isdir(os.path.join(str(tmp_path / "cls3"), "0",
+                                      "entropy"))
+
+
 @pytest.fixture(scope="module")
 def pw_cfg():
     return ExperimentConfig.from_pars({
