@@ -167,3 +167,98 @@ def test_query_type_analysis(ran_expr):
         assert set(np.unique(t)) <= {0, 1, 2}
         # type 0 <=> the queried voxel is inside the mask
         np.testing.assert_array_equal(t == 0, mask_flat[q])
+
+
+def test_get_full_segs(tmp_path):
+    """Dataset-level segmentation + scoring (reference get_full_segs,
+    eval_utils.py:202-238): per-subject F1, optional post-process and
+    nrrd persistence."""
+    from nnal_tpu.evaluation.analysis import get_full_segs
+
+    rng = np.random.default_rng(0)
+    subjects = []
+    for _ in range(2):
+        mask = (rng.random((12, 12, 5)) > 0.7).astype(np.uint8)
+        subjects.append(([mask.astype(np.float32)], mask))
+    # segment_fn that thresholds the first modality == the mask itself
+    segs, f1s = get_full_segs(lambda vols: (vols[0] > 0).astype(np.uint8),
+                              subjects, save_dir=str(tmp_path / "segs"))
+    assert len(segs) == 2 and f1s.shape == (2,)
+    np.testing.assert_allclose(f1s, 1.0)
+    from nnal_tpu.data.io import read_volume
+    for i in range(2):
+        back = read_volume(str(tmp_path / "segs" / f"seg_{i}.nrrd"))
+        np.testing.assert_array_equal(back, segs[i])
+    # post_process runs the component/hole pipeline without changing shape
+    segs_pp, _ = get_full_segs(lambda vols: (vols[0] > 0).astype(np.uint8),
+                               subjects[:1], post_process=True)
+    assert segs_pp[0].shape == (12, 12, 5)
+
+
+def test_eval_full_segs_explicit_partitions(tmp_path):
+    """Per-axial-slab F1 with explicit boundaries (reference
+    eval_utils.py:240-296): slab scores match direct f_measure on the
+    slices, shared 1-D bounds broadcast, and nrrd paths load."""
+    from nnal_tpu.data.formats import write_nrrd
+    from nnal_tpu.evaluation.analysis import (
+        eval_full_segs_explicit_partitions)
+    from nnal_tpu.evaluation.metrics import f_measure
+
+    rng = np.random.default_rng(1)
+    segs = [(rng.random((10, 10, 9)) > 0.5).astype(np.uint8)
+            for _ in range(2)]
+    masks = [(rng.random((10, 10, 9)) > 0.5).astype(np.uint8)
+             for _ in range(2)]
+    overall, parts = eval_full_segs_explicit_partitions(
+        segs, masks, [3, 6])
+    assert overall.shape == (2,) and parts.shape == (2, 3)
+    for i in range(2):
+        assert overall[i] == f_measure(segs[i], masks[i])
+        for j, sl in enumerate((slice(0, 3), slice(3, 6), slice(6, 9))):
+            assert parts[i, j] == f_measure(segs[i][:, :, sl],
+                                            masks[i][:, :, sl])
+    # per-subject boundary matrix
+    _, parts2 = eval_full_segs_explicit_partitions(
+        segs, masks, np.array([[3, 6], [2, 7]]))
+    assert parts2[1, 0] == f_measure(segs[1][:, :, :2], masks[1][:, :, :2])
+    # path-based input round-trips through the nrrd reader
+    seg_paths, mask_paths = [], []
+    for i in range(2):
+        sp = str(tmp_path / f"s{i}.nrrd")
+        mp = str(tmp_path / f"m{i}.nrrd")
+        write_nrrd(sp, segs[i]); write_nrrd(mp, masks[i])
+        seg_paths.append(sp); mask_paths.append(mp)
+    overall3, parts3 = eval_full_segs_explicit_partitions(
+        seg_paths, mask_paths, [3, 6])
+    np.testing.assert_allclose(overall3, overall)
+    np.testing.assert_allclose(parts3, parts)
+
+
+def test_eval_full_segs_label_percentage():
+    """Mask-derived top/middle/bottom slabs (reference
+    eval_utils.py:298-364): edges straddle the contiguous above-threshold
+    band; gapless subjects keep zero partition rows."""
+    from nnal_tpu.evaluation.analysis import (
+        eval_full_segs_label_percentage)
+    from nnal_tpu.evaluation.metrics import f_measure
+
+    mask = np.zeros((10, 10, 12), np.uint8)
+    mask[:, :, 4:8] = 1              # above-threshold band: slices 4..7
+    seg = mask.copy()
+    seg[0, 0, 0] = 1                 # one FP in the top slab
+    overall, parts = eval_full_segs_label_percentage(
+        [seg], [mask], label=1, percentage=0.5)
+    # below-threshold slices = [0,1,2,3, 8,9,10,11] -> gap at 3->8:
+    # edge_1=3, edge_2=8 (reference indexing: last/first below-threshold)
+    assert parts.shape == (1, 3)
+    assert parts[0, 0] == f_measure(seg[:, :, :3], mask[:, :, :3])
+    assert parts[0, 1] == f_measure(seg[:, :, 3:8], mask[:, :, 3:8])
+    assert parts[0, 2] == f_measure(seg[:, :, 8:], mask[:, :, 8:])
+    assert overall[0] == f_measure(seg, mask)
+    # a subject with no gap (band touches the top) keeps zeros
+    m2 = np.zeros((10, 10, 12), np.uint8)
+    m2[:, :, :6] = 1
+    overall2, parts2 = eval_full_segs_label_percentage(
+        [m2], [m2], label=1, percentage=0.5)
+    assert overall2[0] == 1.0
+    np.testing.assert_array_equal(parts2, 0.0)
