@@ -134,3 +134,23 @@ def write_path_pool(root_dir: str, image_paths, labels) -> Tuple[str, str]:
         f.write("\n".join(image_paths) + "\n")
     np.savetxt(l, np.asarray(labels, np.int64), fmt="%d")
     return p, l
+
+
+def folder_class_paths(path: str, folders=None):
+    """(paths, labels) from a folder-per-class image directory (reference
+    ``prepare_data_4Alex``, NNAL_tools.py:899-924, which eagerly
+    ``cv2.imread`` everything; here the list feeds the disk-backed
+    ``ImagePathPool`` via ``write_path_pool`` so images load on demand).
+    Class ``i`` is the ``i``-th entry of ``folders`` (sorted directory
+    listing when omitted)."""
+    import os
+
+    if folders is None:
+        folders = sorted(d for d in os.listdir(path)
+                         if os.path.isdir(os.path.join(path, d)))
+    paths, labels = [], []
+    for i, folder in enumerate(folders):
+        for fname in sorted(os.listdir(os.path.join(path, folder))):
+            paths.append(os.path.join(path, folder, fname))
+            labels.append(i)
+    return paths, np.asarray(labels, np.int64)

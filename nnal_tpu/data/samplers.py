@@ -133,3 +133,21 @@ def even_odd_slice_split(inds, shape3d) -> Tuple[np.ndarray, np.ndarray]:
     inds = np.asarray(inds, dtype=np.int64)
     z = np.unravel_index(inds, tuple(shape3d))[2]
     return inds[z % 2 == 0], inds
+
+
+def filter_by_parcellation(inds, labels, parc) -> Tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Drop samples whose voxel lies outside a parcellation map (reference
+    ``preprop_NVM_data``, patch_utils.py:600-616, which read the map with
+    nrrd): ``parc`` is a labeled volume or a path readable by
+    ``data.io.read_volume``; samples with parcellation label 0 are
+    removed.  Returns the filtered ``(inds, labels)``."""
+    if isinstance(parc, str):
+        from nnal_tpu.data.io import read_volume
+
+        parc = read_volume(parc)
+    parc = np.asarray(parc)
+    inds = np.asarray(inds, dtype=np.int64)
+    labels = np.asarray(labels)
+    keep = parc[np.unravel_index(inds, parc.shape)] > 0
+    return inds[keep], labels[keep]

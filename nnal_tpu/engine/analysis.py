@@ -139,6 +139,36 @@ def query_type_analysis(expr, method_name: str, var_kernel: int = 5,
     return types
 
 
+def slice_query_preds(expr, method_name: str, slice_: int, params=None,
+                      matrix: bool = False):
+    """Class predictions of a method's journaled queries restricted to one
+    axial slice (reference ``get_slice_preds``,
+    PW_analyze_results.py:87-135 — unrunnable there: it calls the missing
+    ``PW_AL.create_dict``/``batch_eval_winds``, SURVEY §2.9).  Returns
+    ``(preds, (rows, cols), flat_inds)`` for the queried voxels whose z
+    coordinate equals ``slice_``."""
+    j = MethodJournal(expr.root_dir, method_name)
+    spec = expr.build_model()
+    ev = expr.make_evaluator(spec)
+    if params is None:
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
+    vols, _ = expr._load_subject()
+    shape = np.asarray(vols[0]).shape
+    qs = []
+    for it in j.query_iters():
+        q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
+                      matrix=matrix)
+        qs.append(q[0] if q.ndim == 2 else q)
+    q = (np.concatenate(qs) if qs else np.zeros(0, np.int64))
+    rows, cols, zs = np.unravel_index(q, shape)
+    on = zs == slice_
+    if not np.any(on):
+        return np.zeros(0, np.int64), (rows[on], cols[on]), q[on]
+    preds = ev.evaluate(params, q[on], ("prediction",))["prediction"]
+    return np.asarray(preds), (rows[on], cols[on]), q[on]
+
+
 def full_test_slice_dcrf(experiments: Sequence, method_name: str = "random",
                          slice_step: int = 2) -> dict:
     """Whole-volume DCRF evaluation over several experiments (reference

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nnal_tpu.data.indexing import expand_raveled_inds
-from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.models.cnn import cast_float_params, apply_cnn
 from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
 
@@ -83,9 +83,7 @@ class FCNInference:
             if compute_dtype is not None:
                 # bf16-storage serving: ~2x dense-segmentation throughput;
                 # posteriors still emerge in f32 (softmax upcasts logits)
-                params = jax.tree_util.tree_map(
-                    lambda v: v.astype(compute_dtype)
-                    if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+                params = cast_float_params(params, compute_dtype)
                 x = x.astype(compute_dtype)
             out = apply_cnn(spec, params, x, mc_dropout=mc,
                             dropout_rng=rng)

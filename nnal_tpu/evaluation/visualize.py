@@ -143,6 +143,21 @@ def overlay_superpixels(overseg: np.ndarray, supix_codes: np.ndarray,
     return out
 
 
+def generate_rgb_mask(img2d: np.ndarray, mask=(), mask2=()) -> np.ndarray:
+    """uint8 RGB overlay of up to two binary masks on a 1-channel slice
+    (reference ``generate_rgb_mask``, patch_utils.py:1060-1086): the image
+    is scaled to [0, 200], ``mask`` paints the red channel 230 and
+    ``mask2`` the green channel 200.  Empty sequences skip a channel."""
+    img2d = np.asarray(img2d, np.float64)
+    rgb = np.repeat(img2d[:, :, None], 3, axis=2)
+    rgb = np.uint8(rgb * 200.0 / max(float(rgb.max()), 1e-12))
+    if len(mask) > 0:
+        rgb[:, :, 0][np.asarray(mask) > 0] = 230
+    if len(mask2) > 0:
+        rgb[:, :, 1][np.asarray(mask2) > 0] = 200
+    return rgb
+
+
 def overlay_queries_on_slice(img2d: np.ndarray, query_xy: np.ndarray,
                              save_path: str, mask2d=None):
     """Show queried voxel positions on an axial slice (reference

@@ -246,7 +246,47 @@ def apply_cnn(spec: CNNSpec, params: Params, x: jnp.ndarray, *,
                      log_sigma=log_sigma, state=new_state)
 
 
+def cast_float_params(params: Params, cd) -> Params:
+    """Cast parameter leaves to a compute dtype, leaving int8-quantized
+    weights and their f32 dequantization scales (``models.quant`` pytrees)
+    untouched — a blanket ``tree_map(astype)`` would silently dequantize
+    ``W_q`` and truncate ``w_scale``."""
+    return {name: {k: (v if k in ("W_q", "w_scale") else v.astype(cd))
+                   for k, v in p.items()}
+            for name, p in params.items()}
+
+
+def _quantize_act(h):
+    """Dynamic symmetric per-tensor int8: one |max| reduction + rounding.
+    Scales are computed in f32 regardless of the activation dtype."""
+    h32 = h.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(h32)), 1e-12) / 127.0
+    h_q = jnp.clip(jnp.round(h32 / s_x), -127, 127).astype(jnp.int8)
+    return h_q, s_x
+
+
+def _int8_main(layer, p, h, rank):
+    """int8 MXU path for conv/fc (``models.quant`` pytrees): int8 x int8
+    -> int32 accumulate, rescale by ``s_x * w_scale[oc]`` in f32, bias in
+    f32, back to the incoming activation dtype."""
+    dt = h.dtype
+    h_q, s_x = _quantize_act(h)
+    if layer.kind == "conv":
+        dn = jax.lax.conv_dimension_numbers(
+            h.shape, p["W_q"].shape, _dimension_numbers(rank))
+        acc = jax.lax.conv_general_dilated(
+            h_q, p["W_q"], layer.strides, layer.padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+    else:  # fc
+        acc = jnp.dot(h_q.reshape(h_q.shape[0], -1), p["W_q"],
+                      preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_x * p["w_scale"])
+    return (y + p["b"].astype(jnp.float32)).astype(dt)
+
+
 def _main_op(spec, layer, p, h, rank):
+    if "W_q" in p and layer.kind in ("conv", "fc"):
+        return _int8_main(layer, p, h, rank)
     if layer.kind == "conv":
         dt = h.dtype
         dn = jax.lax.conv_dimension_numbers(

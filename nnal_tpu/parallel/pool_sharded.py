@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nnal_tpu.data.patches import gather_patches_normalized
-from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.models.cnn import cast_float_params, apply_cnn
 from nnal_tpu.scoring.grid_eval import extract_normalize
 
 
@@ -297,8 +297,7 @@ def make_sharded_dense_segmenter(spec, mesh: Mesh, patch_shape, orig_shape,
         blocks = slices_block.reshape((nsteps, z_inner)
                                       + slices_block.shape[1:])
         if compute_dtype is not None:
-            p_c = jax.tree_util.tree_map(
-                lambda v: v.astype(compute_dtype), params)
+            p_c = cast_float_params(params, compute_dtype)
         else:
             p_c = params
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.models.cnn import apply_cnn, cast_float_params
 from nnal_tpu.scoring.pool_eval import PoolEvaluator
 
 
@@ -71,7 +71,7 @@ def _grid_sweep_scan(spec, params, slices_padded, mu, sd, patch_shape,
         x = extract_normalize(blk, d1, d2, g, mu, sd)
         if cd is not None:
             x = x.astype(cd)
-            p_c = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+            p_c = cast_float_params(params, cd)
         else:
             p_c = params
         key = jax.random.fold_in(rng, step_base + step) if mc else rng
@@ -145,7 +145,7 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
     blocks = slices_padded.reshape((nsteps, z_inner)
                                    + slices_padded.shape[1:])
     if cd is not None:
-        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+        params = cast_float_params(params, cd)
         if teacher_params is not None:
             teacher_params = jax.tree_util.tree_map(
                 lambda v: v.astype(cd), teacher_params)

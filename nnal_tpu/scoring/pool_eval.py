@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nnal_tpu.data.patches import gather_patches_normalized, patch_radii
-from nnal_tpu.models.cnn import apply_cnn
+from nnal_tpu.models.cnn import apply_cnn, cast_float_params
 
 
 @partial(jax.jit, static_argnames=("spec", "patch_shape", "orig_shape",
@@ -36,7 +36,7 @@ def _eval_chunk(spec, params, padded, inds, mu, sd, patch_shape, orig_shape,
         # bf16 storage forward: ~2x sweep throughput on the MXU; posteriors
         # still emerge in f32 (softmax upcasts the logits)
         x = x.astype(cd)
-        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+        params = cast_float_params(params, cd)
     out = apply_cnn(spec, params, x, mc_dropout=mc, dropout_rng=rng)
     res = {}
     for op in ops:
@@ -69,7 +69,7 @@ def _loss_chunk(spec, params, padded, inds, labels_onehot, mu, sd,
                                   orig_shape)
     if cd is not None:
         x = x.astype(cd)
-        params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
+        params = cast_float_params(params, cd)
     out = apply_cnn(spec, params, x)
     logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
     return -jnp.sum(labels_onehot * logp, axis=-1)

@@ -262,3 +262,31 @@ def test_eval_full_segs_label_percentage():
         [m2], [m2], label=1, percentage=0.5)
     assert overall2[0] == 1.0
     np.testing.assert_array_equal(parts2, 0.0)
+
+
+def test_slice_query_preds(ran_expr):
+    """Slice-restricted predictions of journaled queries (reference
+    get_slice_preds, PW_analyze_results.py:87-135)."""
+    import numpy as np
+
+    from nnal_tpu.core.journal import MethodJournal, load_inds
+    from nnal_tpu.engine.analysis import slice_query_preds
+
+    j = MethodJournal(ran_expr.root_dir, "entropy")
+    allq = np.concatenate([
+        load_inds(os.path.join(j.queries_dir, f"{it}.txt"))
+        for it in j.query_iters()])
+    zs = np.unravel_index(allq, (20, 20, 6))[2]
+    z = int(np.bincount(zs).argmax())   # a slice that definitely has queries
+    preds, (rows, cols), flat = slice_query_preds(ran_expr, "entropy", z)
+    assert len(preds) == int(np.sum(zs == z)) == len(rows) == len(flat)
+    assert set(np.unique(preds)) <= {0, 1}
+    np.testing.assert_array_equal(
+        np.ravel_multi_index((rows, cols, np.full(len(rows), z)),
+                             (20, 20, 6)), flat)
+    # a slice with no queries returns empties
+    empty_z = int(np.setdiff1d(np.arange(6), zs)[0]) if len(
+        np.setdiff1d(np.arange(6), zs)) else None
+    if empty_z is not None:
+        p2, _, f2 = slice_query_preds(ran_expr, "entropy", empty_z)
+        assert len(p2) == 0 and len(f2) == 0

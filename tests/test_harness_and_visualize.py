@@ -98,3 +98,21 @@ def test_overlay_superpixels():
     # without boundaries only the selection is marked
     out2 = overlay_superpixels(overseg, codes, show_bound=False)
     assert out2[:, 3:, 1].all() and not out2[:, :, 0].any()
+
+
+def test_generate_rgb_mask():
+    """patch_utils.py:1060-1086 parity: scaled grayscale base, mask ->
+    red 230, mask2 -> green 200, empty masks skip channels."""
+    import numpy as np
+
+    from nnal_tpu.evaluation.visualize import generate_rgb_mask
+
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    m1 = np.zeros((4, 4)); m1[0, 0] = 1
+    m2 = np.zeros((4, 4)); m2[1, 1] = 1
+    rgb = generate_rgb_mask(img, m1, m2)
+    assert rgb.dtype == np.uint8 and rgb.shape == (4, 4, 3)
+    assert rgb[0, 0, 0] == 230 and rgb[1, 1, 1] == 200
+    assert rgb[3, 3, 2] == 200          # max pixel scales to 200
+    base = generate_rgb_mask(img)       # no masks: pure grayscale
+    assert np.all(base[:, :, 0] == base[:, :, 1])

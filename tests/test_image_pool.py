@@ -88,3 +88,26 @@ def test_in_memory_pool_same_interface():
     x, y = pool.fetch([1, 4])
     assert x.shape == (2, 4, 4, 1)
     np.testing.assert_array_equal(y, [1, 0])
+
+
+def test_folder_class_paths(tmp_path):
+    """prepare_data_4Alex parity (NNAL_tools.py:899-924): folder-per-class
+    listing with deterministic class ids, feeding write_path_pool."""
+    import os
+
+    import numpy as np
+
+    from nnal_tpu.data.image_pool import folder_class_paths, write_path_pool
+
+    for c, names in (("cats", ["a.jpg", "b.jpg"]), ("dogs", ["c.jpg"])):
+        os.makedirs(tmp_path / c)
+        for n in names:
+            (tmp_path / c / n).write_bytes(b"x")
+    paths, labels = folder_class_paths(str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == ["a.jpg", "b.jpg", "c.jpg"]
+    np.testing.assert_array_equal(labels, [0, 0, 1])
+    # explicit folder order flips the class ids
+    _, labels2 = folder_class_paths(str(tmp_path), folders=["dogs", "cats"])
+    np.testing.assert_array_equal(labels2, [0, 1, 1])
+    p, l = write_path_pool(str(tmp_path), paths, labels)
+    assert open(p).read().splitlines() == paths

@@ -85,3 +85,26 @@ def test_even_odd_split():
     z = np.unravel_index(pool, shape)[2]
     assert (z % 2 == 0).all()
     assert len(test) == len(inds)
+
+
+def test_filter_by_parcellation(tmp_path):
+    """preprop_NVM_data parity (patch_utils.py:600-616): samples on
+    zero-parcellation voxels are dropped; path input round-trips."""
+    import numpy as np
+    from nnal_tpu.data.formats import write_nrrd
+    from nnal_tpu.data.samplers import filter_by_parcellation
+
+    parc = np.zeros((4, 4, 3), np.int16)
+    parc[0, 0, 0] = 2
+    parc[1, 2, 1] = 7
+    inds = np.ravel_multi_index(([0, 1, 3], [0, 2, 3], [0, 1, 2]),
+                                parc.shape)
+    labels = np.array([1, 0, 1])
+    fi, fl = filter_by_parcellation(inds, labels, parc)
+    np.testing.assert_array_equal(fi, inds[:2])
+    np.testing.assert_array_equal(fl, [1, 0])
+    p = str(tmp_path / "parc.nrrd")
+    write_nrrd(p, parc)
+    fi2, fl2 = filter_by_parcellation(inds, labels, p)
+    np.testing.assert_array_equal(fi2, fi)
+    np.testing.assert_array_equal(fl2, fl)
