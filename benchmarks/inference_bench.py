@@ -73,8 +73,15 @@ def _pw_setup(on_tpu, compute_dtype):
 
 
 def bench_pw_full_volume(on_tpu):
-    for name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+    from nnal_tpu.models.quant import quantize_params
+
+    for name, cd in (("f32", None), ("bf16", jnp.bfloat16),
+                     ("int8", jnp.bfloat16)):
         ev, params, shape = _pw_setup(on_tpu, cd)
+        if name == "int8":
+            # int8 weights on the MXU; the bf16 compute dtype covers the
+            # non-quantized surroundings (BN-free PW1: just the activations)
+            params = quantize_params(ev.spec, params)
         # warmup/compile pass
         full_volume_patchwise(ev, params, op="posteriors")
         t0 = time.perf_counter()
@@ -193,11 +200,15 @@ def bench_fcn_volume(on_tpu):
     params, _ = init_cnn(spec, jax.random.key(0))
     rng = np.random.RandomState(0)
     vol = rng.randn(nsl, hw, hw, m).astype(np.float32)
-    for name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+    from nnal_tpu.models.quant import quantize_params
+
+    qparams = quantize_params(spec, params)
+    for name, cd, p in (("f32", None, params), ("bf16", jnp.bfloat16, params),
+                        ("int8", jnp.bfloat16, qparams)):
         inf = FCNInference(spec, batch=2, compute_dtype=cd)
-        inf.segment(params, vol[:2], op="posteriors")       # compile
+        inf.segment(p, vol[:2], op="posteriors")            # compile
         t0 = time.perf_counter()
-        post = inf.segment(params, vol, op="posteriors")
+        post = inf.segment(p, vol, op="posteriors")
         dt = time.perf_counter() - t0
         nvox = nsl * hw * hw
         _emit({"bench": "fcn_volume", "dtype": name,

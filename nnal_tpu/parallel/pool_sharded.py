@@ -89,7 +89,7 @@ def make_sharded_grid_selector(spec, mesh: Mesh, patch_shape, orig_shape,
     """Sharded im2col grid sweep: axial slices are sharded over the ``data``
     axis; each shard extracts + scores its slice block with
     ``conv_general_dilated_patches`` (the fast path — arbitrary-index
-    gathers measure ~3K patches/s on TPU), runs a local top-k over its grid
+    gathers cost ~8x more per patch on TPU), runs a local top-k over its grid
     rows, and the candidates are all-gathered and reduced.
 
     The shard-local sweep streams ``z_inner`` slices at a time through a

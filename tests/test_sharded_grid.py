@@ -97,3 +97,38 @@ def test_sharded_dense_segmenter_matches_single_device():
     assert pred_sh.shape == shape
     np.testing.assert_array_equal(
         pred_sh, full_volume_patchwise(ev, params, op="prediction"))
+
+
+@needs_8
+def test_sharded_dense_segmenter_quantized():
+    """int8-quantized pytrees (models/quant.py) serve through the
+    mesh-sharded dense segmenter too: each shard's sweep hits the
+    W_q branch of _main_op, and the sharded result matches the
+    single-device quantized sweep exactly (same extraction, same ops)."""
+    from nnal_tpu.evaluation.inference import full_volume_patchwise
+    from nnal_tpu.models.quant import quantize_params
+    from nnal_tpu.parallel.pool_sharded import make_sharded_dense_segmenter
+
+    mesh = make_mesh(8, model_parallel=1)
+    shape = (14, 16, 8)
+    patch_shape = (7, 7, 1)
+    vols, _ = synthetic_subject(shape=shape, n_modalities=2, seed=1)
+    spec = create_pw1(2, 0.0, (7, 7, 2))
+    params, _ = init_cnn(spec, jax.random.key(1))
+    qp = quantize_params(spec, params)
+    padded = pad_volumes(vols, patch_shape)
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+
+    run = make_sharded_dense_segmenter(spec, mesh, patch_shape, shape,
+                                       op="posteriors")
+    vol_q = run(qp, padded, mu, sd)
+    assert vol_q.shape == shape
+
+    ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                           grid_spacing=2, z_chunk=4)
+    vol_1 = full_volume_patchwise(ev, qp, op="posteriors")
+    np.testing.assert_allclose(vol_q, vol_1, rtol=1e-5, atol=1e-6)
+    # and it stays close to the float serving result
+    vol_f = run(params, padded, mu, sd)
+    assert float(np.max(np.abs(vol_q - vol_f))) < 0.25
