@@ -56,6 +56,11 @@ class ModelConfig:
     class_weights: Optional[Any] = "auto"
     dtype: str = "float32"            # compute dtype for the forward pass
     param_dtype: str = "float32"
+    # mixed-precision training: 'bfloat16' runs the finetune/train steps
+    # with bf16 activations + weights on the MXU while master params and
+    # optimizer state stay f32 (TPU-native addition; the reference's TF1
+    # training is f32-only)
+    train_dtype: str = "float32"
     # aleatoric (AU_4L) head: doubles the last layer into [logits, log-sigma]
     # and trains the heteroscedastic logit-noise CE (reference AU hypers,
     # NN_extended.py:24-63,1520-1562)

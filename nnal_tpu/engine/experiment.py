@@ -125,10 +125,14 @@ class Experiment:
         # be silently engine-specific)
         lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
         lwf_T = float(getattr(m, "lwf_T", 2.0))
-        ck = (id(tx), lwf_lambda, lwf_T)
+        from nnal_tpu.scoring.pool_eval import eval_compute_dtype
+
+        train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        ck = (id(tx), lwf_lambda, lwf_T, train_cd)
         if ck not in cache:
             cache[ck] = make_train_step(spec, tx, mc_t=int(m.mc_t),
-                                        lwf_lambda=lwf_lambda, lwf_T=lwf_T)
+                                        lwf_lambda=lwf_lambda, lwf_T=lwf_T,
+                                        compute_dtype=train_cd)
         step_fn = cache[ck]
         if lwf_lambda > 0.0:
             # previous model's logits act as distillation targets; record

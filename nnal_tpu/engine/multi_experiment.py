@@ -214,12 +214,16 @@ class MultiImgExperiment:
         # defect class as the r02 fi diag_load finding
         lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
         lwf_T = float(getattr(m, "lwf_T", 2.0))
-        ck = (id(tx), m.b, lwf_lambda, lwf_T)
+        from nnal_tpu.scoring.pool_eval import eval_compute_dtype
+
+        train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        ck = (id(tx), m.b, lwf_lambda, lwf_T, train_cd)
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
                                               mc_t=int(m.mc_t),
                                               lwf_lambda=lwf_lambda,
-                                              lwf_T=lwf_T)
+                                              lwf_T=lwf_T,
+                                              compute_dtype=train_cd)
         run = cache[ck]
         # honor config class_weights like the single-subject engine does
         # (the reference's multimg path trains unweighted, PW_AL.py:

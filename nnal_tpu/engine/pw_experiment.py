@@ -236,16 +236,19 @@ class PWExperiment:
         # every AL round even at identical shapes
         lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
         lwf_T = float(getattr(m, "lwf_T", 2.0))
+        train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), m.b, grad_mask is not None, lwf_lambda, lwf_T)
+        ck = (id(tx), m.b, grad_mask is not None, lwf_lambda, lwf_T,
+              train_cd)
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
                                               grad_mask=grad_mask,
                                               mc_t=int(m.mc_t),
                                               lwf_lambda=lwf_lambda,
-                                              lwf_T=lwf_T)
+                                              lwf_T=lwf_T,
+                                              compute_dtype=train_cd)
         run = cache[ck]
         cw_vec = jnp.ones((m.nclass,), jnp.float32) if cw is None \
             else jnp.asarray(cw, jnp.float32)

@@ -256,6 +256,42 @@ def cast_float_params(params: Params, cd) -> Params:
             for name, p in params.items()}
 
 
+def make_conv_f32acc(strides, padding, rank):
+    """bf16-storage conv with f32 accumulation whose VJP stays legal.
+
+    Forward: bf16 operands, ``preferred_element_type=f32`` (exactly the
+    MXU's native mode).  The standard VJP of that op is ill-typed in this
+    JAX version — the transpose conv mixes the f32 cotangent with the bf16
+    filter ("lax.conv_general_dilated requires arguments to have the same
+    dtypes").  The custom backward casts the cotangent to the operand
+    dtype and takes the VJP of the *uniform-dtype* conv — the same linear
+    map, rounded at bf16 (the MXU still accumulates f32 internally).
+    Shared by the FIM scoring path (``scoring/gradients.py``, rank parity
+    tested) and bf16 mixed-precision training (``models/train.py``)."""
+
+    def raw(h, w, pref):
+        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape,
+                                            _dimension_numbers(rank))
+        return jax.lax.conv_general_dilated(
+            h, w, strides, padding, dimension_numbers=dn,
+            preferred_element_type=pref)
+
+    @jax.custom_vjp
+    def conv(h, w):
+        return raw(h, w, jnp.float32)
+
+    def fwd(h, w):
+        return raw(h, w, jnp.float32), (h, w)
+
+    def bwd(res, g):
+        h, w = res
+        _, vjp = jax.vjp(lambda hh, ww: raw(hh, ww, None), h, w)
+        return vjp(g.astype(h.dtype))
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
 def _quantize_act(h):
     """Dynamic symmetric per-tensor int8: one |max| reduction + rounding.
     Scales are computed in f32 regardless of the activation dtype."""
@@ -289,6 +325,12 @@ def _main_op(spec, layer, p, h, rank):
         return _int8_main(layer, p, h, rank)
     if layer.kind == "conv":
         dt = h.dtype
+        if dt != jnp.float32:
+            # same forward as below (f32 accumulation), but with a legal
+            # VJP so bf16 mixed-precision training can differentiate it
+            y = make_conv_f32acc(layer.strides, layer.padding,
+                                 rank)(h, p["W"].astype(dt))
+            return (y + p["b"]).astype(dt)
         dn = jax.lax.conv_dimension_numbers(
             h.shape, p["W"].shape, _dimension_numbers(rank))
         y = jax.lax.conv_general_dilated(

@@ -46,12 +46,27 @@ def _wmean(per, w):
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _cast_for_forward(compute_dtype, params, x):
+    """Mixed-precision cast at the loss boundary: bf16 activations/weights
+    on the MXU with f32 master params and f32 optimizer state.  The cast
+    sits INSIDE the differentiated function, so its transpose upcasts the
+    cotangents and gradients come out f32, matching the param pytree; the
+    loss itself is f32 because ``apply_cnn`` upcasts the logits.  int8
+    serving pytrees are rejected upstream (rounding is non-differentiable)."""
+    if compute_dtype is None:
+        return params, x
+    from nnal_tpu.models.cnn import cast_float_params
+
+    return cast_float_params(params, compute_dtype), x.astype(compute_dtype)
+
+
 def make_train_step(spec, tx: optax.GradientTransformation, *,
                     fcn: bool = False, class_weights=None,
                     focal_gamma=None, weight_decay: float = 0.0,
                     grad_mask=None, consistency_coeff: Optional[Callable] = None,
                     consistency_measure: str = "CE", mc_t: int = 10,
-                    lwf_lambda: float = 0.0, lwf_T: float = 2.0):
+                    lwf_lambda: float = 0.0, lwf_T: float = 2.0,
+                    compute_dtype=None):
     """Build a jitted ``(params, opt_state, x, y, rng, step, [teacher],
     [w], [old_logits]) -> (params, opt_state, loss)`` train step.
 
@@ -65,14 +80,20 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
     shape-stability rule).  ``lwf_lambda > 0`` adds learning-without-
     forgetting distillation against precomputed ``old_logits`` of the
     previous model at temperature ``lwf_T`` (reference ``get_LwF``,
-    model_utils.py:98-135: old-model soft targets added to CE)."""
+    model_utils.py:98-135: old-model soft targets added to CE).
+
+    ``compute_dtype=bfloat16`` trains mixed-precision (bf16 forward/backward
+    on the MXU, f32 master params + optimizer state; no reference
+    counterpart — the TF1 code is f32-only)."""
     from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
     def loss_fn(params, x, y, w, old_logits, rng, teacher_params, step):
+        params, x = _cast_for_forward(compute_dtype, params, x)
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
-            per = aleatoric_ce_per_sample(out.logits, out.log_sigma, y,
-                                          jax.random.fold_in(rng, 1), mc_t)
+            per = aleatoric_ce_per_sample(
+                out.logits, out.log_sigma.astype(jnp.float32), y,
+                jax.random.fold_in(rng, 1), mc_t)
             base = _wmean(per, w)
         elif fcn:
             base = fcn_cross_entropy(out.logits, y, class_weights,
@@ -92,6 +113,11 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
         if weight_decay > 0:
             loss = loss + weight_decay_penalty(params, weight_decay)
         if consistency_coeff is not None and teacher_params is not None:
+            if compute_dtype is not None:
+                from nnal_tpu.models.cnn import cast_float_params
+
+                teacher_params = cast_float_params(teacher_params,
+                                                   compute_dtype)
             t_out = apply_cnn(spec, teacher_params, x)
             coeff = consistency_coeff(step)
             loss = loss + coeff * consistency_loss(
@@ -169,7 +195,8 @@ def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
 
 def make_scanned_finetune(spec, tx, *, batch_size: int,
                           grad_mask=None, mc_t: int = 10,
-                          lwf_lambda: float = 0.0, lwf_T: float = 2.0):
+                          lwf_lambda: float = 0.0, lwf_T: float = 2.0,
+                          compute_dtype=None):
     """Whole-epoch finetuning as ONE jitted ``lax.scan`` over a precomputed
     (steps, b) batch-index matrix into device-resident training patches.
 
@@ -185,15 +212,19 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     (the previous model's logits over the same device-resident set,
     computed once per round) to add LwF distillation at temperature
     ``lwf_T`` (reference ``get_LwF``, model_utils.py:98-135).
+    ``compute_dtype=bfloat16`` runs the scan mixed-precision (bf16
+    forward/backward, f32 master params + optimizer state).
     """
     from nnal_tpu.models.optim import apply_grad_mask
     from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
     def loss_fn(params, x, y, w, cw, ol, rng):
+        params, x = _cast_for_forward(compute_dtype, params, x)
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
-            per = aleatoric_ce_per_sample(out.logits, out.log_sigma, y,
-                                          jax.random.fold_in(rng, 1), mc_t)
+            per = aleatoric_ce_per_sample(
+                out.logits, out.log_sigma.astype(jnp.float32), y,
+                jax.random.fold_in(rng, 1), mc_t)
         else:
             logp = jax.nn.log_softmax(out.logits, axis=-1)
             per = -jnp.sum(y * logp, axis=-1)

@@ -43,41 +43,11 @@ def layer_sizes(spec, params) -> np.ndarray:
                      for n in grad_param_layers(spec, params)])
 
 
-def _make_conv_f32acc(strides, padding, rank):
-    """bf16-storage conv with f32 accumulation whose VJP stays legal.
-
-    Forward: bf16 operands, ``preferred_element_type=f32`` (exactly the
-    MXU's native mode).  The standard VJP of that op is ill-typed in this
-    JAX version — the transpose conv mixes the f32 cotangent with the bf16
-    filter ("lax.conv_general_dilated requires arguments to have the same
-    dtypes").  The custom backward casts the cotangent to the operand
-    dtype and takes the VJP of the *uniform-dtype* conv — the same linear
-    map, rounded at bf16 (the MXU still accumulates f32 internally); the
-    FIM scores this feeds are layer-mean reductions, insensitive to that
-    rounding (rank parity is tested)."""
-    from nnal_tpu.models.cnn import _dimension_numbers
-
-    def raw(h, w, pref):
-        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape,
-                                            _dimension_numbers(rank))
-        return jax.lax.conv_general_dilated(
-            h, w, strides, padding, dimension_numbers=dn,
-            preferred_element_type=pref)
-
-    @jax.custom_vjp
-    def conv(h, w):
-        return raw(h, w, jnp.float32)
-
-    def fwd(h, w):
-        return raw(h, w, jnp.float32), (h, w)
-
-    def bwd(res, g):
-        h, w = res
-        _, vjp = jax.vjp(lambda hh, ww: raw(hh, ww, None), h, w)
-        return vjp(g.astype(h.dtype))
-
-    conv.defvjp(fwd, bwd)
-    return conv
+# bf16-storage conv with f32 accumulation and a legal VJP — shared with
+# mixed-precision training; see models/cnn.make_conv_f32acc.  The FIM
+# scores this feeds are layer-mean reductions, insensitive to the bf16
+# cotangent rounding (rank parity is tested).
+from nnal_tpu.models.cnn import make_conv_f32acc as _make_conv_f32acc  # noqa: E402
 
 
 @jax.custom_vjp
