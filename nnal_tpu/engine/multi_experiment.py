@@ -102,10 +102,25 @@ class MultiImgExperiment:
 
             # d3 > 1 rides the same im2col sweep via z-neighbor channel
             # stacking (grid_eval.GridPoolEvaluator docstring)
-            evs.append(GridPoolEvaluator(
-                spec, padded, mu, sd, patch_shape, orig,
-                grid_spacing=self.config.data.grid_spacing,
-                ntb=self.config.query.ntb, compute_dtype=cd))
+            args = (spec, padded, mu, sd, patch_shape, orig)
+            kw = dict(grid_spacing=self.config.data.grid_spacing,
+                      ntb=self.config.query.ntb, compute_dtype=cd)
+            dp = int(getattr(self.config.query, "data_parallel", 1))
+            if dp > 1:
+                # config-driven multi-chip pool scoring — same key as the
+                # single-subject engine (config keys must not be silently
+                # engine-specific)
+                from nnal_tpu.parallel.grid_sharded import (
+                    ShardedGridPoolEvaluator,
+                )
+                from nnal_tpu.parallel.mesh import make_mesh
+
+                mesh = getattr(self, "_mesh_cache", None)
+                if mesh is None or mesh.devices.size != dp:
+                    mesh = self._mesh_cache = make_mesh(dp)
+                evs.append(ShardedGridPoolEvaluator(mesh, *args, **kw))
+            else:
+                evs.append(GridPoolEvaluator(*args, **kw))
         return evs
 
     def add_method(self, method_name: str):

@@ -124,10 +124,30 @@ class PWExperiment:
         # it too via z-neighbor channel stacking (grid_eval docstring)
         from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
-        return GridPoolEvaluator(
-            spec, padded, mu, sd, patch_shape, tuple(vols[0].shape),
-            grid_spacing=self.config.data.grid_spacing,
-            ntb=self.config.query.ntb, compute_dtype=cd)
+        args = (spec, padded, mu, sd, patch_shape, tuple(vols[0].shape))
+        kw = dict(grid_spacing=self.config.data.grid_spacing,
+                  ntb=self.config.query.ntb, compute_dtype=cd)
+        dp = int(getattr(self.config.query, "data_parallel", 1))
+        if dp > 1:
+            # config-driven multi-chip pool scoring (driver config #5):
+            # the sharded evaluator is a drop-in, selections bit-identical
+            from nnal_tpu.parallel.grid_sharded import (
+                ShardedGridPoolEvaluator,
+            )
+
+            return ShardedGridPoolEvaluator(self._mesh(dp), *args, **kw)
+        return GridPoolEvaluator(*args, **kw)
+
+    def _mesh(self, n_devices: int):
+        """Per-experiment mesh cache (one mesh per data_parallel size)."""
+        cache = getattr(self, "_meshes", None)
+        if cache is None:
+            cache = self._meshes = {}
+        if n_devices not in cache:
+            from nnal_tpu.parallel.mesh import make_mesh
+
+            cache[n_devices] = make_mesh(n_devices)
+        return cache[n_devices]
 
     # ------------------------------------------------------------- methods
     def add_method(self, method_name: str, init_size: Optional[int] = None):

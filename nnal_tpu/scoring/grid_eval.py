@@ -133,7 +133,7 @@ def _grid_fim_sweep(spec, params, slices_padded, mu, sd, patch_shape,
                                    "rotation_angle", "cd"))
 def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
                         patch_shape, grid_spacing, z_inner, rng, measure,
-                        gaussian_std, rotation_angle, cd=None):
+                        gaussian_std, rotation_angle, cd=None, step_base=0):
     """AU_4U output-perturbation divergence for the WHOLE grid in one
     program (``lax.map`` over z-chunks) — replaces the per-chunk Python
     dispatch loop over arbitrary-index gathers (round-2: AU_4U 178.6 s vs
@@ -156,7 +156,7 @@ def _grid_perturb_sweep(spec, params, teacher_params, slices_padded, mu, sd,
         x = extract_normalize(blk, d1, d2, g, mu, sd)
         if cd is not None:
             x = x.astype(cd)
-        key = jax.random.fold_in(rng, step)
+        key = jax.random.fold_in(rng, step_base + step)
         return measure_output_perturbation(
             spec, params, x, key, teacher_params=teacher_params,
             measure=measure, gaussian_std=gaussian_std,
@@ -350,6 +350,21 @@ class GridPoolEvaluator(PoolEvaluator):
                 results[op][sel] = arr
         return results
 
+    def _whole_sweep(self, params, ops, mc, rng):
+        """Whole-volume sweep in one dispatch; the seam the mesh-sharded
+        subclass (``parallel.grid_sharded.ShardedGridPoolEvaluator``)
+        overrides.  Returns one array per op, >= nz*nx*ny rows (padding
+        rows trail and are trimmed by the caller)."""
+        z_pad = -self.nz % self.z_chunk
+        slices = self._slices
+        if z_pad:
+            slices = jnp.pad(slices,
+                             ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        return _grid_sweep_scan(self.spec, params, slices, self._mu_c,
+                                self._sd_c, self.patch_shape,
+                                self.grid_spacing, self.z_chunk, ops,
+                                mc, rng, self.compute_dtype)
+
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
                  mc_rng=None, as_device: bool = False, mask=None
                  ) -> Dict[str, np.ndarray]:
@@ -389,15 +404,7 @@ class GridPoolEvaluator(PoolEvaluator):
             if (set(ops) & _WIDE_OPS) or needed <= n_slabs // 2:
                 return self._eval_slabs(params, rows, ops, mc, rng)
         # one dispatch for the whole volume
-        z_pad = -self.nz % self.z_chunk
-        slices = self._slices
-        if z_pad:
-            slices = jnp.pad(slices,
-                             ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        outs = _grid_sweep_scan(self.spec, params, slices, self._mu_c,
-                                self._sd_c, self.patch_shape,
-                                self.grid_spacing, self.z_chunk, ops,
-                                mc, rng, self.compute_dtype)
+        outs = self._whole_sweep(params, ops, mc, rng)
         if as_device:
             rows_d = jnp.asarray(rows)
             return {op: o[:n_valid][rows_d]
