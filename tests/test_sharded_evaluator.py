@@ -107,6 +107,7 @@ def test_sharded_perturb_sweep_bitwise():
 
 
 @needs_8
+@pytest.mark.slow
 def test_engine_campaign_data_parallel_parity(tmp_path):
     """config key data_parallel=8: the engine's selections (query journal)
     are bit-identical to the single-device campaign for entropy AND fi."""
