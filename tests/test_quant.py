@@ -122,3 +122,29 @@ def test_quantized_fcn_runs():
     assert out.posteriors.shape == ref.posteriors.shape
     assert np.max(np.abs(np.asarray(out.posteriors)
                          - np.asarray(ref.posteriors))) < 0.3
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """Quantize once -> save -> load -> serve: the npz checkpoint
+    preserves the int8 W_q / f32 w_scale leaves exactly, so a deployed
+    model can persist its quantized form instead of re-quantizing at
+    every process start."""
+    from nnal_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+    spec = create_model("PW", nclass=2, patch_shape=(9, 9, 1))
+    params, _ = init_cnn(spec, jax.random.PRNGKey(4))
+    qp = quantize_params(spec, params)
+    path = str(tmp_path / "quant.npz")
+    save_checkpoint(path, qp)
+    loaded, _, _, _ = load_checkpoint(path)
+    for name, p in qp.items():
+        for k, v in p.items():
+            got = loaded[name][k]
+            assert got.dtype == np.asarray(v).dtype, (name, k, got.dtype)
+            np.testing.assert_array_equal(got, np.asarray(v))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 9, 9, 1))
+    ref = apply_cnn(spec, qp, x)
+    out = apply_cnn(spec, {n: {k: jnp.asarray(v) for k, v in p.items()}
+                           for n, p in loaded.items()}, x)
+    np.testing.assert_array_equal(np.asarray(ref.posteriors),
+                                  np.asarray(out.posteriors))
