@@ -65,6 +65,14 @@ _HIST_EVERY = int(os.environ.get("NNAL_HIST_EVERY", "1"))
 if _HIST_EVERY != 1:
     PARS["hist_every"] = _HIST_EVERY
 
+# NNAL_TRAIN_DTYPE=bfloat16 runs the campaign's finetunes mixed-precision
+# (config.model.train_dtype: bf16 compute, f32 master params); recorded as
+# "<name>@bf16t" so the quality (F-curve) can be compared against the f32
+# row directly.
+_TRAIN_DTYPE = os.environ.get("NNAL_TRAIN_DTYPE", "").strip()
+if _TRAIN_DTYPE:
+    PARS["train_dtype"] = _TRAIN_DTYPE
+
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
@@ -87,6 +95,8 @@ def _method_tag(method):
                 else f"he{_HIST_EVERY}")
     if _CC_ON:
         tag += "@cc" if "@" not in tag else "cc"
+    if _TRAIN_DTYPE in ("bfloat16", "bf16"):
+        tag += "@bf16t" if "@" not in tag else "bf16t"
     return tag
 
 
