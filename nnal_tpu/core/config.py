@@ -139,10 +139,12 @@ class QueryConfig:
     # core-set labeled bootstrap grid spacing over held-out subjects
     # (reference gen_multimg_inds(labeled_paths, 50), PW_AL.py:809-822)
     bootstrap_spacing: int = 50
-    # shard pool scoring over a data_parallel-device mesh (entropy/MC/
-    # BALD/fi/AU_4U/committee sweeps + device-resident feature flows run
-    # via parallel.grid_sharded.ShardedGridPoolEvaluator; selections are
+    # shard the PATCH-WISE engines' grid-pool scoring over a
+    # data_parallel-device mesh (entropy/MC/BALD/fi/AU_4U/committee sweeps
+    # + device-resident feature flows run via
+    # parallel.grid_sharded.ShardedGridPoolEvaluator; selections are
     # bit-identical to single-device). 1 = single device (default).
+    # The classification engine's image pools ignore this key (it warns).
     data_parallel: int = 1
 
 

@@ -44,6 +44,15 @@ class Experiment:
         self.config = config
         self.rng = RngStream(config.seed)
         self._pool = None
+        if int(getattr(config.query, "data_parallel", 1)) > 1:
+            # the mesh key shards the patch-wise engines' grid sweeps;
+            # this engine's disk-backed image pools are separate machinery
+            # — warn instead of silently ignoring the key
+            import warnings
+
+            warnings.warn("data_parallel > 1 applies to the patch-wise "
+                          "engines' grid-pool scoring; the classification "
+                          "engine runs single-device", stacklevel=2)
 
     def attach_data(self, X, labels) -> None:
         from nnal_tpu.data.image_pool import InMemoryPool

@@ -113,12 +113,10 @@ class MultiImgExperiment:
                 from nnal_tpu.parallel.grid_sharded import (
                     ShardedGridPoolEvaluator,
                 )
-                from nnal_tpu.parallel.mesh import make_mesh
+                from nnal_tpu.parallel.mesh import cached_mesh
 
-                mesh = getattr(self, "_mesh_cache", None)
-                if mesh is None or mesh.devices.size != dp:
-                    mesh = self._mesh_cache = make_mesh(dp)
-                evs.append(ShardedGridPoolEvaluator(mesh, *args, **kw))
+                evs.append(ShardedGridPoolEvaluator(cached_mesh(dp),
+                                                    *args, **kw))
             else:
                 evs.append(GridPoolEvaluator(*args, **kw))
         return evs

@@ -134,20 +134,10 @@ class PWExperiment:
             from nnal_tpu.parallel.grid_sharded import (
                 ShardedGridPoolEvaluator,
             )
+            from nnal_tpu.parallel.mesh import cached_mesh
 
-            return ShardedGridPoolEvaluator(self._mesh(dp), *args, **kw)
+            return ShardedGridPoolEvaluator(cached_mesh(dp), *args, **kw)
         return GridPoolEvaluator(*args, **kw)
-
-    def _mesh(self, n_devices: int):
-        """Per-experiment mesh cache (one mesh per data_parallel size)."""
-        cache = getattr(self, "_meshes", None)
-        if cache is None:
-            cache = self._meshes = {}
-        if n_devices not in cache:
-            from nnal_tpu.parallel.mesh import make_mesh
-
-            cache[n_devices] = make_mesh(n_devices)
-        return cache[n_devices]
 
     # ------------------------------------------------------------- methods
     def add_method(self, method_name: str, init_size: Optional[int] = None):

@@ -12,6 +12,13 @@ shard).  The engines' selection logic therefore sees exactly the
 single-device arrays; selections are bit-identical (parity tested on an
 8-device CPU mesh, ``tests/test_sharded_evaluator.py``).
 
+The subclass overrides only the base class's sweep seams — ``_pad_mult``
+(z pads to a per-shard multiple of chunks), ``_sweep_slices`` (the
+shard-split stack, padded + distributed ONCE at construction: the
+volumes are immutable, and re-distributing hundreds of MB per round over
+a tunnel costs seconds) and the ``_dispatch_*`` hooks — so all pad/trim
+bookkeeping stays in ``grid_eval.py``.
+
 This is the engine-facing face of SURVEY §2.7 "pool sharding" (driver
 config #5: sharded 1M-patch pool scoring in a full AL campaign): set the
 ``data_parallel`` config key and every grid-pool strategy — entropy, MC,
@@ -24,14 +31,15 @@ Out of scope by design: the slab-restricted host pulls and off-grid
 gather fallbacks stay single-device (they are latency- not
 throughput-bound), and the finetune stays replicated — labeled sets are
 k-scale while pools are 10^5-10^6, so scoring is the only phase worth
-the mesh (SURVEY §6).
+the mesh (SURVEY §6).  The classification engine's disk-backed image
+pools are separate machinery and ignore the key (documented in
+MIGRATION.md; the engine warns).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nnal_tpu.scoring.grid_eval import (
@@ -52,24 +60,29 @@ class ShardedGridPoolEvaluator(GridPoolEvaluator):
         self.mesh = mesh
         self._dp = int(mesh.shape["data"])
         self._sharded_fns = {}
+        # immutable across the campaign: pad + distribute ONCE (a
+        # per-sweep device_put would re-ship the whole padded volume
+        # every AL round — seconds over the tunnel at 16-25 MB/s)
+        self._slices_sharded = jax.device_put(
+            super()._sweep_slices(), NamedSharding(mesh, P("data")))
+        self._mu_rep = self._replicated(self._mu_c)
+        self._sd_rep = self._replicated(self._sd_c)
 
     # ------------------------------------------------------------ plumbing
-    def _z_sharded_slices(self):
-        """Slice stack padded to a (dp * z_chunk)-multiple of z and laid
-        out shard-split on the data axis.  Chunk boundaries coincide with
-        the single-device sweep's (z_chunk divides both paddings), so
-        per-chunk programs see bit-identical inputs."""
-        z_pad = -self.nz % (self._dp * self.z_chunk)
-        slices = self._slices
-        if z_pad:
-            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        return jax.device_put(slices, NamedSharding(self.mesh, P("data")))
+    def _pad_mult(self) -> int:
+        # each shard's block must hold whole z-chunks; chunk boundaries
+        # then coincide with the single-device sweep's (z_chunk divides
+        # both paddings), so per-chunk programs see bit-identical inputs
+        return self._dp * self.z_chunk
+
+    def _sweep_slices(self):
+        return self._slices_sharded
 
     def _replicated(self, tree):
         return jax.device_put(tree, NamedSharding(self.mesh, P()))
 
     def _shard_fn(self, key, local, n_out):
-        """Build (and cache) the jitted shard_map wrapper: params/stats
+        """Build (and cache) the jitted shard_map wrapper: params/stats/rng
         replicated, slices and every output split on ``data``."""
         if key not in self._sharded_fns:
             from jax.experimental.shard_map import shard_map
@@ -82,8 +95,8 @@ class ShardedGridPoolEvaluator(GridPoolEvaluator):
                 check_rep=False))
         return self._sharded_fns[key]
 
-    # ------------------------------------------------------------- sweeps
-    def _whole_sweep(self, params, ops, mc, rng):
+    # ------------------------------------------------------ dispatch hooks
+    def _dispatch_sweep(self, params, slices, ops, mc, rng):
         spec, ps = self.spec, self.patch_shape
         g, zi, cd = self.grid_spacing, self.z_chunk, self.compute_dtype
 
@@ -96,14 +109,11 @@ class ShardedGridPoolEvaluator(GridPoolEvaluator):
                                     zi, ops, mc, rng, cd, step_base=base)
 
         fn = self._shard_fn(("sweep", ops, mc, g, zi, cd), local, len(ops))
-        outs = fn(self._replicated(params), self._z_sharded_slices(),
-                  self._replicated(self._mu_c),
-                  self._replicated(self._sd_c), self._replicated(rng))
+        outs = fn(self._replicated(params), slices, self._mu_rep,
+                  self._sd_rep, self._replicated(rng))
         return outs if isinstance(outs, tuple) else (outs,)
 
-    def fim_sweep(self, params, compute_dtype=None):
-        cd = compute_dtype if compute_dtype is not None \
-            else self.compute_dtype
+    def _dispatch_fim(self, params, slices, cd):
         spec, ps = self.spec, self.patch_shape
         g, zi = self.grid_spacing, self.z_chunk
 
@@ -112,19 +122,11 @@ class ShardedGridPoolEvaluator(GridPoolEvaluator):
                                    zi, cd)
 
         fn = self._shard_fn(("fim", cd, g, zi), local, 3)
-        p1, unc, shrunk = fn(self._replicated(params),
-                             self._z_sharded_slices(),
-                             self._replicated(self._mu_c),
-                             self._replicated(self._sd_c),
-                             self._replicated(jax.random.key(0)))
-        n_valid = self.nz * self.nx * self.ny
-        return {"p1": np.asarray(p1)[:n_valid],
-                "uncertainty": np.asarray(unc)[:n_valid],
-                "shrunk": np.asarray(shrunk)[:n_valid]}
+        return fn(self._replicated(params), slices, self._mu_rep,
+                  self._sd_rep, self._replicated(jax.random.key(0)))
 
-    def perturb_sweep(self, params, rng, teacher_params=None,
-                      measure: str = "CE", gaussian_std=0.05,
-                      rotation_angle=None) -> np.ndarray:
+    def _dispatch_perturb(self, params, teacher_params, slices, rng,
+                          measure, gaussian_std, rotation_angle):
         spec, ps = self.spec, self.patch_shape
         g, zi, cd = self.grid_spacing, self.z_chunk, self.compute_dtype
         has_teacher = teacher_params is not None
@@ -141,7 +143,5 @@ class ShardedGridPoolEvaluator(GridPoolEvaluator):
         fn = self._shard_fn(
             ("perturb", measure, gaussian_std, rotation_angle, has_teacher,
              g, zi, cd), local, 1)
-        divs = fn(self._replicated((params, teacher_params)),
-                  self._z_sharded_slices(), self._replicated(self._mu_c),
-                  self._replicated(self._sd_c), self._replicated(rng))
-        return np.asarray(divs)[:self.nz * self.nx * self.ny]
+        return fn(self._replicated((params, teacher_params)), slices,
+                  self._mu_rep, self._sd_rep, self._replicated(rng))

@@ -9,6 +9,7 @@ for the sharded top-k).  On a v5e-8 slice both axes ride ICI.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional, Tuple
 
 import jax
@@ -41,3 +42,12 @@ def make_mesh(n_devices: Optional[int] = None,
     dp, mp = default_mesh_shape(len(devices), model_parallel)
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+@_functools.lru_cache(maxsize=None)
+def cached_mesh(n_devices: Optional[int] = None,
+                model_parallel: int = 1) -> Mesh:
+    """Memoized :func:`make_mesh` — engines resolve the ``data_parallel``
+    config key through this so repeated evaluator construction (one per
+    ``run_method``) reuses one mesh object per size."""
+    return make_mesh(n_devices, model_parallel)

@@ -234,6 +234,40 @@ class GridPoolEvaluator(PoolEvaluator):
         self._mu_c = jnp.repeat(self.mu, d3)
         self._sd_c = jnp.repeat(self.sd, d3)
 
+    # -------------------------------------------------- sweep dispatch seams
+    # The mesh-sharded subclass (parallel.grid_sharded) overrides only
+    # _pad_mult (z padded to a dp-multiple of chunks), _sweep_slices (the
+    # cached shard-split stack) and the _dispatch_* hooks; all pad/trim/
+    # cd-default bookkeeping stays here, in one home.
+
+    def _pad_mult(self) -> int:
+        return self.z_chunk
+
+    def _sweep_slices(self):
+        z_pad = -self.nz % self._pad_mult()
+        slices = self._slices
+        if z_pad:
+            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
+        return slices
+
+    def _dispatch_sweep(self, params, slices, ops, mc, rng):
+        return _grid_sweep_scan(self.spec, params, slices, self._mu_c,
+                                self._sd_c, self.patch_shape,
+                                self.grid_spacing, self.z_chunk, ops,
+                                mc, rng, self.compute_dtype)
+
+    def _dispatch_fim(self, params, slices, cd):
+        return _grid_fim_sweep(self.spec, params, slices, self._mu_c,
+                               self._sd_c, self.patch_shape,
+                               self.grid_spacing, self.z_chunk, cd)
+
+    def _dispatch_perturb(self, params, teacher_params, slices, rng,
+                          measure, gaussian_std, rotation_angle):
+        return _grid_perturb_sweep(
+            self.spec, params, teacher_params, slices, self._mu_c,
+            self._sd_c, self.patch_shape, self.grid_spacing, self.z_chunk,
+            rng, measure, gaussian_std, rotation_angle, self.compute_dtype)
+
     def fim_sweep(self, params, compute_dtype=None):
         """Posterior + diag-FIM ingredients for the WHOLE grid in one
         dispatch (see ``_grid_fim_sweep``).  Returns host arrays
@@ -241,14 +275,8 @@ class GridPoolEvaluator(PoolEvaluator):
         order (z-major)."""
         cd = compute_dtype if compute_dtype is not None \
             else self.compute_dtype
-        z_pad = -self.nz % self.z_chunk
-        slices = self._slices
-        if z_pad:
-            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        p1, unc, shrunk = _grid_fim_sweep(
-            self.spec, params, slices, self._mu_c, self._sd_c,
-            self.patch_shape,
-            self.grid_spacing, self.z_chunk, cd)
+        p1, unc, shrunk = self._dispatch_fim(params, self._sweep_slices(),
+                                             cd)
         n_valid = self.nz * self.nx * self.ny
         return {"p1": np.asarray(p1)[:n_valid],
                 "uncertainty": np.asarray(unc)[:n_valid],
@@ -259,15 +287,9 @@ class GridPoolEvaluator(PoolEvaluator):
                       rotation_angle=None) -> np.ndarray:
         """AU_4U divergence scores for the whole grid in one dispatch
         (see ``_grid_perturb_sweep``); length nz*nx*ny, grid order."""
-        z_pad = -self.nz % self.z_chunk
-        slices = self._slices
-        if z_pad:
-            slices = jnp.pad(slices, ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        divs = _grid_perturb_sweep(
-            self.spec, params, teacher_params, slices, self._mu_c,
-            self._sd_c,
-            self.patch_shape, self.grid_spacing, self.z_chunk, rng,
-            measure, gaussian_std, rotation_angle, self.compute_dtype)
+        divs = self._dispatch_perturb(params, teacher_params,
+                                      self._sweep_slices(), rng, measure,
+                                      gaussian_std, rotation_angle)
         return np.asarray(divs)[:self.nz * self.nx * self.ny]
 
     def _grid_rows(self, inds: np.ndarray):
@@ -351,19 +373,11 @@ class GridPoolEvaluator(PoolEvaluator):
         return results
 
     def _whole_sweep(self, params, ops, mc, rng):
-        """Whole-volume sweep in one dispatch; the seam the mesh-sharded
-        subclass (``parallel.grid_sharded.ShardedGridPoolEvaluator``)
-        overrides.  Returns one array per op, >= nz*nx*ny rows (padding
-        rows trail and are trimmed by the caller)."""
-        z_pad = -self.nz % self.z_chunk
-        slices = self._slices
-        if z_pad:
-            slices = jnp.pad(slices,
-                             ((0, z_pad), (0, 0), (0, 0), (0, 0)))
-        return _grid_sweep_scan(self.spec, params, slices, self._mu_c,
-                                self._sd_c, self.patch_shape,
-                                self.grid_spacing, self.z_chunk, ops,
-                                mc, rng, self.compute_dtype)
+        """Whole-volume sweep in one dispatch (pad + dispatch seams above).
+        Returns one array per op, >= nz*nx*ny rows (padding rows trail and
+        are trimmed by the caller)."""
+        return self._dispatch_sweep(params, self._sweep_slices(), ops, mc,
+                                    rng)
 
     def evaluate(self, params, pool_inds, ops: Sequence[str] = ("posteriors",),
                  mc_rng=None, as_device: bool = False, mask=None

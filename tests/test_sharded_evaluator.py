@@ -37,15 +37,23 @@ def _setup(z_chunk=4, shape=(14, 16, 8)):
     return spec, params, ev1, ev8, shape
 
 
+def _all_z_grid_vox(shape, g=2):
+    """Grid voxels spanning EVERY z — routes evaluate() to the
+    whole-volume sweep (rows confined to <= n_slabs//2 slabs would take
+    the single-device slab path on both evaluators and the parity assert
+    would be vacuous)."""
+    s1, s2, s3 = shape
+    gx, gy, z = np.meshgrid(np.arange(0, s1, g), np.arange(0, s2, g),
+                            np.arange(s3), indexing="ij")
+    return (gx.ravel() * s2 + gy.ravel()) * s3 + z.ravel()
+
+
 @needs_8
 def test_sharded_evaluate_bitwise():
     """Whole-grid posterior/prediction sweeps: identical per-chunk
     programs on each shard => bit-identical rows."""
     spec, params, ev1, ev8, shape = _setup()
-    s1, s2, s3 = shape
-    gx, gy = np.meshgrid(np.arange(0, s1, 2), np.arange(0, s2, 2),
-                         indexing="ij")
-    vox = (gx.ravel() * s2 + gy.ravel()) * s3 + 3   # one z-plane of grid
+    vox = _all_z_grid_vox(shape)
     for ops in (("posteriors",), ("posteriors", "prediction")):
         r1 = ev1.evaluate(params, vox, ops=ops)
         r8 = ev8.evaluate(params, vox, ops=ops)
@@ -58,9 +66,7 @@ def test_sharded_evaluate_mc_bitwise():
     """MC-dropout keys fold the GLOBAL chunk id on each shard, so MC
     sweeps are bitwise the single-device ones too."""
     spec, params, ev1, ev8, shape = _setup()
-    s1, s2, s3 = shape
-    vox = (np.arange(0, s1, 2)[:, None] * s2
-           + np.arange(0, s2, 2)[None, :]).ravel() * s3 + 5
+    vox = _all_z_grid_vox(shape)
     rng = jax.random.key(7)
     r1 = ev1.evaluate(params, vox, ops=("posteriors",), mc_rng=rng)
     r8 = ev8.evaluate(params, vox, ops=("posteriors",), mc_rng=rng)
@@ -70,7 +76,8 @@ def test_sharded_evaluate_mc_bitwise():
 @needs_8
 def test_sharded_evaluate_as_device_features():
     """The device-resident feature flow (core-set / rep-entropy) rides the
-    sharded whole-volume sweep; gathered rows match single-device."""
+    sharded whole-volume sweep (as_device skips the slab routing);
+    gathered rows match single-device."""
     spec, params, ev1, ev8, shape = _setup()
     s1, s2, s3 = shape
     vox = (np.arange(0, s1, 2)[:, None] * s2
