@@ -13,7 +13,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import subprocess
 import sys
 import time
 from functools import partial
@@ -21,28 +20,10 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _device_responsive(timeout_s: int = 570) -> bool:
-    """Probe the backend in a *subprocess* with a hard timeout.
-
-    A stalled axon tunnel hangs any device RPC indefinitely (no deadline in
-    the client); probing in-process would hang this benchmark with it.  The
-    generous timeout covers the tunnel's load-dependent remote compiles
-    (a toy program has been observed taking 122-209 s to compile).
-    """
-    # the baked sitecustomize resets jax_platforms to "axon,cpu" at jax
-    # import, so the child must re-apply JAX_PLATFORMS itself or a
-    # JAX_PLATFORMS=cpu bench run would still probe (and fail on) the tunnel
-    probe = ("import os, jax, numpy as np; "
-             "p = os.environ.get('JAX_PLATFORMS'); "
-             "p and jax.config.update('jax_platforms', p); "
-             "x = jax.numpy.ones((128, 128)); "
-             "print(float(np.asarray(x @ x)[0, 0]))")
-    try:
-        subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
-                       check=True, capture_output=True)
-        return True
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        return False
+# probe the backend in a *subprocess* with a hard timeout: a stalled axon
+# tunnel hangs any device RPC indefinitely (no deadline in the client), so
+# probing in-process would hang this benchmark with it
+from nnal_tpu.core.device_probe import device_responsive as _device_responsive  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
