@@ -21,13 +21,18 @@ def main():
 
     import tempfile
 
+    # epochs >= 15: with tens of labels and b=64 an epoch is 1-2 Adam
+    # steps, and shorter training can pin a method in its initial
+    # one-class regime (F=0 forever) — the campaign-protocol lesson
+    # documented in CLAUDE.md / benchmarks/campaigns.py
     overrides = ("patch_shape=[11,11,1],grid_spacing=2,k=20,B=200,"
-                 "ntb=1024,b=64,epochs=3,init_size=40,seed=3,"
+                 "ntb=1024,b=64,epochs=15,init_size=40,seed=3,"
                  "learning_rate=1e-3,optimizer_name=Adam,MC_iters=3,"
                  "synthetic_shape=[40,40,12],synthetic_blobs=8")
     curves = {}
     with tempfile.TemporaryDirectory() as root:
-        for method in ("entropy", "MC-entropy", "BALD", "fi", "random"):
+        for method in ("entropy", "MC-entropy", "BALD", "fi", "influence",
+                       "core-set", "random"):
             res = do_expr(os.path.join(root, method), method, 100,
                           overrides, synthetic=True)
             curves[method] = np.asarray(res["perf"])
