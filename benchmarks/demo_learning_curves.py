@@ -42,6 +42,14 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "learning_curves.png")
     plot_learning_curves(curves, 20, out)
+    # persist the exact values next to the plot so docs that quote them
+    # stay traceable to an artifact
+    import json
+
+    with open(os.path.join(out_dir, "learning_curves.json"), "w") as f:
+        json.dump({"overrides": overrides, "k_per_round": 20,
+                   "curves": {m: [round(float(v), 4) for v in c]
+                              for m, c in curves.items()}}, f, indent=1)
     print("saved", out)
 
 
