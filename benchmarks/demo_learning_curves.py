@@ -1,8 +1,11 @@
 """Demo: active learning beats random on a dense synthetic subject.
 
-Runs entropy vs random AL campaigns on a synthetic brain-like volume with
-enough foreground for the F-measure to be informative, and saves
-``docs/learning_curves.png``.  CPU-friendly (a few minutes).
+Runs seven AL campaigns (entropy, MC-entropy, BALD, fi, influence,
+core-set, random) on a synthetic brain-like volume with enough foreground
+for the F-measure to be informative, and saves
+``docs/learning_curves.png`` + ``docs/learning_curves.json`` (the exact
+values docs quote).  ~15 min on a warm-cache TPU chip; runs on CPU too
+(slower — fi/influence/core-set are compile-heavy).
 """
 
 from __future__ import annotations
@@ -16,19 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import numpy as np
 
-    from nnal_tpu.cli.expr_handler import do_expr
+    from nnal_tpu.cli.expr_handler import DEMO_CAMPAIGN_OVERRIDES, do_expr
     from nnal_tpu.evaluation.visualize import plot_learning_curves
 
     import tempfile
 
-    # epochs >= 15: with tens of labels and b=64 an epoch is 1-2 Adam
-    # steps, and shorter training can pin a method in its initial
-    # one-class regime (F=0 forever) — the campaign-protocol lesson
-    # documented in CLAUDE.md / benchmarks/campaigns.py
-    overrides = ("patch_shape=[11,11,1],grid_spacing=2,k=20,B=200,"
-                 "ntb=1024,b=64,epochs=15,init_size=40,seed=3,"
-                 "learning_rate=1e-3,optimizer_name=Adam,MC_iters=3,"
-                 "synthetic_shape=[40,40,12],synthetic_blobs=8")
+    overrides = DEMO_CAMPAIGN_OVERRIDES
     curves = {}
     with tempfile.TemporaryDirectory() as root:
         for method in ("entropy", "MC-entropy", "BALD", "fi", "influence",

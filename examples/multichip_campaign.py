@@ -26,14 +26,25 @@ N_DEVICES = 8
 
 def _ensure_virtual_devices():
     """XLA_FLAGS must be set before the backend initializes — re-exec with
-    the flag if this process started without it."""
+    the flag if this process started without it (or with a smaller
+    device count, e.g. exported by another workflow)."""
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
-        ).strip()
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m and int(m.group(1)) >= N_DEVICES:
+        return
+    if os.environ.get("_NNAL_MULTICHIP_REEXEC"):
+        sys.exit(f"re-exec failed to obtain {N_DEVICES} virtual devices "
+                 f"(XLA_FLAGS={os.environ.get('XLA_FLAGS')!r})")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["_NNAL_MULTICHIP_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main(root_dir: str, tiny: bool = False, method: str = "entropy") -> None:
@@ -83,5 +94,8 @@ if __name__ == "__main__":
     ap.add_argument("root_dir", nargs="?", default="/tmp/nnal_multichip")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--method", default="entropy")
+    # accepted for uniformity with the other examples; this script always
+    # runs on the virtual CPU mesh
+    ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args()
     main(a.root_dir, a.tiny, a.method)

@@ -25,7 +25,7 @@ def main(root_dir: str, methods=("entropy", "random"), nqueries: int = 60,
          tiny: bool = False) -> dict:
     import numpy as np
 
-    from nnal_tpu.cli.expr_handler import do_expr
+    from nnal_tpu.cli.expr_handler import DEMO_CAMPAIGN_OVERRIDES, do_expr
 
     if tiny:
         overrides = ("patch_shape=[9,9,1],grid_spacing=4,k=5,B=30,ntb=256,"
@@ -34,13 +34,9 @@ def main(root_dir: str, methods=("entropy", "random"), nqueries: int = 60,
                      "synthetic_shape=[24,24,8],synthetic_blobs=6")
         nqueries = min(nqueries, 10)
     else:
-        # campaign protocol: epochs >= 15 at lr 1e-3 — with tens of labels
-        # and b=64 an epoch is 1-2 Adam steps, and shorter training can pin
-        # a method in its initial one-class regime (F=0 forever)
-        overrides = ("patch_shape=[11,11,1],grid_spacing=2,k=20,B=200,"
-                     "ntb=1024,b=64,epochs=15,init_size=40,seed=3,"
-                     "learning_rate=1e-3,optimizer_name=Adam,MC_iters=3,"
-                     "synthetic_shape=[40,40,12],synthetic_blobs=8")
+        # the documented campaign protocol (epochs >= 15 rationale lives
+        # with the constant)
+        overrides = DEMO_CAMPAIGN_OVERRIDES
 
     curves = {}
     for method in methods:

@@ -42,10 +42,12 @@ def train_patch_model(spec, vols, mask, mu, sd, patch_shape, steps, seed=0):
     shape = tuple(np.asarray(vols[0]).shape)
     inds = generate_grid_samples(shape, 2)
     padded = pad_volumes(vols, patch_shape)
-    x = gather_patches_normalized(padded, jnp.asarray(inds), mu, sd,
-                                  patch_shape, shape)
-    y = jnp.asarray(make_onehot(
-        np.asarray(gather_labels(mask, inds, shape)), 2))
+    # slice batches on HOST: an eager device slice compiles one XLA
+    # program per distinct offset (the repo's recompile lesson), while
+    # host slices feed ONE jitted step at a constant shape
+    x = np.asarray(gather_patches_normalized(padded, jnp.asarray(inds),
+                                             mu, sd, patch_shape, shape))
+    y = make_onehot(np.asarray(gather_labels(mask, inds, shape)), 2)
     params, _ = init_cnn(spec, jax.random.key(seed))
     tx = make_optimizer("Adam", 1e-3)
     step = make_train_step(spec, tx)
@@ -54,8 +56,9 @@ def train_patch_model(spec, vols, mask, mu, sd, patch_shape, steps, seed=0):
     b = 256
     for i in range(steps):
         lo = (i * b) % max(1, x.shape[0] - b)
-        params, opt_state, loss = step(params, opt_state, x[lo:lo + b],
-                                       y[lo:lo + b],
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(x[lo:lo + b]),
+                                       jnp.asarray(y[lo:lo + b]),
                                        jax.random.fold_in(rng, i),
                                        jnp.asarray(i))
     print(f"warm-up done ({steps} steps, final loss {float(loss):.3f})")

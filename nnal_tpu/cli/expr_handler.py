@@ -18,6 +18,18 @@ import sys
 from nnal_tpu.core.config import ExperimentConfig, set_parameters
 from nnal_tpu.engine.pw_experiment import PWExperiment
 
+# demo campaign protocol on the dense synthetic subject, shared by
+# benchmarks/demo_learning_curves.py and examples/patchwise_al.py so the
+# two can't drift.  epochs >= 15 at lr 1e-3: with tens of labels and b=64
+# an epoch is 1-2 Adam steps, and shorter training can pin a method in
+# its initial one-class regime (F=0 forever) — the campaign-protocol
+# lesson documented in CLAUDE.md / benchmarks/campaigns.py
+DEMO_CAMPAIGN_OVERRIDES = (
+    "patch_shape=[11,11,1],grid_spacing=2,k=20,B=200,"
+    "ntb=1024,b=64,epochs=15,init_size=40,seed=3,"
+    "learning_rate=1e-3,optimizer_name=Adam,MC_iters=3,"
+    "synthetic_shape=[40,40,12],synthetic_blobs=8")
+
 DEFAULT_PARS = {
     "model_name": "PW",
     "patch_shape": [15, 15, 1],
