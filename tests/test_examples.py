@@ -45,6 +45,13 @@ def test_serving_example():
     assert 0.0 <= res["agreement"] <= 1.0
 
 
+def test_multi_subject_example(tmp_path):
+    res = _load("multi_subject_al").main(str(tmp_path), "entropy",
+                                         nqueries=6, tiny=True)
+    assert res["n_queries"] == 6
+    assert np.isfinite(np.atleast_1d(res["perf"])).all()
+
+
 def test_multichip_example(tmp_path):
     # conftest already provides the 8 virtual CPU devices the script's
     # __main__ path re-execs for; the assert inside main() is the check
