@@ -127,3 +127,62 @@ def core_set_select(Fu_normed: jnp.ndarray, sims0: jnp.ndarray,
 def normalize_rows(F) -> jnp.ndarray:
     F = jnp.asarray(F)
     return F / jnp.linalg.norm(F, axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------- BADGE
+# TPU-native EXTRA beyond the reference's strategy set (Ash et al.,
+# "Deep Batch Active Learning by Diverse, Uncertain Gradient Lower
+# Bounds", ICLR 2020): k-means++ sampling over hallucinated last-layer
+# gradient embeddings.  The embedding norm carries uncertainty
+# (1 - max-class confidence) and the k-means++ spread carries batch
+# diversity — a batch-aware complement to the reference's point-wise
+# uncertainty strategies.
+
+@jax.jit
+def badge_embeddings(H: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
+    """(n, 2d) BADGE embeddings for the binary head from features ``H``
+    (n, d) and positive-class posteriors ``p1`` (n,):
+    ``g_i = (p_i - onehot(argmax p_i)) (x) h_i`` — the exact last-layer
+    weight gradient of CE at the hallucinated label."""
+    p1 = p1.astype(jnp.float32)
+    p = jnp.stack([1.0 - p1, p1], axis=1)
+    yhat = jnp.argmax(p, axis=1)
+    c = p - jax.nn.one_hot(yhat, 2, dtype=p.dtype)
+    H = H.astype(jnp.float32)
+    return (c[:, :, None] * H[:, None, :]).reshape(H.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def badge_kmeanspp(E: jnp.ndarray, k: int, key) -> jnp.ndarray:
+    """k-means++ seeding over embedding rows: first center uniform, each
+    next sampled with probability proportional to its squared distance to
+    the chosen set.  Whole loop is one device program (``fori_loop``);
+    chosen rows get distance 0 so they cannot be re-drawn, and an
+    all-duplicates corner falls back to the first unchosen index."""
+    n = E.shape[0]
+    sq = jnp.sum(E * E, axis=1)
+    first = jax.random.randint(key, (), 0, n)
+    d2 = jnp.maximum(sq + sq[first] - 2.0 * (E @ E[first]), 0.0)
+    mind2 = d2.at[first].set(0.0)
+    taken = jnp.zeros((n,), bool).at[first].set(True)
+    chosen = jnp.zeros((k,), jnp.int32).at[0].set(first.astype(jnp.int32))
+
+    def body(i, carry):
+        mind2, taken, chosen = carry
+        avail = ~taken
+        ok = avail & (mind2 > 0.0)
+        logits = jnp.where(ok, jnp.log(jnp.maximum(mind2, 1e-30)),
+                           -jnp.inf)
+        drawn = jax.random.categorical(jax.random.fold_in(key, i), logits)
+        # all remaining candidates coincide with chosen ones -> take the
+        # first unchosen deterministically instead of a degenerate draw
+        nxt = jnp.where(jnp.any(ok), drawn,
+                        jnp.argmax(avail)).astype(jnp.int32)
+        d2 = jnp.maximum(sq + sq[nxt] - 2.0 * (E @ E[nxt]), 0.0)
+        mind2 = jnp.minimum(mind2, d2).at[nxt].set(0.0)
+        taken = taken.at[nxt].set(True)
+        chosen = chosen.at[i].set(nxt)
+        return mind2, taken, chosen
+
+    _, _, chosen = jax.lax.fori_loop(1, k, body, (mind2, taken, chosen))
+    return chosen

@@ -7,7 +7,9 @@ positions into the pool index array.  All heavy math runs in jitted device
 programs; only final selections come back to host.
 
 Strategies (reference §2.3 inventory): random, ps-random, entropy,
-MC-entropy, BALD, rep-entropy, core-set, ensemble, QBC-JS, fi.
+MC-entropy, BALD, rep-entropy, core-set, ensemble, QBC-JS, fi, SuPix,
+influence, AU_4U — plus BADGE, a TPU-native extra beyond the reference's
+set (gradient-embedding k-means++, Ash et al. ICLR 2020).
 """
 
 from __future__ import annotations
@@ -176,6 +178,33 @@ def _core_set(ctx: QueryContext):
     chosen = np.asarray(core_set_select(Fn, sims0,
                                         min(ctx.k, F_u.shape[0])))
     return chosen
+
+
+@register_strategy("BADGE")
+def _badge(ctx: QueryContext):
+    """BADGE batch selection — a TPU-native EXTRA beyond the reference's
+    strategy set (Ash et al., ICLR 2020): uncertainty filter to B
+    candidates (the fi/rep-entropy composition), then k-means++ sampling
+    over hallucinated last-layer gradient embeddings — uncertain (large
+    embedding norm) AND mutually diverse batches.  Features and the
+    (B, 2d) embeddings stay on device; B is round-invariant so shapes are
+    stable (the repo's shape-stability rule)."""
+    from nnal_tpu.scoring.representative import (
+        badge_embeddings,
+        badge_kmeanspp,
+    )
+
+    res = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+                                 ("posteriors", "feature_layer"),
+                                 as_device=True)
+    p1 = np.asarray(res["posteriors"])
+    B = min(ctx.B, len(ctx.pool_inds))
+    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    E = badge_embeddings(res["feature_layer"][jnp.asarray(sel)],
+                         jnp.asarray(p1[sel]))
+    chosen = np.asarray(badge_kmeanspp(
+        E, min(ctx.k, len(sel)), jax.random.fold_in(ctx.jax_rng, 7)))
+    return sel[chosen]
 
 
 def _committee_posteriors(ctx: QueryContext) -> np.ndarray:
@@ -440,6 +469,32 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             chosen = np.asarray(rep_entropy_select(sims, min(k, B)))
             pick = sel[chosen]
         return global2local_inds(pick, sizes)
+
+    if method_name == "BADGE":
+        # global uncertainty filter over the concatenated pools, k-means++
+        # over the candidates' gradient embeddings (device-resident; the
+        # single-subject _badge lifted to the multi-subject index algebra)
+        from nnal_tpu.scoring.representative import (
+            badge_embeddings,
+            badge_kmeanspp,
+        )
+
+        F, p1 = [], []
+        for c in contexts:
+            r = c.evaluator.evaluate(c.params, c.pool_inds,
+                                     ("posteriors", "feature_layer"),
+                                     as_device=True)
+            F.append(r["feature_layer"])
+            p1.append(np.asarray(r["posteriors"]))
+        F = jnp.concatenate(F)
+        p1 = np.concatenate(p1)
+        B = min(contexts[0].B, len(p1))
+        sel = np.asarray(binary_uncertainty_filter(p1, B))
+        E = badge_embeddings(F[jnp.asarray(sel)], jnp.asarray(p1[sel]))
+        chosen = np.asarray(badge_kmeanspp(
+            E, min(k, len(sel)),
+            jax.random.fold_in(contexts[0].jax_rng, 7)))
+        return global2local_inds(sel[chosen], sizes)
 
     if method_name == "core-set":
         # concatenated pool features vs all subjects' labeled features
