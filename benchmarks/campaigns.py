@@ -39,11 +39,11 @@ PARS = {
     "n_ensemble": 3, "seed": 11, "dtype": "bfloat16",
 }
 MULTI_METHODS = ["fi", "core-set", "ensemble", "influence"]
-# BADGE is the TPU-native extra strategy (gradient-embedding k-means++);
-# its multi-subject path is covered by the CPU tests — one single-subject
-# hardware row is enough evidence here
+# BADGE and BatchBALD are TPU-native extra strategies (gradient-embedding
+# k-means++ / greedy joint MI); their multi-subject paths are covered by
+# the CPU tests — one single-subject hardware row each is enough evidence
 SINGLE_METHODS = ["rep-entropy", "BALD", "AU_4U", "SuPix", "QBC-JS",
-                  "BADGE"]
+                  "BADGE", "BatchBALD"]
 
 # NNAL_CKPT_EVERY=K runs the campaign with anchored checkpoints (the full
 # ~0.5 GB resume pull every K rounds instead of every round; crash-resume

@@ -1,0 +1,92 @@
+"""BatchBALD — greedy joint mutual information over MC-dropout posteriors.
+
+A TPU-native EXTRA beyond the reference's strategy set (Kirsch, van
+Amersfoort & Gal, "BatchBALD: Efficient and Diverse Batch Acquisition for
+Deep Bayesian Active Learning", NeurIPS 2019).  Plain BALD (reference
+PW_NNAL.py:250-282) scores points independently, so a top-k batch is k
+near-duplicates of the same informative region; BatchBALD maximizes the
+JOINT information I(y_1..y_k ; w) greedily, penalizing redundancy.
+
+TPU-native design: the whole greedy loop is ONE device program
+(``lax.fori_loop``) over static shapes — candidates are the top-B BALD
+points, configurations of the chosen set are Monte-Carlo sampled, and the
+per-step joint entropies for ALL candidates come from a single
+``(M,T)x(T,n*2)`` matmul that rides the MXU.
+
+Estimator (binary case).  With MC posteriors ``p_t(y_i)``, the joint over
+a chosen set S is ``P(s) = mean_t prod_{j in S} p_t(s_j)``.  Enumerating
+the 2^|S| configurations is infeasible, so configurations are drawn
+ANCESTRALLY from the joint itself: each of M configs fixes one dropout
+sample ``t_m`` (uniform) and draws every added point's class from
+``p_{t_m}``; the proposal density is then exactly ``q(s)=P(s)`` and the
+importance-sampled joint entropy for candidate i is
+
+    H(y_S, y_i) ~= -1/M sum_m sum_c  J[m,i,c]/q_m * log J[m,i,c],
+    J[m,i,c] = mean_t Pt[m,t] p_t(c|i),   q_m = mean_t Pt[m,t],
+
+with ``Pt[m,t] = prod_{j in S} p_t(s_m_j)`` kept as running products.
+At step 0 (``Pt = 1``) the estimator is EXACT regardless of M, so the
+first pick equals the BALD argmax bit-for-bit (tested).  Rescaling ``Pt``
+by any constant shifts every candidate's estimate by the same
+``-log(alpha)`` (since ``sum_{m,c} J/(M q) = 1``), so the running product
+is renormalized each step to dodge underflow without affecting argmax.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_LOG_TINY = 1e-30
+DEFAULT_M_CONFIGS = 512
+
+
+@partial(jax.jit, static_argnames=("k", "m_configs"))
+def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
+                     m_configs: int = DEFAULT_M_CONFIGS) -> jnp.ndarray:
+    """Greedy BatchBALD batch over ``(T, n)`` binary MC posteriors.
+
+    Returns ``(k,)`` distinct candidate positions, most-informative-first.
+    ``key`` drives the configuration sampling (deterministic per key).
+    """
+    T, n = mc_p1.shape
+    M = m_configs
+    p1 = jnp.clip(mc_p1.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
+    probs = jnp.stack([1.0 - p1, p1], axis=-1)          # (T, n, 2)
+
+    # E_t[H(y_i | w_t)] — the conditional-entropy half of the objective;
+    # constant across greedy steps so the per-step argmax only needs the
+    # candidate's own term.
+    cond = -jnp.mean(jnp.sum(probs * jnp.log(probs), axis=-1), axis=0)
+
+    t_assign = jax.random.randint(jax.random.fold_in(key, 0), (M,), 0, T)
+    Pt0 = jnp.ones((M, T), jnp.float32)
+    taken0 = jnp.zeros((n,), bool)
+    chosen0 = jnp.zeros((k,), jnp.int32)
+
+    def body(step, carry):
+        Pt, taken, chosen = carry
+        # joint probs for every candidate in one MXU matmul
+        J = jnp.einsum("mt,tnc->mnc", Pt, probs,
+                       preferred_element_type=jnp.float32) / T  # (M, n, 2)
+        q = jnp.mean(Pt, axis=1)                                 # (M,)
+        w = 1.0 / (M * jnp.maximum(q, _LOG_TINY))
+        Hj = -jnp.sum(w[:, None, None] * J
+                      * jnp.log(jnp.maximum(J, _LOG_TINY)), axis=(0, 2))
+        scores = jnp.where(taken, -jnp.inf, Hj - cond)
+        nxt = jnp.argmax(scores).astype(jnp.int32)   # first-max = stable
+
+        # ancestral draw: config m extends with a class from p_{t_m}(y_nxt)
+        u = jax.random.uniform(jax.random.fold_in(key, step + 1), (M,))
+        p1_sel = probs[t_assign, nxt, 1]                         # (M,)
+        cls = (u < p1_sel).astype(jnp.int32)                     # (M,)
+        mult = probs[:, nxt, :][:, cls].T                        # (M, T)
+        Pt = Pt * mult
+        # scale-invariant renormalization (see module docstring)
+        Pt = Pt / jnp.maximum(jnp.mean(Pt), _LOG_TINY)
+        return Pt, taken.at[nxt].set(True), chosen.at[step].set(nxt)
+
+    _, _, chosen = jax.lax.fori_loop(0, k, body, (Pt0, taken0, chosen0))
+    return chosen

@@ -8,8 +8,9 @@ programs; only final selections come back to host.
 
 Strategies (reference §2.3 inventory): random, ps-random, entropy,
 MC-entropy, BALD, rep-entropy, core-set, ensemble, QBC-JS, fi, SuPix,
-influence, AU_4U — plus BADGE, a TPU-native extra beyond the reference's
-set (gradient-embedding k-means++, Ash et al. ICLR 2020).
+influence, AU_4U — plus two TPU-native extras beyond the reference's set:
+BADGE (gradient-embedding k-means++, Ash et al. ICLR 2020) and BatchBALD
+(greedy joint mutual information, Kirsch et al. NeurIPS 2019).
 """
 
 from __future__ import annotations
@@ -204,6 +205,29 @@ def _badge(ctx: QueryContext):
                          jnp.asarray(p1[sel]))
     chosen = np.asarray(badge_kmeanspp(
         E, min(ctx.k, len(sel)), jax.random.fold_in(ctx.jax_rng, 7)))
+    return sel[chosen]
+
+
+@register_strategy("BatchBALD")
+def _batchbald(ctx: QueryContext):
+    """BatchBALD — a TPU-native EXTRA beyond the reference's strategy set
+    (Kirsch et al., NeurIPS 2019): greedy JOINT mutual information over the
+    MC-dropout posterior stack, so the k queries are informative AND
+    mutually non-redundant (plain BALD's top-k are often near-duplicates).
+    Candidates = top-B by BALD from the same (T, n) stack BALD already
+    sweeps — no extra pool passes; the greedy loop is one device program
+    (``scoring.batchbald``)."""
+    from nnal_tpu.scoring.batchbald import batchbald_select
+
+    mc = jnp.asarray(mc_stack_posteriors(
+        ctx.evaluator, ctx.params, ctx.pool_inds, ctx.MC_iters,
+        ctx.jax_rng))
+    scores = np.asarray(bald_from_mc(mc))
+    B = min(ctx.B, len(ctx.pool_inds))
+    sel = np.argsort(-scores, kind="stable")[:B]
+    chosen = np.asarray(batchbald_select(
+        mc[:, jnp.asarray(sel)], min(ctx.k, B),
+        jax.random.fold_in(ctx.jax_rng, 13)))
     return sel[chosen]
 
 
@@ -494,6 +518,24 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         chosen = np.asarray(badge_kmeanspp(
             E, min(k, len(sel)),
             jax.random.fold_in(contexts[0].jax_rng, 7)))
+        return global2local_inds(sel[chosen], sizes)
+
+    if method_name == "BatchBALD":
+        # concatenated MC stacks (each subject's sweep keyed by its own
+        # rng stream), global top-B by BALD, one greedy joint-MI program
+        from nnal_tpu.scoring.batchbald import batchbald_select
+
+        mc = jnp.concatenate(
+            [jnp.asarray(mc_stack_posteriors(c.evaluator, c.params,
+                                             c.pool_inds, c.MC_iters,
+                                             c.jax_rng))
+             for c in contexts], axis=1)
+        scores = np.asarray(bald_from_mc(mc))
+        B = min(contexts[0].B, mc.shape[1])
+        sel = np.argsort(-scores, kind="stable")[:B]
+        chosen = np.asarray(batchbald_select(
+            mc[:, jnp.asarray(sel)], min(k, B),
+            jax.random.fold_in(contexts[0].jax_rng, 13)))
         return global2local_inds(sel[chosen], sizes)
 
     if method_name == "core-set":
