@@ -40,7 +40,11 @@ import jax
 import jax.numpy as jnp
 
 _LOG_TINY = 1e-30
-DEFAULT_M_CONFIGS = 512
+# Estimator noise is O(1/sqrt(M)) per step: candidates whose MI separation
+# falls below it sort arbitrarily (a duplicate's exact zero-gain can beat a
+# near-zero-MI fresh point).  The per-step cost is one (M,T)x(T,B*2)
+# matmul — tiny — so M is set generously.
+DEFAULT_M_CONFIGS = 1024
 
 
 @partial(jax.jit, static_argnames=("k", "m_configs"))

@@ -39,10 +39,14 @@ from nnal_tpu.scoring.representative import (
     rep_entropy_select,
 )
 from nnal_tpu.scoring.uncertainty import (
-    bald_from_mc,
+    bald_scores_bucketed,
     binary_uncertainty_filter,
-    qbc_js_scores,
 )
+
+# rng fold constant for BatchBALD's configuration sampling — far outside
+# the 0..MC_iters-1 fold range the MC-dropout passes use on the same base
+# key, so the config draws can never alias a dropout pass's key chain
+_BB_CFG_FOLD = (1 << 20) + 13
 
 
 @dataclass
@@ -128,7 +132,7 @@ def _mc_entropy(ctx: QueryContext):
 def _bald(ctx: QueryContext):
     mc = mc_stack_posteriors(ctx.evaluator, ctx.params, ctx.pool_inds,
                              ctx.MC_iters, ctx.jax_rng)
-    scores = np.asarray(bald_from_mc(jnp.asarray(mc)))
+    scores = bald_scores_bucketed(mc)
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
@@ -215,19 +219,20 @@ def _batchbald(ctx: QueryContext):
     MC-dropout posterior stack, so the k queries are informative AND
     mutually non-redundant (plain BALD's top-k are often near-duplicates).
     Candidates = top-B by BALD from the same (T, n) stack BALD already
-    sweeps — no extra pool passes; the greedy loop is one device program
-    (``scoring.batchbald``)."""
+    sweeps — no extra pool passes; the candidate gather happens host-side
+    so the only device arrays are the bucket-padded score pass and the
+    round-invariant (T, B) slab (shape-stability rule); the greedy loop is
+    one device program (``scoring.batchbald``)."""
     from nnal_tpu.scoring.batchbald import batchbald_select
 
-    mc = jnp.asarray(mc_stack_posteriors(
-        ctx.evaluator, ctx.params, ctx.pool_inds, ctx.MC_iters,
-        ctx.jax_rng))
-    scores = np.asarray(bald_from_mc(mc))
+    mc = mc_stack_posteriors(ctx.evaluator, ctx.params, ctx.pool_inds,
+                             ctx.MC_iters, ctx.jax_rng)
+    scores = bald_scores_bucketed(mc)
     B = min(ctx.B, len(ctx.pool_inds))
     sel = np.argsort(-scores, kind="stable")[:B]
     chosen = np.asarray(batchbald_select(
-        mc[:, jnp.asarray(sel)], min(ctx.k, B),
-        jax.random.fold_in(ctx.jax_rng, 13)))
+        jnp.asarray(mc[:, sel]), min(ctx.k, B),
+        jax.random.fold_in(ctx.jax_rng, _BB_CFG_FOLD)))
     return sel[chosen]
 
 
@@ -256,7 +261,9 @@ def _ensemble(ctx: QueryContext):
 @register_strategy("QBC-JS")
 def _qbc_js(ctx: QueryContext):
     posts = _committee_posteriors(ctx)
-    scores = np.asarray(qbc_js_scores(jnp.asarray(posts)))
+    # qbc_js_scores == bald_from_mc across members; bucketed for the
+    # shape-stability rule (pool shrinks every round)
+    scores = bald_scores_bucketed(posts)
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
@@ -429,6 +436,19 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         pick = rng.permutation(n)[:k]
         return global2local_inds(pick, sizes)
 
+    def _concat_pool_feats_posts(cs):
+        """(device features, host posteriors) concatenated over subjects —
+        the shared prologue of the feature-space methods; features stay on
+        device (host round-trips of (pool, 4096) tensors cost GBs)."""
+        F, p1 = [], []
+        for c in cs:
+            r = c.evaluator.evaluate(c.params, c.pool_inds,
+                                     ("posteriors", "feature_layer"),
+                                     as_device=True)
+            F.append(r["feature_layer"])
+            p1.append(np.asarray(r["posteriors"]))
+        return jnp.concatenate(F), np.concatenate(p1)
+
     if method_name in ("entropy", "MC-entropy", "BALD", "ensemble",
                        "QBC-JS"):
         all_scores = []
@@ -444,7 +464,7 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             elif method_name == "BALD":
                 mc = mc_stack_posteriors(c.evaluator, c.params, c.pool_inds,
                                          c.MC_iters, c.jax_rng)
-                s = -np.asarray(bald_from_mc(jnp.asarray(mc)))
+                s = -bald_scores_bucketed(mc)
             else:
                 posts = _committee_posteriors(c)
                 if method_name == "ensemble":
@@ -453,7 +473,7 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
                         avg = (posts[i] + i * avg) / (i + 1)
                     s = np.abs(avg - 0.5)
                 else:
-                    s = -np.asarray(qbc_js_scores(jnp.asarray(posts)))
+                    s = -bald_scores_bucketed(posts)
             all_scores.append(s)
         cat = np.concatenate(all_scores)
         pick = np.argsort(cat, kind="stable")[:k]
@@ -473,15 +493,7 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         # features + posteriors per subject, global uncertainty filter,
         # greedy representativeness on the concatenated feature space
         # (reference PW_NNAL.py:284-351); features stay on device
-        F, p1 = [], []
-        for c in contexts:
-            r = c.evaluator.evaluate(c.params, c.pool_inds,
-                                     ("posteriors", "feature_layer"),
-                                     as_device=True)
-            F.append(r["feature_layer"])
-            p1.append(np.asarray(r["posteriors"]))
-        F = jnp.concatenate(F)
-        p1 = np.concatenate(p1)
+        F, p1 = _concat_pool_feats_posts(contexts)
         B = min(contexts[0].B, len(p1))
         sel = np.asarray(binary_uncertainty_filter(p1, B))
         rest = np.setdiff1d(np.arange(len(p1)), sel)
@@ -503,15 +515,7 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             badge_kmeanspp,
         )
 
-        F, p1 = [], []
-        for c in contexts:
-            r = c.evaluator.evaluate(c.params, c.pool_inds,
-                                     ("posteriors", "feature_layer"),
-                                     as_device=True)
-            F.append(r["feature_layer"])
-            p1.append(np.asarray(r["posteriors"]))
-        F = jnp.concatenate(F)
-        p1 = np.concatenate(p1)
+        F, p1 = _concat_pool_feats_posts(contexts)
         B = min(contexts[0].B, len(p1))
         sel = np.asarray(binary_uncertainty_filter(p1, B))
         E = badge_embeddings(F[jnp.asarray(sel)], jnp.asarray(p1[sel]))
@@ -521,21 +525,25 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         return global2local_inds(sel[chosen], sizes)
 
     if method_name == "BatchBALD":
-        # concatenated MC stacks (each subject's sweep keyed by its own
-        # rng stream), global top-B by BALD, one greedy joint-MI program
+        # concatenated MC stacks with ONE shared dropout-key chain across
+        # subjects, so MC sample t is the same weight draw everywhere and
+        # the greedy joint-MI penalty sees cross-subject redundancy (with
+        # per-subject keys, duplicate patches in different subjects would
+        # look independent and both get selected); global top-B by BALD,
+        # host-side candidate gather, one greedy device program
         from nnal_tpu.scoring.batchbald import batchbald_select
 
-        mc = jnp.concatenate(
-            [jnp.asarray(mc_stack_posteriors(c.evaluator, c.params,
-                                             c.pool_inds, c.MC_iters,
-                                             c.jax_rng))
+        shared_key = contexts[0].jax_rng
+        mc = np.concatenate(
+            [mc_stack_posteriors(c.evaluator, c.params, c.pool_inds,
+                                 c.MC_iters, shared_key)
              for c in contexts], axis=1)
-        scores = np.asarray(bald_from_mc(mc))
+        scores = bald_scores_bucketed(mc)
         B = min(contexts[0].B, mc.shape[1])
         sel = np.argsort(-scores, kind="stable")[:B]
         chosen = np.asarray(batchbald_select(
-            mc[:, jnp.asarray(sel)], min(k, B),
-            jax.random.fold_in(contexts[0].jax_rng, 13)))
+            jnp.asarray(mc[:, sel]), min(k, B),
+            jax.random.fold_in(shared_key, _BB_CFG_FOLD)))
         return global2local_inds(sel[chosen], sizes)
 
     if method_name == "core-set":

@@ -119,6 +119,22 @@ def qbc_js_scores(committee_p1: jnp.ndarray) -> jnp.ndarray:
     return bald_from_mc(committee_p1)
 
 
+def bald_scores_bucketed(mc_p1) -> np.ndarray:
+    """BALD/QBC scores for a host ``(T, n)`` MC/committee stack through a
+    bucket-padded device kernel — one program per (T, bucket) instead of
+    one per pool size (the pool shrinks by k every AL round; the repo's
+    shape-stability standing rule).  Padding columns are p=0.5, whose BALD
+    score is exactly 0 (the minimum), and only the leading n scores are
+    returned, so rankings are bit-identical to the unpadded call."""
+    mc = np.asarray(mc_p1)
+    T, n = mc.shape
+    pad = -n % _BUCKET
+    if pad:
+        mc = np.concatenate([mc, np.full((T, pad), 0.5, mc.dtype)],
+                            axis=1)
+    return np.asarray(bald_from_mc(jnp.asarray(mc)))[:n]
+
+
 @jax.jit
 def multiclass_bald_from_mc(mc_posts: jnp.ndarray) -> jnp.ndarray:
     """General BALD over ``(T, n, c)`` MC posteriors."""

@@ -4,6 +4,7 @@ strategy beyond the reference's set (Kirsch et al., NeurIPS 2019)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nnal_tpu.scoring.batchbald import batchbald_select
 from nnal_tpu.scoring.uncertainty import bald_from_mc
@@ -76,6 +77,19 @@ def test_batch_diversity_beats_plain_bald():
     assert set(chosen.tolist()) in ({0, 2}, {1, 2})
 
 
+def test_bald_scores_bucketed_matches_unpadded():
+    """The bucket-padded BALD scorer (shape-stability rule) is bit-identical
+    to the direct kernel — padding columns are p=0.5 and are sliced off."""
+    from nnal_tpu.scoring.uncertainty import bald_scores_bucketed
+
+    rng = np.random.default_rng(9)
+    for n in (7, 1024, 1500):
+        mc = rng.uniform(0.05, 0.95, size=(4, n)).astype(np.float32)
+        a = bald_scores_bucketed(mc)
+        b = np.asarray(bald_from_mc(jnp.asarray(mc)))
+        assert a.shape == (n,) and np.array_equal(a, b)
+
+
 def test_deterministic_and_distinct():
     rng = np.random.default_rng(5)
     mc = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 30)).astype(np.float32))
@@ -85,6 +99,7 @@ def test_deterministic_and_distinct():
     assert len(set(a.tolist())) == 6
 
 
+@pytest.mark.slow
 def test_batchbald_single_subject_campaign(tmp_path):
     """End-to-end through the engine dispatch (generic method routing)."""
     from nnal_tpu.cli.expr_handler import do_expr
@@ -99,6 +114,46 @@ def test_batchbald_single_subject_campaign(tmp_path):
     assert np.isfinite(res["perf"]).all()
 
 
+@pytest.mark.slow
+def test_batchbald_multimg_no_cross_subject_twins():
+    """Two bit-identical subjects scored with the SHARED dropout-key chain
+    produce identical MC columns for the same voxel, so the greedy
+    joint-MI step must never spend two picks on the same voxel in both
+    subjects (a twin's joint-entropy gain is exactly 0 while any fresh
+    voxel's is its positive BALD score).  With per-subject keys the
+    columns decorrelate and twins slip through — this guards the shared
+    key.  k stays below the distinct-candidate count: in the tail where
+    remaining candidates' MI is under the estimator's O(1/sqrt(M)) noise,
+    a twin's exact zero-gain can legitimately win on noise."""
+    import jax
+
+    from nnal_tpu.data.io import synthetic_subject
+    from nnal_tpu.data.samplers import generate_grid_samples
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_model
+    from nnal_tpu.scoring.pool_eval import PoolEvaluator
+    from nnal_tpu.scoring.strategies import QueryContext, query_multimg
+
+    vols, mask = synthetic_subject(shape=(20, 20, 6), n_modalities=1,
+                                   seed=4)
+    spec = create_model("PW", nclass=2, dropout_rate=0.3,
+                        patch_shape=(9, 9, 1))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    ev = PoolEvaluator.from_volumes(spec, vols, [[0.0, 1.0]], (9, 9, 1),
+                                    ntb=256)
+    inds, _ = generate_grid_samples(np.asarray(vols[0]).shape, 5, mask)
+    ctxs = [QueryContext(spec=spec, params=params, evaluator=ev,
+                         pool_inds=inds, k=4,
+                         rng=np.random.default_rng(s),
+                         jax_rng=jax.random.key(1), B=12, MC_iters=4)
+            for s in range(2)]
+    qs = query_multimg(ctxs, "BatchBALD", 4, np.random.default_rng(0))
+    picked = [np.asarray(inds)[np.asarray(q, int)] for q in qs]
+    assert sum(len(p) for p in picked) == 4
+    assert len(np.intersect1d(picked[0], picked[1])) == 0
+
+
+@pytest.mark.slow
 def test_batchbald_multi_subject(tmp_path):
     from nnal_tpu.core.config import ExperimentConfig
     from nnal_tpu.data.io import synthetic_subject
