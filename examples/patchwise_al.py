@@ -9,7 +9,8 @@ Here the subject is synthetic (smooth multi-modal volumes with ellipsoid
 blob masks), so the script runs anywhere.  It compares two strategies and
 prints their F-measure learning curves; swap the method names for any of:
 random, ps-random, entropy, MC-entropy, BALD, rep-entropy, core-set,
-ensemble, QBC-JS, fi, influence, AU_4U, SuPix.
+ensemble, QBC-JS, fi, influence, AU_4U, SuPix — plus the TPU-native
+extras BADGE and BatchBALD.
 """
 
 from __future__ import annotations

@@ -139,6 +139,12 @@ class QueryConfig:
     # core-set labeled bootstrap grid spacing over held-out subjects
     # (reference gen_multimg_inds(labeled_paths, 50), PW_AL.py:809-822)
     bootstrap_spacing: int = 50
+    # influence s_test solver: 'cg' (device Newton-CG, the reference's
+    # exact semantics, Influence.py:445) or 'arnoldi' (low-rank Lanczos
+    # eigenbasis approximation, Schioppa et al. arXiv:2112.03052 —
+    # arnoldi_rank top eigenpairs; basis memory is rank x #params)
+    influence_mode: str = "cg"
+    arnoldi_rank: int = 8
     # shard the PATCH-WISE engines' grid-pool scoring over a
     # data_parallel-device mesh (entropy/MC/BALD/fi/AU_4U/committee sweeps
     # + device-resident feature flows run via

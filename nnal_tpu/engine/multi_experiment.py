@@ -433,7 +433,8 @@ class MultiImgExperiment:
                 with timer.phase("committee"):
                     ensemble_params = self._build_committee(
                         spec, state, tx, train_vox, round_id)
-            extra = {}
+            extra = {"influence_mode": cfg.query.influence_mode,
+                     "arnoldi_rank": cfg.query.arnoldi_rank}
             if method_name == "core-set" and len(train_g) == 0:
                 bf = self._bootstrap_features(spec, state.params)
                 if bf is not None:

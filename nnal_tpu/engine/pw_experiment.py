@@ -389,7 +389,9 @@ class PWExperiment:
                        "gaussian_noise_std": cfg.model.gaussian_noise_std,
                        "rotation_angle": cfg.model.rotation_angle,
                        "output_perturbation_measure":
-                           cfg.model.output_perturbation_measure})
+                           cfg.model.output_perturbation_measure,
+                       "influence_mode": cfg.query.influence_mode,
+                       "arnoldi_rank": cfg.query.arnoldi_rank})
             with timer.phase("score_select"):
                 q_pos = cnn_query(ctx, method_name)
             with timer.phase("checkpoint"):

@@ -159,9 +159,29 @@ def s_test(spec, params, train_x, train_y_onehot, query_x, query_y_onehot,
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def influence_scores_jvp(spec, params, s_test_vec, xs, ys):
+    """``-<grad L(z_i), s_test>`` for EVERY row in one forward-mode sweep.
+
+    Identity: the jvp of the per-sample loss VECTOR along ``s_test`` is
+    exactly the vector of per-sample gradient dot products —
+    ``d/de [L(theta + e*s; x_i)]_i = <grad L(z_i), s>`` — so one batched
+    forward-mode pass replaces a per-sample backward (the reference ran
+    one sess.run per sample, Influence.py:168-201; the first rebuild
+    vmapped per-sample grads in 64-chunks).  Single dispatch, no
+    per-sample gradient materialization."""
+    def per_sample_losses(p):
+        out = apply_cnn(spec, p, xs)
+        logp = jax.nn.log_softmax(out.logits, axis=-1)
+        return -jnp.sum(ys * logp, axis=-1)
+
+    _, tang = jax.jvp(per_sample_losses, (params,), (s_test_vec,))
+    return -tang
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def _chunk_influence(spec, params, s_test_vec, xs, ys):
-    """Jitted once per (spec, chunk shape) — a per-call closure here
-    recompiled every AL round."""
+    """vmap(grad)-per-sample oracle for :func:`influence_scores_jvp`
+    (kept for the equality test; the jvp sweep is the production path)."""
     def one(xi, yi):
         g = jax.grad(make_loss(spec))(params, xi[None], yi[None])
         return -_tree_dot(g, s_test_vec)
@@ -169,28 +189,25 @@ def _chunk_influence(spec, params, s_test_vec, xs, ys):
 
 
 def influence_scores(spec, params, s_test_vec, pool_x, pool_y_onehot,
-                     chunk: int = 64) -> np.ndarray:
-    """Per-pool-sample influence ``-<grad L(z_i), s_test>`` — per-sample
-    gradients vmapped in fixed-size chunks (ragged tails padded), dotted
-    on device."""
+                     bucket: int = 256) -> np.ndarray:
+    """Per-pool-sample influence ``-<grad L(z_i), s_test>`` — one
+    forward-mode jvp sweep over the bucket-padded candidate batch
+    (padding rows are zero patches whose scores are sliced off; the
+    candidate count B is round-invariant, so one compile serves the whole
+    campaign)."""
     pool_x = np.asarray(pool_x)
     pool_y = np.asarray(pool_y_onehot)
     n = pool_x.shape[0]
-    out = []
-    for lo in range(0, n, chunk):
-        xs = pool_x[lo:lo + chunk]
-        ys = pool_y[lo:lo + chunk]
-        pad = chunk - xs.shape[0]
-        if pad:
-            xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
-                                              xs.dtype)])
-            ys = np.concatenate([ys, np.zeros((pad,) + ys.shape[1:],
-                                              ys.dtype)])
-        vals = np.asarray(_chunk_influence(spec, params, s_test_vec,
-                                           jnp.asarray(xs),
-                                           jnp.asarray(ys)))
-        out.append(vals[:chunk - pad] if pad else vals)
-    return np.concatenate(out)
+    pad = -n % bucket
+    if pad:
+        pool_x = np.concatenate(
+            [pool_x, np.zeros((pad,) + pool_x.shape[1:], pool_x.dtype)])
+        pool_y = np.concatenate(
+            [pool_y, np.zeros((pad,) + pool_y.shape[1:], pool_y.dtype)])
+    vals = np.asarray(influence_scores_jvp(spec, params, s_test_vec,
+                                           jnp.asarray(pool_x),
+                                           jnp.asarray(pool_y)))
+    return vals[:n]
 
 
 def scipy_newton_cg_s_test(spec, params, train_x, train_y, v,

@@ -347,6 +347,27 @@ def _au_4u(ctx: QueryContext):
     return np.argsort(-scores, kind="stable")[:ctx.k]
 
 
+def _s_test_dispatch(extra: Dict, spec, params, tx, ty, damping,
+                     n_tr: int, jax_rng):
+    """s_test solver seam: ``cg`` (device Newton-CG, the reference's exact
+    semantics) or ``arnoldi`` (low-rank Lanczos eigenbasis approximation,
+    Schioppa et al. arXiv:2112.03052 — config ``influence_mode=arnoldi``,
+    ``arnoldi_rank``).  Both weight padding rows to exact no-ops."""
+    from nnal_tpu.scoring.influence import s_test
+
+    if extra.get("influence_mode", "cg") == "arnoldi":
+        from nnal_tpu.scoring.hessian import arnoldi_s_test
+
+        st, _ = arnoldi_s_test(
+            spec, params, tx, ty, tx, ty,
+            rank=int(extra.get("arnoldi_rank", 8)),
+            key=jax.random.fold_in(jax_rng, (1 << 20) + 29),
+            damping=damping, n_valid=n_tr, q_n_valid=n_tr)
+        return st
+    return s_test(spec, params, tx, ty, tx, ty, damping=damping,
+                  n_valid=n_tr, q_n_valid=n_tr)
+
+
 @register_strategy("influence")
 def _influence(ctx: QueryContext):
     """Influence-function querying (driver config #4; reference
@@ -356,7 +377,7 @@ def _influence(ctx: QueryContext):
     samples whose labels would move the current model most."""
     from nnal_tpu.data.patches import gather_labels
     from nnal_tpu.data.batching import make_onehot
-    from nnal_tpu.scoring.influence import influence_scores, s_test
+    from nnal_tpu.scoring.influence import influence_scores
 
     assert ctx.train_inds is not None and len(ctx.train_inds) > 0, \
         "influence querying needs a labeled set"
@@ -380,8 +401,8 @@ def _influence(ctx: QueryContext):
     # the same validity mask weights BOTH the Hessian and the query
     # gradient: padding rows are exact no-ops, so s_test (and every
     # influence ranking) is identical to the unpadded computation
-    st = s_test(ctx.spec, ctx.params, tr, tr_y, tr, tr_y,
-                damping=damping, n_valid=n_tr, q_n_valid=n_tr)
+    st = _s_test_dispatch(ctx.extra, ctx.spec, ctx.params, tr, tr_y,
+                          damping, n_tr, ctx.jax_rng)
 
     # candidate scores at their current pseudo-labels (model predictions)
     B = min(ctx.B, len(ctx.pool_inds))
@@ -685,7 +706,7 @@ def _influence_multimg(contexts: Sequence[QueryContext], k: int
     are bucket-padded (shape-stability standing rule)."""
     from nnal_tpu.data.batching import make_onehot
     from nnal_tpu.data.patches import gather_labels
-    from nnal_tpu.scoring.influence import influence_scores, s_test
+    from nnal_tpu.scoring.influence import influence_scores
 
     sizes = [len(c.pool_inds) for c in contexts]
     ref = contexts[0]
@@ -716,8 +737,8 @@ def _influence_multimg(contexts: Sequence[QueryContext], k: int
     y_cat = np.concatenate(ys + [np.zeros(pad, np.int64)])
     tr_y = make_onehot(y_cat, ref.spec.nclass)
     damping = ref.extra.get("damping", 0.1)
-    st = s_test(ref.spec, ref.params, x_cat, tr_y, x_cat, tr_y,
-                damping=damping, n_valid=n_tr, q_n_valid=n_tr)
+    st = _s_test_dispatch(ref.extra, ref.spec, ref.params, x_cat, tr_y,
+                          damping, n_tr, ref.jax_rng)
 
     # global uncertainty filter to B, candidates scored per subject
     p1 = np.concatenate([_posteriors(c) for c in contexts])
