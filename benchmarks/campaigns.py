@@ -77,6 +77,15 @@ _TRAIN_DTYPE = os.environ.get("NNAL_TRAIN_DTYPE", "").strip()
 if _TRAIN_DTYPE:
     PARS["train_dtype"] = _TRAIN_DTYPE
 
+# NNAL_INFLUENCE_MODE=arnoldi runs influence campaigns with the low-rank
+# Lanczos s_test (config.query.influence_mode; NNAL_ARNOLDI_RANK sets the
+# rank, default 8); recorded as "influence@arnoldi<r>".
+_INFL_MODE = os.environ.get("NNAL_INFLUENCE_MODE", "").strip()
+_ARNOLDI_RANK = int(os.environ.get("NNAL_ARNOLDI_RANK", "8"))
+if _INFL_MODE:
+    PARS["influence_mode"] = _INFL_MODE
+    PARS["arnoldi_rank"] = _ARNOLDI_RANK
+
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
@@ -101,6 +110,9 @@ def _method_tag(method):
         tag += "@cc" if "@" not in tag else "cc"
     if _TRAIN_DTYPE in ("bfloat16", "bf16"):
         tag += "@bf16t" if "@" not in tag else "bf16t"
+    if _INFL_MODE == "arnoldi" and method == "influence":
+        tag += (f"@arnoldi{_ARNOLDI_RANK}" if "@" not in tag
+                else f"arnoldi{_ARNOLDI_RANK}")
     return tag
 
 
