@@ -1,8 +1,8 @@
 """Demo: active learning beats random on a dense synthetic subject.
 
-Runs seven AL campaigns (entropy, MC-entropy, BALD, fi, influence,
-core-set, random) on a synthetic brain-like volume with enough foreground
-for the F-measure to be informative, and saves
+Runs nine AL campaigns (entropy, MC-entropy, BALD, BatchBALD, fi,
+influence, core-set, BADGE, random) on a synthetic brain-like volume with
+enough foreground for the F-measure to be informative, and saves
 ``docs/learning_curves.png`` + ``docs/learning_curves.json`` (the exact
 values docs quote).  ~15 min on a warm-cache TPU chip; runs on CPU too
 (slower — fi/influence/core-set are compile-heavy).
@@ -27,8 +27,8 @@ def main():
     overrides = DEMO_CAMPAIGN_OVERRIDES
     curves = {}
     with tempfile.TemporaryDirectory() as root:
-        for method in ("entropy", "MC-entropy", "BALD", "fi", "influence",
-                       "core-set", "random"):
+        for method in ("entropy", "MC-entropy", "BALD", "BatchBALD", "fi",
+                       "influence", "core-set", "BADGE", "random"):
             res = do_expr(os.path.join(root, method), method, 100,
                           overrides, synthetic=True)
             curves[method] = np.asarray(res["perf"])
