@@ -2,7 +2,8 @@
 
 Rebuild of ``NNAL.CNN_query`` (NNAL.py:188-525): random, entropy, EGL
 (expected gradient length — repaired; the reference's path references
-undefined variables, SURVEY.md §2.9), FI with SDP, rep-entropy.  Operates on
+undefined variables, SURVEY.md §2.9), FI with SDP, rep-entropy — plus
+multi-class BADGE (a TPU-native extra, Ash et al. ICLR 2020).  Operates on
 in-memory ``(X, labels)`` arrays through jitted batched forwards — the
 classification analogue of the patch-pool evaluator.
 """
@@ -124,6 +125,25 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
             return sel[:ctx.k]
         sims = cosine_similarity(jnp.asarray(F[rest]), jnp.asarray(F[sel]))
         chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
+        return sel[chosen]
+
+    if method_name == "BADGE":
+        # multi-class BADGE (a TPU-native extra, Ash et al. ICLR 2020):
+        # k-means++ over the candidates' (C*d) hallucinated-label
+        # last-layer gradient embeddings.  The key derives from the
+        # method's host rng stream, so journal replay is deterministic.
+        from nnal_tpu.scoring.representative import (
+            badge_embeddings_multiclass,
+            badge_kmeanspp,
+        )
+
+        F = batched_forward(ctx.spec, ctx.params, ctx.pool_x[sel],
+                            ctx.batch,
+                            ("feature_layer",))["feature_layer"]
+        E = badge_embeddings_multiclass(jnp.asarray(F),
+                                        jnp.asarray(posts[sel]))
+        key = jax.random.key(int(ctx.rng.integers(2 ** 31 - 1)))
+        chosen = np.asarray(badge_kmeanspp(E, min(ctx.k, len(sel)), key))
         return sel[chosen]
 
     raise ValueError(method_name)

@@ -139,17 +139,26 @@ def normalize_rows(F) -> jnp.ndarray:
 # uncertainty strategies.
 
 @jax.jit
-def badge_embeddings(H: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
-    """(n, 2d) BADGE embeddings for the binary head from features ``H``
-    (n, d) and positive-class posteriors ``p1`` (n,):
-    ``g_i = (p_i - onehot(argmax p_i)) (x) h_i`` — the exact last-layer
-    weight gradient of CE at the hallucinated label."""
-    p1 = p1.astype(jnp.float32)
-    p = jnp.stack([1.0 - p1, p1], axis=1)
-    yhat = jnp.argmax(p, axis=1)
-    c = p - jax.nn.one_hot(yhat, 2, dtype=p.dtype)
+def badge_embeddings_multiclass(H: jnp.ndarray, P: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """(n, C*d) BADGE embeddings from features ``H`` (n, d) and posteriors
+    ``P`` (n, C): ``g_i = (p_i - onehot(argmax p_i)) (x) h_i`` — the exact
+    last-layer weight gradient of CE at the hallucinated label."""
+    P = P.astype(jnp.float32)
+    yhat = jnp.argmax(P, axis=1)
+    c = P - jax.nn.one_hot(yhat, P.shape[1], dtype=P.dtype)
     H = H.astype(jnp.float32)
     return (c[:, :, None] * H[:, None, :]).reshape(H.shape[0], -1)
+
+
+@jax.jit
+def badge_embeddings(H: jnp.ndarray, p1: jnp.ndarray) -> jnp.ndarray:
+    """Binary-head shortcut: (n, 2d) embeddings from positive-class
+    posteriors ``p1`` (n,) (see
+    :func:`badge_embeddings_multiclass`)."""
+    p1 = p1.astype(jnp.float32)
+    return badge_embeddings_multiclass(
+        H, jnp.stack([1.0 - p1, p1], axis=1))
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -28,6 +28,54 @@ def test_badge_embeddings_oracle():
     np.testing.assert_allclose(ratio, 1.0, rtol=1e-5)
 
 
+def test_badge_multiclass_embeddings_oracle():
+    """(n, C*d) multiclass embeddings vs a numpy transcription (C=3); the
+    binary shortcut must agree with the multiclass path exactly."""
+    from nnal_tpu.scoring.representative import badge_embeddings_multiclass
+
+    rng = np.random.default_rng(3)
+    H = rng.normal(size=(5, 4)).astype(np.float32)
+    P = rng.dirichlet(np.ones(3), size=5).astype(np.float32)
+    E = np.asarray(badge_embeddings_multiclass(jnp.asarray(H),
+                                               jnp.asarray(P)))
+    for i in range(5):
+        c = P[i] - np.eye(3)[np.argmax(P[i])]
+        want = np.concatenate([c[j] * H[i] for j in range(3)])
+        np.testing.assert_allclose(E[i], want, rtol=1e-6)
+
+    p1 = rng.uniform(size=5).astype(np.float32)
+    a = np.asarray(badge_embeddings(jnp.asarray(H), jnp.asarray(p1)))
+    b = np.asarray(badge_embeddings_multiclass(
+        jnp.asarray(H), jnp.stack([1 - p1, p1], axis=1)))
+    assert np.array_equal(a, b)
+
+
+def test_badge_classification_engine(tmp_path):
+    """Multi-class BADGE through the classification engine dispatch."""
+    from nnal_tpu.core.config import ExperimentConfig
+    from nnal_tpu.engine.experiment import Experiment
+
+    rng = np.random.default_rng(0)
+    X = np.concatenate([rng.normal(size=(30, 8, 8, 1)) - 1.5,
+                        rng.normal(size=(30, 8, 8, 1)) + 1.5]
+                       ).astype(np.float32)
+    y = np.repeat([0, 1], 30)
+    perm = rng.permutation(60)
+    cfg = ExperimentConfig.from_pars({
+        "model_name": "PW", "nclass": 2, "patch_shape": (8, 8, 1),
+        "k": 4, "B": 16, "ntb": 64, "b": 16, "epochs": 2,
+        "learning_rate": 3e-4, "optimizer_name": "Adam",
+        "dropout_rate": 0.2, "init_size": 10, "test_ratio": 0.25,
+    })
+    expr = Experiment(str(tmp_path / "cls-badge"), cfg)
+    expr.attach_data(X[perm], y[perm])
+    run = expr.add_run()
+    expr.add_method("BADGE", run)
+    res = expr.run_method("BADGE", run, 8)
+    assert res["n_queries"] == 8
+    assert np.isfinite(res["accs"]).all()
+
+
 def test_kmeanspp_covers_separated_clusters():
     """Three far-apart duplicate clusters: within-cluster distance is
     exactly 0, so after the first pick the sampler MUST leave the cluster
