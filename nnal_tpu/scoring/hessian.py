@@ -80,8 +80,9 @@ def lissa_influence(grads_q: jnp.ndarray, hess_samples: jnp.ndarray,
 # eigenspace, 1/damping on the orthogonal complement (where the remaining
 # eigenvalues are assumed << damping).  An EXTRA beyond the reference's
 # second-order set (its solver is per-query Newton-CG, Influence.py:445).
-# Memory note: the Lanczos basis is (rank, #params) f32 — on 16 GB chips
-# keep rank modest for the 55M-param PW1 (rank 16 ~= 3.5 GB).
+# Memory note: the Lanczos basis is (rank, #params) f32, and forming the
+# Ritz vectors transiently holds ~2x that (basis list + stacked rotation)
+# — on 16 GB chips keep rank <= 8 for the 55M-param PW1 (~3.5 GB peak).
 
 
 def lanczos_eigsh(spec, params, x, y_onehot, rank: int, key,
@@ -100,8 +101,7 @@ def lanczos_eigsh(spec, params, x, y_onehot, rank: int, key,
 
     from nnal_tpu.scoring.influence import hvp
 
-    flat0, unravel = ravel_pytree(
-        jax.tree_util.tree_map(jnp.zeros_like, params))
+    flat_params, unravel = ravel_pytree(params)
     x = jnp.asarray(x)
     y_onehot = jnp.asarray(y_onehot)
 
@@ -109,7 +109,7 @@ def lanczos_eigsh(spec, params, x, y_onehot, rank: int, key,
         Hv = hvp(spec, params, x, y_onehot, unravel(vf), w)
         return ravel_pytree(Hv)[0]
 
-    v = jax.random.normal(key, flat0.shape, jnp.float32)
+    v = jax.random.normal(key, flat_params.shape, jnp.float32)
     v = v / jnp.linalg.norm(v)
     V = [v]
     alphas, betas = [], []
@@ -164,18 +164,19 @@ def arnoldi_s_test(spec, params, train_x, train_y_onehot, query_x,
 
     from nnal_tpu.scoring.influence import loss_grad, weighted_loss_grad
 
-    tx = jnp.asarray(train_x)
-    ty = jnp.asarray(train_y_onehot)
-    n = tx.shape[0] if n_valid is None else int(n_valid)
-    pad = -tx.shape[0] % bucket
-    if pad:
-        tx = jnp.concatenate([tx, jnp.zeros((pad,) + tx.shape[1:],
-                                            tx.dtype)])
-        ty = jnp.concatenate([ty, jnp.zeros((pad,) + ty.shape[1:],
-                                            ty.dtype)])
-    w = jnp.asarray(np.arange(tx.shape[0]) < n, jnp.float32)
-
     if basis is None:
+        # the training set is only needed to BUILD the basis — a reused
+        # basis skips the padded upload entirely
+        tx = jnp.asarray(train_x)
+        ty = jnp.asarray(train_y_onehot)
+        n = tx.shape[0] if n_valid is None else int(n_valid)
+        pad = -tx.shape[0] % bucket
+        if pad:
+            tx = jnp.concatenate([tx, jnp.zeros((pad,) + tx.shape[1:],
+                                                tx.dtype)])
+            ty = jnp.concatenate([ty, jnp.zeros((pad,) + ty.shape[1:],
+                                                ty.dtype)])
+        w = jnp.asarray(np.arange(tx.shape[0]) < n, jnp.float32)
         evals, V, unravel = lanczos_eigsh(spec, params, tx, ty, rank, key,
                                           w=w)
     else:
@@ -192,6 +193,13 @@ def arnoldi_s_test(spec, params, train_x, train_y_onehot, query_x,
     gf, _ = ravel_pytree(g)
 
     proj = V @ gf                                       # (r,)
-    top = V.T @ (proj / (evals + damping))
+    # the CE Hessian is indefinite and the basis holds the extreme
+    # NEGATIVE modes too: an eigenvalue near -damping would make
+    # 1/(lam + damping) blow up (inf at exactly -damping) and one mode
+    # would own the whole solve — annihilate near-singular directions
+    # instead (relative floor at 10% of damping)
+    denom = evals + damping
+    inv = jnp.where(jnp.abs(denom) < 0.1 * damping, 0.0, 1.0 / denom)
+    top = V.T @ (proj * inv)
     compl = (gf - V.T @ proj) / damping
     return unravel(top + compl), (evals, V, unravel)

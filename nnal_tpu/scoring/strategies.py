@@ -355,7 +355,8 @@ def _s_test_dispatch(extra: Dict, spec, params, tx, ty, damping,
     ``arnoldi_rank``).  Both weight padding rows to exact no-ops."""
     from nnal_tpu.scoring.influence import s_test
 
-    if extra.get("influence_mode", "cg") == "arnoldi":
+    mode = extra.get("influence_mode", "cg")
+    if mode == "arnoldi":
         from nnal_tpu.scoring.hessian import arnoldi_s_test
 
         st, _ = arnoldi_s_test(
@@ -364,6 +365,10 @@ def _s_test_dispatch(extra: Dict, spec, params, tx, ty, damping,
             key=jax.random.fold_in(jax_rng, (1 << 20) + 29),
             damping=damping, n_valid=n_tr, q_n_valid=n_tr)
         return st
+    if mode != "cg":
+        # a typo'd mode silently running cg would mislabel benchmark rows
+        raise ValueError(f"unknown influence_mode {mode!r}; "
+                         "expected 'cg' or 'arnoldi'")
     return s_test(spec, params, tx, ty, tx, ty, damping=damping,
                   n_valid=n_tr, q_n_valid=n_tr)
 

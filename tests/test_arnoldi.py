@@ -131,6 +131,46 @@ def test_arnoldi_s_test_approaches_direct_solve():
     assert errs[32] < errs[2]
 
 
+def test_near_singular_eigenvalue_is_annihilated():
+    """The CE Hessian is indefinite: a Ritz eigenvalue near -damping must
+    not blow the solve up — the mode is dropped (zeroed), not inverted."""
+    spec, params, x, y = _setup()
+    H, _, unravel = _explicit_hessian(spec, params, x, y)
+    damping = 0.3
+    evals_np, vecs = np.linalg.eigh(H)
+    order = np.argsort(-np.abs(evals_np))[:4]
+    lam = evals_np[order].astype(np.float32)
+    V = vecs[:, order].T.astype(np.float32)
+    lam[2] = -damping                    # exactly singular direction
+    lam[3] = -damping * 1.05             # inside the 10% floor
+
+    basis = (jnp.asarray(lam), jnp.asarray(V), unravel)
+    st_tree, _ = arnoldi_s_test(spec, params, x, y, x, y, rank=4,
+                                key=jax.random.key(0), damping=damping,
+                                basis=basis)
+    st, _ = ravel_pytree(st_tree)
+    st = np.asarray(st)
+    assert np.isfinite(st).all()
+
+    g_tree = jax.grad(make_loss(spec))(params, x, y)
+    g, _ = ravel_pytree(g_tree)
+    g = np.asarray(g)
+    with np.errstate(divide="ignore"):
+        inv = np.where(np.abs(lam + damping) < 0.1 * damping, 0.0,
+                       1.0 / (lam + damping))
+    want = V.T @ ((V @ g) * inv) + (g - V.T @ (V @ g)) / damping
+    np.testing.assert_allclose(st, want, rtol=2e-4, atol=1e-6)
+
+
+def test_unknown_influence_mode_raises():
+    from nnal_tpu.scoring.strategies import _s_test_dispatch
+
+    spec, params, x, y = _setup()
+    with pytest.raises(ValueError, match="influence_mode"):
+        _s_test_dispatch({"influence_mode": "arnodli"}, spec, params,
+                         x, y, 0.1, x.shape[0], jax.random.key(0))
+
+
 def test_basis_reuse_is_deterministic():
     """Passing the returned basis back reproduces the same s_test without
     re-running Lanczos (the cross-round amortization contract)."""
