@@ -240,7 +240,7 @@ class Experiment:
                 spec=spec, params=state.params,
                 pool_x=LazyPoolView(self._pool, pool_inds),
                 k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
-                batch=cfg.query.ntb)
+                batch=cfg.query.ntb, MC_iters=cfg.query.MC_iters)
             with timer.phase("score_select"):
                 q_pos = cls_query(ctx, method_name)
             q_inds = pool_inds[q_pos]

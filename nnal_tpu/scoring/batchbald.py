@@ -47,18 +47,13 @@ _LOG_TINY = 1e-30
 DEFAULT_M_CONFIGS = 1024
 
 
-@partial(jax.jit, static_argnames=("k", "m_configs"))
-def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
-                     m_configs: int = DEFAULT_M_CONFIGS) -> jnp.ndarray:
-    """Greedy BatchBALD batch over ``(T, n)`` binary MC posteriors.
-
-    Returns ``(k,)`` distinct candidate positions, most-informative-first.
-    ``key`` drives the configuration sampling (deterministic per key).
-    """
-    T, n = mc_p1.shape
-    M = m_configs
-    p1 = jnp.clip(mc_p1.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
-    probs = jnp.stack([1.0 - p1, p1], axis=-1)          # (T, n, 2)
+def _greedy_joint_mi(probs, k: int, key, M: int, draw) -> jnp.ndarray:
+    """Shared greedy loop over ``(T, n, C)`` MC posteriors; ``draw(step_key,
+    t_assign, nxt, probs) -> (M,) class indices`` supplies the ancestral
+    class draw (the binary path keeps its original uniform-threshold draw
+    bit-for-bit — it is benchmarked and key-pinned in tests — while the
+    multiclass path uses a categorical)."""
+    T, n, _ = probs.shape
 
     # E_t[H(y_i | w_t)] — the conditional-entropy half of the objective;
     # constant across greedy steps so the per-step argmax only needs the
@@ -74,7 +69,7 @@ def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
         Pt, taken, chosen = carry
         # joint probs for every candidate in one MXU matmul
         J = jnp.einsum("mt,tnc->mnc", Pt, probs,
-                       preferred_element_type=jnp.float32) / T  # (M, n, 2)
+                       preferred_element_type=jnp.float32) / T  # (M, n, C)
         q = jnp.mean(Pt, axis=1)                                 # (M,)
         w = 1.0 / (M * jnp.maximum(q, _LOG_TINY))
         Hj = -jnp.sum(w[:, None, None] * J
@@ -83,9 +78,8 @@ def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
         nxt = jnp.argmax(scores).astype(jnp.int32)   # first-max = stable
 
         # ancestral draw: config m extends with a class from p_{t_m}(y_nxt)
-        u = jax.random.uniform(jax.random.fold_in(key, step + 1), (M,))
-        p1_sel = probs[t_assign, nxt, 1]                         # (M,)
-        cls = (u < p1_sel).astype(jnp.int32)                     # (M,)
+        cls = draw(jax.random.fold_in(key, step + 1), t_assign, nxt,
+                   probs)                                        # (M,)
         mult = probs[:, nxt, :][:, cls].T                        # (M, T)
         Pt = Pt * mult
         # scale-invariant renormalization (see module docstring)
@@ -94,3 +88,38 @@ def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
 
     _, _, chosen = jax.lax.fori_loop(0, k, body, (Pt0, taken0, chosen0))
     return chosen
+
+
+@partial(jax.jit, static_argnames=("k", "m_configs"))
+def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
+                     m_configs: int = DEFAULT_M_CONFIGS) -> jnp.ndarray:
+    """Greedy BatchBALD batch over ``(T, n)`` binary MC posteriors.
+
+    Returns ``(k,)`` distinct candidate positions, most-informative-first.
+    ``key`` drives the configuration sampling (deterministic per key).
+    """
+    p1 = jnp.clip(mc_p1.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
+    probs = jnp.stack([1.0 - p1, p1], axis=-1)          # (T, n, 2)
+
+    def draw(step_key, t_assign, nxt, probs):
+        u = jax.random.uniform(step_key, (t_assign.shape[0],))
+        return (u < probs[t_assign, nxt, 1]).astype(jnp.int32)
+
+    return _greedy_joint_mi(probs, k, key, m_configs, draw)
+
+
+@partial(jax.jit, static_argnames=("k", "m_configs"))
+def batchbald_select_probs(mc_probs: jnp.ndarray, k: int, key,
+                           m_configs: int = DEFAULT_M_CONFIGS
+                           ) -> jnp.ndarray:
+    """Greedy BatchBALD over ``(T, n, C)`` multiclass MC posteriors (the
+    classification-engine entry point); class draws are categorical from
+    ``p_{t_m}(y_nxt)``."""
+    probs = jnp.clip(mc_probs.astype(jnp.float32), 1e-6, 1.0)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    def draw(step_key, t_assign, nxt, probs):
+        logits = jnp.log(probs[t_assign, nxt, :])        # (M, C)
+        return jax.random.categorical(step_key, logits).astype(jnp.int32)
+
+    return _greedy_joint_mi(probs, k, key, m_configs, draw)

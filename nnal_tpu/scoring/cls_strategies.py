@@ -3,9 +3,11 @@
 Rebuild of ``NNAL.CNN_query`` (NNAL.py:188-525): random, entropy, EGL
 (expected gradient length — repaired; the reference's path references
 undefined variables, SURVEY.md §2.9), FI with SDP, rep-entropy — plus
-multi-class BADGE (a TPU-native extra, Ash et al. ICLR 2020).  Operates on
-in-memory ``(X, labels)`` arrays through jitted batched forwards — the
-classification analogue of the patch-pool evaluator.
+TPU-native extras with no reference counterpart: multi-class BADGE (Ash
+et al. ICLR 2020) and the MC-dropout family (MC-entropy, BALD, BatchBALD)
+in their multiclass forms.  Operates on in-memory ``(X, labels)`` arrays
+through jitted batched forwards — the classification analogue of the
+patch-pool evaluator.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ class ClsQueryContext:
     B: int = 200
     lambda_: float = 0.0
     batch: int = 1024
+    MC_iters: int = 10               # MC-dropout passes (extras family)
     extra: Dict = field(default_factory=dict)
 
 
@@ -49,10 +52,19 @@ def _fwd(spec, params, x):
     return apply_cnn(spec, params, x)
 
 
-def batched_forward(spec, params, X, batch: int, what=("posteriors",)):
+@partial(jax.jit, static_argnames=("spec",))
+def _fwd_mc(spec, params, x, rng):
+    # MC-dropout stochastic pass (reference feeds keep_prob=dropout_rate
+    # at eval, PW_NNAL.py:67-87 — the classification analogue)
+    return apply_cnn(spec, params, x, mc_dropout=True, dropout_rng=rng)
+
+
+def batched_forward(spec, params, X, batch: int, what=("posteriors",),
+                    mc_rng=None):
     """Static-shape chunked forward over an array pool (the classification
     analogue of PW_NN.batch_eval; reference idxBatch_posteriors,
-    NNAL_tools.py:382)."""
+    NNAL_tools.py:382).  ``mc_rng`` makes the pass stochastic (MC dropout),
+    with a per-chunk fold so chunking does not alias masks."""
     outs = {w: [] for w in what}
     n = X.shape[0]
     for lo in range(0, n, batch):
@@ -61,7 +73,11 @@ def batched_forward(spec, params, X, batch: int, what=("posteriors",)):
         if pad > 0:
             xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
                                               xs.dtype)])
-        out = _fwd(spec, params, jnp.asarray(xs))
+        if mc_rng is None:
+            out = _fwd(spec, params, jnp.asarray(xs))
+        else:
+            out = _fwd_mc(spec, params, jnp.asarray(xs),
+                          jax.random.fold_in(mc_rng, lo))
         for w in what:
             arr = np.asarray({"posteriors": out.posteriors,
                               "prediction": out.prediction,
@@ -76,6 +92,41 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
 
     if method_name == "random":
         return ctx.rng.permutation(n)[:ctx.k]
+
+    if method_name in ("MC-entropy", "BALD", "BatchBALD"):
+        # MC-dropout family — classification extras (the reference's cls
+        # dispatch has none; these mirror the patch-wise strategies in
+        # their multiclass forms).  The key derives from the method's
+        # host rng stream so journal replay is deterministic.
+        key = jax.random.key(int(ctx.rng.integers(2 ** 31 - 1)))
+        stack = np.stack([
+            batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
+                            mc_rng=jax.random.fold_in(key, t)
+                            )["posteriors"]
+            for t in range(ctx.MC_iters)])                   # (T, n, C)
+        if method_name == "MC-entropy":
+            avg = 0.0
+            for i in range(stack.shape[0]):   # reference's running mean
+                avg = (stack[i] + i * avg) / (i + 1)
+            return np.asarray(uncertainty_filter(avg, ctx.k))
+        # multiclass BALD scores on host numpy: the in-memory cls pools
+        # are small, and host math is shape-stable by construction
+        s = stack.astype(np.float64)
+
+        def _ent(p):
+            return -(p * np.log(np.maximum(p, 1e-12))).sum(-1)
+
+        bald = _ent(s.mean(0)) - _ent(s).mean(0)
+        if method_name == "BALD":
+            return np.argsort(-bald, kind="stable")[:ctx.k]
+        from nnal_tpu.scoring.batchbald import batchbald_select_probs
+
+        Bc = min(ctx.B, n)
+        sel = np.argsort(-bald, kind="stable")[:Bc]
+        chosen = np.asarray(batchbald_select_probs(
+            jnp.asarray(stack[:, sel]), min(ctx.k, Bc),
+            jax.random.fold_in(key, (1 << 20) + 13)))
+        return sel[chosen]
 
     posts = batched_forward(ctx.spec, ctx.params, ctx.pool_x,
                             ctx.batch)["posteriors"]
