@@ -80,3 +80,52 @@ def test_ravel_binary_mask():
     got = np.zeros_like(mask)
     got.reshape(-1)[inds] = 1
     np.testing.assert_array_equal(got, mask)
+
+
+def test_fuzz_global_local_roundtrip():
+    """Randomized round-trip property over many set-size partitions:
+    local2global(global2local(x)) is a permutation-free identity on the
+    selected positions, per-subject locals stay in range, and every
+    global index lands in exactly one subject."""
+    from nnal_tpu.data.indexing import global2local_inds, local2global_inds
+
+    rng = np.random.default_rng(123)
+    for _ in range(50):
+        n_sets = int(rng.integers(1, 6))
+        sizes = [int(rng.integers(1, 40)) for _ in range(n_sets)]
+        total = sum(sizes)
+        k = int(rng.integers(1, total + 1))
+        picks = rng.choice(total, size=k, replace=False)
+        local = global2local_inds(picks, sizes)
+        assert len(local) == n_sets
+        for si, li in enumerate(local):
+            assert ((0 <= li) & (li < sizes[si])).all()
+        back = local2global_inds(local, sizes)
+        assert sorted(back.tolist()) == sorted(picks.tolist())
+        assert sum(len(li) for li in local) == k
+
+
+def test_fuzz_expand_raveled_roundtrip():
+    """expand_raveled_inds must place 2D slice indices at the right 3D
+    voxels for random shapes, axes, and slices (vs a numpy oracle)."""
+    from nnal_tpu.data.indexing import expand_raveled_inds
+
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        shape = tuple(int(rng.integers(2, 9)) for _ in range(3))
+        axis = int(rng.integers(0, 3))
+        z = int(rng.integers(0, shape[axis]))
+        plane = [s for i, s in enumerate(shape) if i != axis]
+        n2d = plane[0] * plane[1]
+        m = int(rng.integers(1, n2d + 1))
+        inds2d = rng.choice(n2d, size=m, replace=False)
+        out = expand_raveled_inds(inds2d, z, axis, shape)
+        # oracle: scatter into a volume and compare coordinates
+        vol = np.zeros(shape, bool)
+        sl = np.zeros(plane, bool)
+        sl.ravel()[inds2d] = True
+        key = [slice(None)] * 3
+        key[axis] = z
+        vol[tuple(key)] = sl
+        want = np.flatnonzero(vol.ravel())
+        assert sorted(out.tolist()) == sorted(want.tolist())
