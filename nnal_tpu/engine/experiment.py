@@ -123,7 +123,8 @@ class Experiment:
         return cached_tx(self, self.config.model)
 
     # ------------------------------------------------------------- training
-    def _retrain(self, spec, state, tx, train_inds, epochs: int):
+    def _retrain(self, spec, state, tx, train_inds, epochs: int,
+                 rng_tag: str = ""):
         m = self.config.model
         # cache the jitted step across AL rounds: a fresh closure per round
         # recompiles every round (per-round latency on a tunneled TPU)
@@ -154,9 +155,12 @@ class Experiment:
                 fwd = self._lwf_fwd = jax.jit(
                     lambda p, x: apply_cnn(spec, p, x).logits)
             old_params = jax.tree_util.tree_map(jnp.copy, state.params)
-        # per-call streams keyed by the replay-stable optimizer step
-        host = self.rng.fold(f"retrain-{state.step}").host
-        jrng = self.rng.fold(f"retrain-dropout-{state.step}").next()
+        # per-call streams keyed by the replay-stable optimizer step;
+        # rng_tag separates committee members' batch/dropout streams
+        # (members share the main state's step, so an untagged fold would
+        # make every member's retrain identical)
+        host = self.rng.fold(f"{rng_tag}retrain-{state.step}").host
+        jrng = self.rng.fold(f"{rng_tag}retrain-dropout-{state.step}").next()
         for _ in range(epochs):
             for batch in gen_batch_inds(len(train_inds), m.b, host):
                 binds = train_inds[batch]
@@ -185,6 +189,34 @@ class Experiment:
                     jnp.asarray(state.step), None, w, ol)
                 state.step += 1
         return state
+
+    def _build_committee(self, spec, state, tx, train_inds, round_id):
+        """Committee lifecycle for ensemble/QBC-JS — mirrors the patch-wise
+        engines' ``_build_committee`` (reference PW_AL.py:780-845, patch-wise
+        only; the classification engine is a rebuild extra): round 0 with
+        configured ``query.pretrained_paths`` loads those weight sets;
+        otherwise ``n_ensemble`` copies of the current model are re-trained
+        on the labeled set, each member with its own batch/dropout streams
+        (replay-stable via rng tags)."""
+        from nnal_tpu.models.train import TrainState
+
+        q = self.config.query
+        paths = list(getattr(q, "pretrained_paths", []) or [])
+        if round_id == 0 and paths:
+            return [jax.tree_util.tree_map(jnp.asarray,
+                                           load_checkpoint(p)[0])
+                    for p in paths]
+        members = []
+        for i in range(q.n_ensemble):
+            params_i = jax.tree_util.tree_map(jnp.copy, state.params)
+            mstate = TrainState(params=params_i,
+                                opt_state=tx.init(params_i),
+                                step=state.step, bn_state=state.bn_state)
+            mstate = self._retrain(spec, mstate, tx, train_inds,
+                                   self.config.model.epochs,
+                                   rng_tag=f"ens-{round_id}-{i}-")
+            members.append(mstate.params)
+        return members
 
     # ------------------------------------------------------------- AL loop
     def run_method(self, method_name: str, run: int,
@@ -236,11 +268,22 @@ class Experiment:
             qrng = self.rng.fold(f"q-{method_name}-{run}-{round_id}")
             from nnal_tpu.data.image_pool import LazyPoolView
 
+            committee = None
+            if method_name in ("ensemble", "QBC-JS"):
+                with timer.phase("committee"):
+                    committee = self._build_committee(spec, state, tx,
+                                                      train_inds, round_id)
             ctx = ClsQueryContext(
                 spec=spec, params=state.params,
                 pool_x=LazyPoolView(self._pool, pool_inds),
                 k=k, rng=qrng.host, B=cfg.query.B, lambda_=cfg.query.lambda_,
-                batch=cfg.query.ntb, MC_iters=cfg.query.MC_iters)
+                batch=cfg.query.ntb, MC_iters=cfg.query.MC_iters,
+                labeled_x=LazyPoolView(self._pool, train_inds),
+                labeled_y=np.asarray(self._pool.labels)[train_inds],
+                committee_params=committee,
+                extra={"damping": float(getattr(cfg.query, "damping", 0.1)),
+                       "influence_mode": cfg.query.influence_mode,
+                       "arnoldi_rank": cfg.query.arnoldi_rank})
             with timer.phase("score_select"):
                 q_pos = cls_query(ctx, method_name)
             q_inds = pool_inds[q_pos]

@@ -3,11 +3,13 @@
 Rebuild of ``NNAL.CNN_query`` (NNAL.py:188-525): random, entropy, EGL
 (expected gradient length — repaired; the reference's path references
 undefined variables, SURVEY.md §2.9), FI with SDP, rep-entropy — plus
-TPU-native extras with no reference counterpart: multi-class BADGE (Ash
-et al. ICLR 2020) and the MC-dropout family (MC-entropy, BALD, BatchBALD)
-in their multiclass forms.  Operates on in-memory ``(X, labels)`` arrays
-through jitted batched forwards — the classification analogue of the
-patch-pool evaluator.
+TPU-native extras with no reference counterpart, giving the classification
+engine the same strategy surface as the patch-wise engines: multi-class
+BADGE (Ash et al. ICLR 2020), the MC-dropout family (MC-entropy, BALD,
+BatchBALD), committee methods (ensemble, QBC-JS), core-set, and influence
+— each in its multiclass form.  Operates on in-memory ``(X, labels)``
+arrays through jitted batched forwards — the classification analogue of
+the patch-pool evaluator.
 """
 
 from __future__ import annotations
@@ -39,6 +41,9 @@ class ClsQueryContext:
     lambda_: float = 0.0
     batch: int = 1024
     MC_iters: int = 10               # MC-dropout passes (extras family)
+    labeled_x: Optional[object] = None   # current train inputs (core-set,
+    labeled_y: Optional[np.ndarray] = None  # influence); array-like view
+    committee_params: Optional[list] = None  # ensemble/QBC-JS members
     extra: Dict = field(default_factory=dict)
 
 
@@ -86,6 +91,12 @@ def batched_forward(spec, params, X, batch: int, what=("posteriors",),
     return {w: np.concatenate(v) for w, v in outs.items()}
 
 
+def _entropy_np(p: np.ndarray) -> np.ndarray:
+    """Shannon entropy over the last axis (host numpy — in-memory cls
+    pools are small, and host math is shape-stable by construction)."""
+    return -(p * np.log(np.maximum(p, 1e-12))).sum(-1)
+
+
 def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
     """Returns positions into ``ctx.pool_x`` (reference NNAL.CNN_query)."""
     n = ctx.pool_x.shape[0]
@@ -109,14 +120,9 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
             for i in range(stack.shape[0]):   # reference's running mean
                 avg = (stack[i] + i * avg) / (i + 1)
             return np.asarray(uncertainty_filter(avg, ctx.k))
-        # multiclass BALD scores on host numpy: the in-memory cls pools
-        # are small, and host math is shape-stable by construction
+        # multiclass BALD scores on host numpy (see _entropy_np)
         s = stack.astype(np.float64)
-
-        def _ent(p):
-            return -(p * np.log(np.maximum(p, 1e-12))).sum(-1)
-
-        bald = _ent(s.mean(0)) - _ent(s).mean(0)
+        bald = _entropy_np(s.mean(0)) - _entropy_np(s).mean(0)
         if method_name == "BALD":
             return np.argsort(-bald, kind="stable")[:ctx.k]
         from nnal_tpu.scoring.batchbald import batchbald_select_probs
@@ -127,6 +133,52 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
             jnp.asarray(stack[:, sel]), min(ctx.k, Bc),
             jax.random.fold_in(key, (1 << 20) + 13)))
         return sel[chosen]
+
+    if method_name in ("ensemble", "QBC-JS"):
+        # committee methods — classification extras mirroring the
+        # patch-wise pair (reference PW_NNAL.py:453-545 is patch-wise
+        # only; the cls dispatch, NNAL.py:188-525, never had them):
+        # posteriors across the committee, then entropy of the
+        # running-mean average (ensemble) or Jensen-Shannon disagreement
+        # H(avg) - avg(H) (QBC-JS)
+        assert ctx.committee_params, \
+            f"{method_name} needs ctx.committee_params (engine-built)"
+        stack = np.stack([
+            batched_forward(ctx.spec, p, ctx.pool_x,
+                            ctx.batch)["posteriors"]
+            for p in ctx.committee_params])              # (E, n, C)
+        if method_name == "ensemble":
+            avg = 0.0
+            for i in range(stack.shape[0]):   # reference's running mean
+                avg = (stack[i] + i * avg) / (i + 1)
+            return np.asarray(uncertainty_filter(avg, ctx.k))
+        s = stack.astype(np.float64)
+        js = _entropy_np(s.mean(0)) - _entropy_np(s).mean(0)
+        return np.argsort(-js, kind="stable")[:ctx.k]
+
+    if method_name == "core-set":
+        # greedy k-center on pool features vs labeled features — the
+        # classification form of reference PW_NNAL.py:353-451 (the cls
+        # dispatch never had it); features stay on device end-to-end
+        from nnal_tpu.scoring.representative import (
+            core_set_select,
+            cross_max_similarities,
+            normalize_rows,
+        )
+
+        F_u = jnp.asarray(batched_forward(
+            ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
+            ("feature_layer",))["feature_layer"])
+        Fn = normalize_rows(F_u)
+        if ctx.labeled_x is not None and len(ctx.labeled_x) > 0:
+            F_t = jnp.asarray(batched_forward(
+                ctx.spec, ctx.params, ctx.labeled_x, ctx.batch,
+                ("feature_layer",))["feature_layer"])
+            sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
+                                                       as_device=True))
+        else:
+            sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
+        return np.asarray(core_set_select(Fn, sims0, min(ctx.k, n)))
 
     posts = batched_forward(ctx.spec, ctx.params, ctx.pool_x,
                             ctx.batch)["posteriors"]
@@ -141,6 +193,40 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
 
     B = min(ctx.B, n)
     sel = np.asarray(uncertainty_filter(posts, B))
+
+    if method_name == "influence":
+        # influence querying over (X, labels) arrays — the classification
+        # form of the patch-wise strategy (reference PW_sample_influence,
+        # Influence.py:369-453): s_test = (H_train + damping)^-1
+        # grad L(labeled set); the B most-uncertain candidates ranked by
+        # |<grad L(z at its pseudo-label), s_test>|.  The labeled set is
+        # bucket-padded (zero-weight rows in BOTH H and v — exact no-ops)
+        # so the CG+HVP program compiles once per bucket as the set grows.
+        from nnal_tpu.data.batching import make_onehot
+        from nnal_tpu.scoring.influence import influence_scores
+        from nnal_tpu.scoring.strategies import _s_test_dispatch
+
+        assert ctx.labeled_x is not None and len(ctx.labeled_x) > 0, \
+            "influence querying needs ctx.labeled_x / ctx.labeled_y"
+        n_tr = len(ctx.labeled_x)
+        pad = -n_tr % 256
+        tx = np.asarray(ctx.labeled_x[:])
+        if pad:
+            tx = np.concatenate(
+                [tx, np.zeros((pad,) + tx.shape[1:], tx.dtype)])
+        y = np.zeros(n_tr + pad, np.int64)
+        y[:n_tr] = np.asarray(ctx.labeled_y, np.int64)
+        ty = make_onehot(y, ctx.spec.nclass)
+        key = jax.random.key(int(ctx.rng.integers(2 ** 31 - 1)))
+        st = _s_test_dispatch(ctx.extra, ctx.spec, ctx.params,
+                              jnp.asarray(tx), jnp.asarray(ty),
+                              float(ctx.extra.get("damping", 0.1)),
+                              n_tr, key)
+        cx = np.asarray(ctx.pool_x[sel])
+        pseudo = np.argmax(posts[sel], axis=1).astype(np.int64)
+        cy = make_onehot(pseudo, ctx.spec.nclass)
+        scores = influence_scores(ctx.spec, ctx.params, st, cx, cy)
+        return sel[np.argsort(-np.abs(scores), kind="stable")[:ctx.k]]
 
     if method_name == "egl":
         # expected gradient length: sum_c p_c ||shrunk grad_c||^2 over the
