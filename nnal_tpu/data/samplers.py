@@ -126,6 +126,26 @@ def sample_masked_volume(img, mask, slices, N: Sequence[int], rng,
             np.array(sel_types, dtype=np.int64))
 
 
+def sample_types_of(img, mask, inds, var_kernel: int = 5,
+                    var_thr: float = 2.0) -> np.ndarray:
+    """Partition type of arbitrary voxels under the balanced-sampling rule
+    (reference ``get_sample_type``, PW_analyze_results.py:69-85 — there the
+    types were read back from a journaled ``inds.txt`` type column whose
+    writer is absent, SURVEY.md §2.9; here they are recomputed from the
+    same rule as :func:`sample_masked_volume`): 0 = masked, 1 =
+    high-variance background, 2 = low-variance background (voxels exactly
+    at ``var_thr`` — excluded from both groups by the sampler — classify
+    as 2)."""
+    img = np.asarray(img)
+    mask = np.asarray(mask)
+    log_var = np.array(local_variance_map(jnp.asarray(img), var_kernel))
+    log_var[log_var == 0] += 1e-1
+    log_var = np.log(log_var)
+    pos = np.unravel_index(np.asarray(inds, np.int64), img.shape)
+    return np.where(mask[pos] > 0, 0,
+                    np.where(log_var[pos] > var_thr, 1, 2)).astype(np.int64)
+
+
 def even_odd_slice_split(inds, shape3d) -> Tuple[np.ndarray, np.ndarray]:
     """Pool/test split by axial-slice parity: even slices -> pool, full grid
     -> test (reference ``prep_AL_data``, PW_AL.py:1004-1013, which keeps the

@@ -116,26 +116,19 @@ def query_type_analysis(expr, method_name: str, var_kernel: int = 5,
     log-local-variance rule as ``data.samplers.sample_masked_volume``,
     patch_utils.py:628-792 — identical information, and it works for
     grid-sampled pools whose journal never stored types)."""
-    from nnal_tpu.data.samplers import local_variance_map
+    from nnal_tpu.data.samplers import sample_types_of
 
     j = MethodJournal(expr.root_dir, method_name)
     vols, mask = expr._load_subject()
     img = np.asarray(vols[0])
-    log_var = np.array(local_variance_map(jnp.asarray(img), var_kernel))
-    log_var[log_var == 0] += 1e-1
-    log_var = np.log(log_var)
-    mask_flat = np.asarray(mask).reshape(-1) > 0
-    hvar_flat = log_var.reshape(-1) > var_thr
     types = []
     for it in j.query_iters():
         q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
                       matrix=matrix)
         if q.ndim == 2:          # multi-subject: take the voxel row
             q = q[0]
-        t = np.full(len(q), 2, np.int64)
-        t[hvar_flat[q]] = 1
-        t[mask_flat[q]] = 0
-        types.append(t)
+        types.append(sample_types_of(img, mask, q, var_kernel=var_kernel,
+                                     var_thr=var_thr))
     return types
 
 

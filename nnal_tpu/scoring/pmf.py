@@ -14,6 +14,21 @@ import warnings
 import numpy as np
 
 
+def draw_queries(qdist, prior, k: int, rng,
+                 replacement: bool = False) -> np.ndarray:
+    """Prior-weighted PMF draw (reference ``draw_queries``,
+    PW_NNAL.py:1023-1039 — a call-site-free helper there; kept for API
+    parity): multiplies the query distribution by an optional prior,
+    renormalizes, and samples via :func:`sample_query_pmf`."""
+    q = np.array(qdist, dtype=np.float64).ravel()
+    if prior is not None and len(np.atleast_1d(prior)):
+        q = q * np.asarray(prior, np.float64).ravel()
+    s = q[q > 0].sum()
+    if s > 0:
+        q = q / s
+    return sample_query_pmf(q, k, rng, replacement=replacement)
+
+
 def sample_query_pmf(q_pmf, k: int, rng, replacement: bool = True) -> np.ndarray:
     q = np.array(q_pmf, dtype=np.float64).ravel()
     if q.min() < -0.01:

@@ -108,3 +108,50 @@ def test_filter_by_parcellation(tmp_path):
     fi2, fl2 = filter_by_parcellation(inds, labels, p)
     np.testing.assert_array_equal(fi2, fi)
     np.testing.assert_array_equal(fl2, fl)
+
+
+def test_sample_types_of_matches_sampler_partition():
+    """sample_types_of must reproduce the exact types sample_masked_volume
+    journals for its own picks (same partition rule, any voxel)."""
+    from nnal_tpu.data.samplers import sample_types_of
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 100, size=(14, 16, 6))
+    mask = np.zeros_like(img)
+    mask[4:8, 5:9, :] = 1
+    inds, labels, types = sample_masked_volume(img, mask, range(6),
+                                               (5, 5, 5), rng)
+    np.testing.assert_array_equal(sample_types_of(img, mask, inds), types)
+    # labels consistent with type 0 = masked
+    np.testing.assert_array_equal(labels == 1, types == 0)
+
+
+def test_query_type_analysis_uses_sampler_rule(tmp_path):
+    """engine.analysis.query_type_analysis (covered e2e in
+    test_analysis.py) must classify journaled queries with the exact
+    sampler partition rule — stub-expr composition check."""
+    from nnal_tpu.core.journal import MethodJournal
+    from nnal_tpu.data.samplers import sample_types_of
+    from nnal_tpu.engine.analysis import query_type_analysis
+
+    rng = np.random.default_rng(8)
+    img = rng.uniform(0, 100, size=(12, 12, 4))
+    mask = np.zeros_like(img)
+    mask[3:6, 3:6, :] = 1
+
+    class _Stub:
+        root_dir = str(tmp_path)
+
+        def _load_subject(self):
+            return [img], mask
+
+    j = MethodJournal(str(tmp_path), "entropy")
+    q0 = np.array([3 * 12 * 4 + 3 * 4 + 1, 0])       # one masked, one bg
+    q1 = np.array([5, 7, 11])
+    j.record_queries(0, q0)
+    j.record_queries(1, q1)
+    rounds = query_type_analysis(_Stub(), "entropy")
+    assert len(rounds) == 2
+    np.testing.assert_array_equal(rounds[0], sample_types_of(img, mask, q0))
+    np.testing.assert_array_equal(rounds[1], sample_types_of(img, mask, q1))
+    assert rounds[0][0] == 0                          # inside the mask
