@@ -1,0 +1,168 @@
+"""Classification-engine campaigns on the local chip -> CLS_CAMPAIGNS_r{N}.json.
+
+Hardware evidence for the classification engine's FULL strategy surface —
+the reference set (random/entropy/rep-entropy/fi/egl, NNAL.py:188-525) plus
+the rebuild extras (BADGE, MC-entropy, BALD, BatchBALD, ensemble, QBC-JS,
+core-set, influence).  Protocol: a 4-class oriented-grating pool (6,000
+16x16 images, sigma-0.7 noise), PW CNN, 5 rounds of k=32 from a
+class-balanced 32-seed; every method shares ONE run (same partition, same
+init weights), so curves are directly comparable.
+
+Run: ``python benchmarks/cls_campaigns.py [round_tag] [method ...]``
+(default: all 13; the JSON is upserted after each method, so partial runs
+are recorded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+PARS = {
+    "model_name": "PW", "nclass": 4, "patch_shape": (16, 16, 1),
+    # epochs: the r03 campaign-protocol lesson (CLAUDE.md) — with 32-160
+    # labels and b=32, one epoch is 1-5 Adam steps; 15 epochs keeps the
+    # model out of its initial one-class regime at every budget
+    "k": 32, "B": 200, "ntb": 1024, "b": 32, "epochs": 15, "MC_iters": 8,
+    "learning_rate": 1e-3, "optimizer_name": "Adam", "dropout_rate": 0.5,
+    "init_size": 32, "test_ratio": 0.2, "n_ensemble": 3, "seed": 11,
+    # one full (params+Adam) resume pull at the final round only — the
+    # ~280 MB PW-at-16x16 checkpoint costs ~14 s/round over the tunnel
+    # (CLAUDE.md transfer economics) and the campaign measures querying,
+    # not checkpoint IO
+    "ckpt_full_every": 5,
+}
+MAX_QUERIES = 160          # 5 rounds of k=32
+
+METHODS = ["random", "entropy", "rep-entropy", "fi", "egl", "BADGE",
+           "MC-entropy", "BALD", "BatchBALD", "ensemble", "QBC-JS",
+           "core-set", "influence"]
+
+_CC = os.environ.get("NNAL_COMPILE_CACHE", "").strip()
+_CC_ON = _CC.lower() not in ("", "0", "off", "none")
+if _CC_ON:
+    from nnal_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
+def make_dataset(n=6000, nclass=4, hw=16, seed=0):
+    """Oriented gratings (one orientation per class, random phase) under
+    heavy additive noise — learnable from tens of labels by a small CNN,
+    yet non-trivial at sigma=0.7."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, nclass, n)
+    xs = np.zeros((n, hw, hw, 1), np.float32)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    angles = np.pi * np.arange(nclass) / nclass
+    for c in range(nclass):
+        m = y == c
+        phase = rng.uniform(0, 2 * np.pi, int(m.sum()))[:, None, None]
+        t = np.cos(angles[c]) * xx + np.sin(angles[c]) * yy
+        xs[m, :, :, 0] = np.sin(2 * np.pi * t[None] / 6.0 + phase)
+    xs += rng.normal(0, 0.7, xs.shape)
+    return xs.astype(np.float32), y.astype(np.int64)
+
+
+def _balanced_init(run_dir, labels, per_class, seed=0):
+    """Rewrite the run's init train/pool split as a class-covering seed
+    (same harness choice as campaigns._balanced_seed: a score/committee
+    built on a labeled set missing classes degenerates at tiny budgets)."""
+    from nnal_tpu.core.journal import load_inds, save_inds
+
+    train = load_inds(os.path.join(run_dir, "init_train_inds.txt"))
+    pool = load_inds(os.path.join(run_dir, "init_pool_inds.txt"))
+    avail = np.concatenate([train, pool])
+    rng = np.random.default_rng(seed)
+    picks = []
+    for c in range(int(labels.max()) + 1):
+        cand = avail[labels[avail] == c]
+        picks.append(rng.permutation(cand)[:per_class])
+    new_train = np.concatenate(picks)
+    save_inds(os.path.join(run_dir, "init_train_inds.txt"), new_train)
+    save_inds(os.path.join(run_dir, "init_pool_inds.txt"),
+              np.setdiff1d(avail, new_train))
+
+
+def _phase_totals(run_dir, method):
+    path = os.path.join(run_dir, method, "phases.jsonl")
+    tot = {}
+    if os.path.exists(path):
+        for line in open(path):
+            rec = json.loads(line)
+            for k, v in rec.items():
+                if isinstance(v, float):
+                    tot[k] = tot.get(k, 0.0) + v
+    return {k: round(v, 1) for k, v in tot.items()
+            if k not in ("accuracy",)}
+
+
+def _upsert(rows, rec):
+    for i, r in enumerate(rows):
+        if r.get("method") == rec["method"]:
+            rows[i] = rec
+            return
+    rows.append(rec)
+
+
+def main():
+    from nnal_tpu.core.config import ExperimentConfig
+    from nnal_tpu.engine.experiment import Experiment
+
+    args = sys.argv[1:]
+    is_tag = lambda a: re.fullmatch(r"r\d+", a) is not None  # noqa: E731
+    tag = args[0] if args and is_tag(args[0]) else "r03"
+    methods = [a for a in args if not is_tag(a)] or METHODS
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"CLS_CAMPAIGNS_{tag}.json")
+    out = {
+        "hardware": "TPU v5e (axon tunnel, single chip)",
+        "note": ("Classification-engine campaigns on real hardware: "
+                 "4-class oriented-grating pool (6,000 16x16 images, "
+                 "sigma-0.7 noise), PW CNN, 5 rounds of k=32 from a "
+                 "class-balanced 32-seed, epochs=5 @ lr 1e-3, "
+                 "n_ensemble=3, MC_iters=8, B=200, ckpt_full_every=5. "
+                 "All methods share one run (identical partition + init "
+                 "weights). Wall times include one-time XLA compiles; "
+                 "acc is the test-accuracy curve (1,200 held-out)."),
+        "methods": [],
+    }
+    if os.path.exists(path):
+        out = json.load(open(path))
+
+    X, y = make_dataset(nclass=PARS["nclass"], seed=7)
+    with tempfile.TemporaryDirectory() as root:
+        cfg = ExperimentConfig.from_pars(dict(PARS))
+        expr = Experiment(root, cfg)
+        expr.attach_data(X, y)
+        run = expr.add_run()
+        _balanced_init(os.path.join(root, str(run)), y,
+                       PARS["init_size"] // PARS["nclass"])
+        for m in methods:
+            expr.add_method(m, run)
+            t0 = time.perf_counter()
+            res = expr.run_method(m, run, MAX_QUERIES)
+            dt = time.perf_counter() - t0
+            rec = {"method": m + ("@cc" if _CC_ON else ""),
+                   "queries": int(res["n_queries"]),
+                   "wall_s": round(dt, 1),
+                   "phase_s": _phase_totals(os.path.join(root, str(run)),
+                                            m),
+                   "acc": [round(float(v), 4)
+                           for v in np.atleast_1d(res["accs"]).ravel()]}
+            _upsert(out["methods"], rec)
+            json.dump(out, open(path, "w"), indent=1)
+            print(json.dumps(rec), flush=True)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

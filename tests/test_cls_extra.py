@@ -237,3 +237,27 @@ def test_cls_committee_members_differ(tmp_path):
     assert len(members) == 2
     la, lb = (jax.tree_util.tree_leaves(m) for m in members)
     assert any(not np.array_equal(a, b) for a, b in zip(la, lb))
+
+
+# --------------------------------------------------------------- influence
+def test_cls_influence_arnoldi_mode_plumbing():
+    """The cls influence path honors ``extra['influence_mode']='arnoldi'``
+    (shared ``_s_test_dispatch`` seam): valid distinct picks, deterministic
+    for a fixed rng stream, and distinct rng keys for Lanczos vs the MC
+    family (the fold-discipline constant (1<<20)+29)."""
+    spec, params = _tiny_model(nclass=2)
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(30, 8, 8, 1)).astype(np.float32)
+    L = rng.normal(size=(6, 8, 8, 1)).astype(np.float32)
+    ly = rng.integers(0, 2, size=6)
+
+    def run():
+        ctx = _ctx(spec, params, X, k=4, seed=9, labeled_x=L, labeled_y=ly,
+                   extra={"influence_mode": "arnoldi", "arnoldi_rank": 6,
+                          "damping": 0.5})
+        return cls_query(ctx, "influence")
+
+    a, b = run(), run()
+    assert len(a) == 4 == len(np.unique(a))
+    assert set(a) <= set(range(30))
+    assert a.tolist() == b.tolist()
