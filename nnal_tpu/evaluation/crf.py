@@ -81,16 +81,38 @@ def meanfield_crf_2d(posteriors: jnp.ndarray, image: jnp.ndarray,
 
 
 def dcrf_postprocess_2d(posterior_map: np.ndarray, image: np.ndarray,
-                        iters: int = 5) -> np.ndarray:
+                        iters: int = 5, backend: str = "auto") -> np.ndarray:
     """Binary-posterior convenience wrapper (reference
     ``DCRF_postprocess_2D``): takes P(class 1) as a 2D map, returns the
-    refined binary prediction."""
-    try:  # optional exact path
-        import pydensecrf.densecrf  # noqa: F401
+    refined binary prediction.
 
-        return _pydensecrf_2d(posterior_map, image, iters)
-    except ImportError:
-        pass
+    ``backend``: ``"native"`` = the in-repo C++ permutohedral-lattice
+    solver (``runtime/dense_crf.cc`` — the FULL dense pairwise model,
+    honoring the reference's sxy=50 bilateral reach), ``"pydensecrf"`` =
+    the external package if importable, ``"jax"`` = the on-device
+    truncated-window mean field above.  ``"auto"`` tries them in that
+    order.
+    """
+    if backend in ("auto", "native"):
+        from nnal_tpu.runtime.crf_native import (crf_native_available,
+                                                 dcrf2d_meanfield)
+
+        if crf_native_available():
+            p1 = np.asarray(posterior_map, np.float32)
+            posts = np.stack([1.0 - p1, p1], axis=-1)
+            q = dcrf2d_meanfield(posts, np.asarray(image, np.float32),
+                                 iters=iters)
+            return np.argmax(q, axis=-1).astype(np.uint8)
+        if backend == "native":
+            raise RuntimeError("native DenseCRF library unavailable")
+    if backend in ("auto", "pydensecrf"):
+        try:  # optional external path
+            import pydensecrf.densecrf  # noqa: F401
+
+            return _pydensecrf_2d(posterior_map, image, iters)
+        except ImportError:
+            if backend == "pydensecrf":
+                raise
     p1 = jnp.asarray(posterior_map, jnp.float32)
     posts = jnp.stack([1.0 - p1, p1], axis=-1)
     q = meanfield_crf_2d(posts, jnp.asarray(image, jnp.float32), iters=iters)
