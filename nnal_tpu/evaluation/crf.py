@@ -3,12 +3,18 @@
 The reference refines 2D posterior maps with pydensecrf's C++ mean-field
 solver (``DCRF_postprocess_2D``, PW_analyze_results.py:539-592): unary
 ``-log p``, Gaussian smoothness + bilateral appearance pairwise terms,
-5 mean-field iterations.  pydensecrf is not available here, and a
-permutohedral lattice is host-bound anyway — instead this is a **JAX
-mean-field CRF** with truncated-window Gaussian/bilateral message passing
-(dense pairwise terms dominated by nearby pixels), fully jittable so CRF
-refinement runs on TPU next to the model.  A pydensecrf seam is kept:
-if the package is importable it can be used instead (identical API).
+5 mean-field iterations.  Two backends here:
+
+- the **native permutohedral-lattice solver** (``runtime/dense_crf.cc``,
+  our own C++ replacing the pydensecrf dependency) — the FULL dense
+  pairwise model, preferred by ``dcrf_postprocess_2d``; also powers the
+  beyond-reference volumetric ``dcrf_postprocess_3d``;
+- a **JAX mean-field CRF** with truncated-window Gaussian/bilateral
+  message passing (dense pairwise dominated by nearby pixels), fully
+  jittable so refinement can run on TPU next to the model.
+
+A pydensecrf seam is kept: if the package is importable it can be used
+instead (identical API).
 """
 
 from __future__ import annotations
@@ -133,3 +139,23 @@ def _pydensecrf_2d(posterior_map, image, iters):
     d.addPairwiseBilateral(sxy=50, srgb=4, rgbim=img8, compat=10)
     Q = d.inference(iters)
     return np.argmax(np.asarray(Q), axis=0).reshape(H, W).astype(np.uint8)
+
+
+def dcrf_postprocess_3d(posterior_vol: np.ndarray, image_vol: np.ndarray,
+                        iters: int = 5) -> np.ndarray:
+    """Volumetric binary-posterior refinement (beyond the reference's
+    slice-by-slice ``DCRF_postprocess_2D``): full 3D dense CRF via the
+    native permutohedral solver.  ``posterior_vol``: P(class 1), (H, W, D);
+    ``image_vol``: guide intensities (H, W, D).  Returns the refined binary
+    prediction volume (uint8)."""
+    from nnal_tpu.runtime.crf_native import (crf_native_available,
+                                             dcrf3d_meanfield)
+
+    if not crf_native_available():
+        raise RuntimeError("native DenseCRF library unavailable "
+                           "(3D CRF has no JAX fallback)")
+    p1 = np.asarray(posterior_vol, np.float32)
+    posts = np.stack([1.0 - p1, p1], axis=-1)
+    q = dcrf3d_meanfield(posts, np.asarray(image_vol, np.float32),
+                         iters=iters)
+    return np.argmax(q, axis=-1).astype(np.uint8)

@@ -54,6 +54,11 @@ def _build() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_float, ctypes.c_float,
                 ctypes.c_float, ctypes.c_float, ctypes.c_float,
                 ctypes.c_int, _f32p]
+            lib.nnal_dcrf_meanfield_feats.restype = None
+            lib.nnal_dcrf_meanfield_feats.argtypes = [
+                _f32p, _f32p, ctypes.c_int, ctypes.c_float, _f32p,
+                ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, _f32p]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
@@ -120,3 +125,67 @@ def dcrf2d_meanfield(posteriors: np.ndarray, image: Optional[np.ndarray],
         sxy_gauss, w_gauss, sxy_bilat, srgb, w_bilat, int(iters),
         q.ctypes.data_as(_f32p))
     return q.reshape(H, W, C)
+
+
+def dcrf_meanfield_feats(posteriors: np.ndarray, feat_g: np.ndarray,
+                         w_gauss: float,
+                         feat_b: Optional[np.ndarray] = None,
+                         w_bilat: float = 0.0,
+                         iters: int = 5) -> np.ndarray:
+    """Grid-agnostic dense-CRF mean field over pre-scaled feature spaces.
+
+    ``posteriors``: (N, C); ``feat_g``/``feat_b``: (N, d) features already
+    divided by their sigmas (the kernel is ``exp(-|f_i-f_j|^2/2)``).
+    Returns the refined (N, C) marginals.
+    """
+    lib = _build()
+    if lib is None:
+        raise RuntimeError("native DenseCRF library unavailable")
+    posteriors = np.asarray(posteriors, dtype=np.float32)
+    n, c = posteriors.shape
+    unary = np.ascontiguousarray(-np.log(np.clip(posteriors, 1e-8, None)))
+    feat_g = np.ascontiguousarray(feat_g, dtype=np.float32)
+    assert feat_g.shape[0] == n
+    if feat_b is None:
+        fb_ptr, db, w_bilat = None, 0, 0.0
+    else:
+        feat_b = np.ascontiguousarray(feat_b, dtype=np.float32)
+        assert feat_b.shape[0] == n
+        fb_ptr, db = feat_b.ctypes.data_as(_f32p), feat_b.shape[1]
+    q = np.empty((n, c), dtype=np.float32)
+    lib.nnal_dcrf_meanfield_feats(
+        unary.ctypes.data_as(_f32p), feat_g.ctypes.data_as(_f32p),
+        feat_g.shape[1], w_gauss, fb_ptr, db, w_bilat, n, c, int(iters),
+        q.ctypes.data_as(_f32p))
+    return q
+
+
+def dcrf3d_meanfield(posteriors: np.ndarray, volume: Optional[np.ndarray],
+                     iters: int = 5, sxyz_gauss: float = 3.0,
+                     w_gauss: float = 3.0, sxyz_bilat: float = 50.0,
+                     srgb: float = 4.0, w_bilat: float = 10.0) -> np.ndarray:
+    """Volumetric dense-CRF mean field (beyond the reference, which only
+    refines 2D slices independently): full 3D Gaussian smoothness +
+    bilateral appearance over a (H, W, D, C) posterior volume.
+
+    ``volume``: (H, W, D) or (H, W, D, ch) guide intensities, or None to
+    drop the bilateral term.  Returns refined (H, W, D, C) marginals.
+    """
+    posteriors = np.asarray(posteriors, dtype=np.float32)
+    H, W, D, C = posteriors.shape
+    n = H * W * D
+    yy, xx, zz = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32),
+                             np.arange(D, dtype=np.float32), indexing="ij")
+    pos = np.stack([yy.ravel(), xx.ravel(), zz.ravel()], axis=-1)
+    feat_g = pos / sxyz_gauss
+    feat_b = None
+    if volume is not None and w_bilat != 0.0:
+        vol = np.asarray(volume, dtype=np.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        feat_b = np.concatenate(
+            [pos / sxyz_bilat, vol.reshape(n, -1) / srgb], axis=-1)
+    q = dcrf_meanfield_feats(posteriors.reshape(n, C), feat_g, w_gauss,
+                             feat_b, w_bilat, iters)
+    return q.reshape(H, W, D, C)

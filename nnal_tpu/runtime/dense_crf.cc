@@ -286,6 +286,46 @@ void nnal_permutohedral_filter(const float* feat, const float* values, int N,
   lat.compute(out, values, vd);
 }
 
+// Dense-CRF mean field over arbitrary pre-scaled feature spaces: the
+// grid-agnostic core (2D slices, 3D volumes, or any point set).
+//   unary:  (N, C) row-major negative log-posteriors
+//   feat_g: (N, dg) smoothness features (already divided by their sigmas)
+//   feat_b: (N, db) appearance features, may be null when w_b == 0
+//   q_out:  (N, C) refined marginals
+// Potts compatibility, symmetric normalization (pydensecrf's default).
+void nnal_dcrf_meanfield_feats(const float* unary, const float* feat_g,
+                               int dg, float w_g, const float* feat_b,
+                               int db, float w_b, int N, int C, int iters,
+                               float* q_out) {
+  const bool bilat = (w_b != 0.f) && (feat_b != nullptr) && (db > 0);
+
+  Permutohedral lat_g;
+  lat_g.init(feat_g, N, dg);
+  std::vector<float> norm_g;
+  sym_norm(lat_g, N, norm_g);
+
+  Permutohedral lat_b;
+  std::vector<float> norm_b;
+  if (bilat) {
+    lat_b.init(feat_b, N, db);
+    sym_norm(lat_b, N, norm_b);
+  }
+
+  std::vector<float> q((size_t)N * C), E((size_t)N * C);
+  std::vector<float> tmp((size_t)N * C), filt((size_t)N * C);
+  softmax_neg(unary, q.data(), N, C);
+
+  for (int it = 0; it < iters; ++it) {
+    std::memcpy(E.data(), unary, sizeof(float) * (size_t)N * C);
+    add_potts_term(lat_g, norm_g, w_g, q.data(), N, C, E.data(), tmp, filt);
+    if (bilat)
+      add_potts_term(lat_b, norm_b, w_b, q.data(), N, C, E.data(), tmp,
+                     filt);
+    softmax_neg(E.data(), q.data(), N, C);
+  }
+  std::memcpy(q_out, q.data(), sizeof(float) * (size_t)N * C);
+}
+
 // Dense-CRF mean field on a 2D grid.
 //   unary: (H*W, C) row-major negative log-posteriors
 //   img:   (H*W, ch) guide image intensities (any scale; srgb matches it),
@@ -306,16 +346,12 @@ void nnal_dcrf2d_meanfield(const float* unary, const float* img, int H,
       fg[(size_t)(y * W + x) * 2 + 0] = (float)y / sxy_g;
       fg[(size_t)(y * W + x) * 2 + 1] = (float)x / sxy_g;
     }
-  Permutohedral lat_g;
-  lat_g.init(fg.data(), N, 2);
-  std::vector<float> norm_g;
-  sym_norm(lat_g, N, norm_g);
 
-  Permutohedral lat_b;
-  std::vector<float> norm_b;
+  std::vector<float> fb;
+  int db = 0;
   if (bilat) {
-    const int db = 2 + ch;
-    std::vector<float> fb((size_t)N * db);
+    db = 2 + ch;
+    fb.resize((size_t)N * db);
     for (int y = 0; y < H; ++y)
       for (int x = 0; x < W; ++x) {
         size_t n = (size_t)y * W + x;
@@ -324,23 +360,10 @@ void nnal_dcrf2d_meanfield(const float* unary, const float* img, int H,
         for (int c = 0; c < ch; ++c)
           fb[n * db + 2 + c] = img[n * ch + c] / srgb;
       }
-    lat_b.init(fb.data(), N, db);
-    sym_norm(lat_b, N, norm_b);
   }
-
-  std::vector<float> q((size_t)N * C), E((size_t)N * C);
-  std::vector<float> tmp((size_t)N * C), filt((size_t)N * C);
-  softmax_neg(unary, q.data(), N, C);
-
-  for (int it = 0; it < iters; ++it) {
-    std::memcpy(E.data(), unary, sizeof(float) * (size_t)N * C);
-    add_potts_term(lat_g, norm_g, w_g, q.data(), N, C, E.data(), tmp, filt);
-    if (bilat)
-      add_potts_term(lat_b, norm_b, w_b, q.data(), N, C, E.data(), tmp,
-                     filt);
-    softmax_neg(E.data(), q.data(), N, C);
-  }
-  std::memcpy(q_out, q.data(), sizeof(float) * (size_t)N * C);
+  nnal_dcrf_meanfield_feats(unary, fg.data(), 2, w_g,
+                            bilat ? fb.data() : nullptr, db,
+                            bilat ? w_b : 0.f, N, C, iters, q_out);
 }
 
 }  // extern "C"

@@ -150,3 +150,64 @@ def test_dcrf_postprocess_auto_prefers_native():
     assert ref_auto.dtype == np.uint8
     assert (np.mean(ref_auto != truth)
             <= np.mean((p1 > 0.5).astype(int) != truth))
+
+
+def test_generic_feats_entry_matches_2d_entry():
+    """dcrf_meanfield_feats with hand-built 2D grid features reproduces the
+    dcrf2d_meanfield result bit-for-bit (the 2D entry delegates to it)."""
+    rng = np.random.default_rng(6)
+    H, W = 15, 13
+    p1 = np.clip(rng.uniform(0, 1, (H, W)), 0.02, 0.98)
+    img = rng.normal(0, 20, (H, W)).astype(np.float32)
+    posts = np.stack([1 - p1, p1], -1).astype(np.float32)
+    q2d = dcrf2d_meanfield(posts, img, iters=4)
+
+    from nnal_tpu.runtime.crf_native import dcrf_meanfield_feats
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    pos = np.stack([yy.ravel(), xx.ravel()], -1)
+    fg = pos / 3.0
+    fb = np.concatenate([pos / 50.0, img.reshape(-1, 1) / 4.0], -1)
+    qg = dcrf_meanfield_feats(posts.reshape(-1, 2), fg, 3.0, fb, 10.0,
+                              iters=4)
+    np.testing.assert_array_equal(q2d.reshape(-1, 2), qg)
+
+
+def test_dcrf3d_volumetric_denoising():
+    """3D CRF (beyond the reference's slice-by-slice refinement) uses
+    cross-slice smoothness: a z-column of flipped labels inside an
+    otherwise-consistent 3D blob gets repaired."""
+    from nnal_tpu.runtime.crf_native import dcrf3d_meanfield
+
+    rng = np.random.default_rng(7)
+    H = W = 20
+    D = 7
+    truth = np.zeros((H, W, D))
+    truth[5:15, 5:15, 1:6] = 1.0
+    vol = truth * 60 + rng.normal(0, 3, (H, W, D))
+    p1 = np.clip(0.8 * truth + 0.1 + rng.normal(0, 0.18, (H, W, D)),
+                 0.01, 0.99)
+    # corrupt ONE interior slice's posterior inside the blob
+    p1[7:12, 7:12, 3] = 0.15
+    posts = np.stack([1 - p1, p1], -1).astype(np.float32)
+    q = dcrf3d_meanfield(posts, vol.astype(np.float32), iters=5)
+    assert q.shape == (H, W, D, 2)
+    np.testing.assert_allclose(q.sum(-1), 1.0, rtol=1e-4)
+    err_before = np.mean((p1 > 0.5) != truth)
+    err_after = np.mean(q.argmax(-1) != truth)
+    assert err_after < err_before
+    # the corrupted interior voxels are recovered from the z-neighbors
+    assert q.argmax(-1)[8:11, 8:11, 3].mean() > 0.5
+
+
+def test_dcrf_postprocess_3d_wrapper():
+    from nnal_tpu.evaluation.crf import dcrf_postprocess_3d
+
+    rng = np.random.default_rng(8)
+    truth = np.zeros((16, 16, 5))
+    truth[4:12, 4:12, 1:4] = 1.0
+    vol = truth * 60 + rng.normal(0, 3, truth.shape)
+    p1 = np.clip(0.8 * truth + 0.1 + rng.normal(0, 0.15, truth.shape),
+                 0.01, 0.99)
+    seg = dcrf_postprocess_3d(p1, vol, iters=3)
+    assert seg.shape == truth.shape and seg.dtype == np.uint8
+    assert np.mean(seg != truth) <= np.mean((p1 > 0.5) != truth)
