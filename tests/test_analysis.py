@@ -290,3 +290,31 @@ def test_slice_query_preds(ran_expr):
     if empty_z is not None:
         p2, _, f2 = slice_query_preds(ran_expr, "entropy", empty_z)
         assert len(p2) == 0 and len(f2) == 0
+
+
+def test_full_model_pred_dcrf3d(ran_expr, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from nnal_tpu.models.checkpoint import load_checkpoint
+    from nnal_tpu.runtime.crf_native import crf_native_available
+
+    if not crf_native_available():
+        pytest.skip("g++ toolchain unavailable")
+    from nnal_tpu.evaluation.analysis import full_model_pred_dcrf3d
+
+    spec = ran_expr.build_model()
+    ev = ran_expr.make_evaluator(spec)
+    params = jax.tree_util.tree_map(jnp.asarray, load_checkpoint(
+        os.path.join(ran_expr.root_dir, "entropy",
+                     "curr_weights.npz"))[0])
+    vols, mask = ran_expr._load_subject()
+    preds, f1 = full_model_pred_dcrf3d(ev, params, vols[0], mask, [1, 2, 3],
+                                       save_dir=str(tmp_path / "d3"),
+                                       iters=3)
+    assert preds.shape == mask.shape
+    assert 0.0 <= f1 <= 1.0
+    assert set(np.unique(preds)) <= {0.0, 1.0}
+    assert preds[:, :, [0, 4]].sum() == 0  # untouched slices stay empty
+    assert os.path.exists(tmp_path / "d3" / "dcrf3d_segs.npy")
+    assert os.path.exists(tmp_path / "d3" / "F1_score_dcrf3d.txt")
