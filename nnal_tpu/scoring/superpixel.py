@@ -20,13 +20,25 @@ import numpy as np
 
 
 def slic_2d(img: np.ndarray, n_segments: int = 100,
-            compactness: float = 10.0, n_iter: int = 10) -> np.ndarray:
+            compactness: float = 10.0, n_iter: int = 10,
+            backend: str = "auto") -> np.ndarray:
     """SLIC superpixels for one 2D slice.  Returns an int label map.
 
     Standard SLIC: seeds on a regular grid, iterative assignment within a
     2S x 2S window via distance d = d_color + (compactness/S) * d_xy,
     then centroid update.  (Replaces skimage.segmentation.slic.)
+
+    ``backend="auto"`` routes through the native C++ loop
+    (``runtime/slic.cc`` — identical seeds/semantics, one O(H*W) centroid
+    pass instead of NumPy's O(H*W*n) boolean reduction) when the toolchain
+    is available; ``"numpy"`` forces the pure-NumPy oracle below.
     """
+    if backend == "auto":
+        from nnal_tpu.runtime.slic_native import (slic_2d_native,
+                                                  slic_native_available)
+
+        if slic_native_available():
+            return slic_2d_native(img, n_segments, compactness, n_iter)
     img = np.asarray(img, dtype=np.float64)
     H, W = img.shape
     S = max(int(np.sqrt(H * W / n_segments)), 1)

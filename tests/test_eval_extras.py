@@ -116,3 +116,25 @@ def test_visualize_functions(tmp_path):
     import os
 
     assert os.path.getsize(p) > 0
+
+
+def test_native_slic_matches_numpy_oracle():
+    """The C++ SLIC (runtime/slic.cc) mirrors the NumPy implementation —
+    same seeds, same strict-< windowed assignment order, same centroid
+    update — so on a non-degenerate (noisy) image the label maps are
+    identical."""
+    import pytest
+
+    from nnal_tpu.runtime.slic_native import (slic_2d_native,
+                                              slic_native_available)
+
+    if not slic_native_available():
+        pytest.skip("g++ toolchain unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 1, (96, 80)) + 3.0 * (rng.uniform(size=(96, 80))
+                                              > 0.6)
+    ln = slic_2d_native(img, n_segments=25, n_iter=8)
+    lp = slic_2d(img, n_segments=25, n_iter=8, backend="numpy")
+    np.testing.assert_array_equal(ln, lp)
+    la = slic_2d(img, n_segments=25, n_iter=8)  # auto -> native
+    np.testing.assert_array_equal(la, ln)
