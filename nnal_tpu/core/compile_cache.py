@@ -14,6 +14,9 @@ Environment:
                                     ~/.cache/nnal_tpu/xla)
   NNAL_COMPILE_CACHE=0 | off | none disable (all three spellings; ignored
                                     when the caller passes an explicit path)
+  NNAL_COMPILE_CACHE=1 | on | true  enable at the default directory (these
+                                    would otherwise create a literal ./1
+                                    cache directory)
 """
 
 from __future__ import annotations
@@ -41,6 +44,10 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     # did not pass an explicit path (an explicit argument always wins)
     if path is None and env.lower() in ("0", "off", "none"):
         return None
+    # enable-spellings mean "default dir", not a directory literally
+    # named "1"/"on"/"true"/"yes"
+    if env.lower() in ("1", "on", "true", "yes"):
+        env = ""
     path = path or (env if env else _DEFAULT)
     os.makedirs(path, exist_ok=True)
     changed = jax.config.jax_compilation_cache_dir != path

@@ -45,6 +45,18 @@ def test_disable_via_env(monkeypatch, spelling):
     assert jax.config.jax_compilation_cache_dir == before
 
 
+@pytest.mark.parametrize("spelling", ["1", "on", "true", "YES"])
+def test_enable_spellings_mean_default_dir(monkeypatch, spelling, tmp_path):
+    """NNAL_COMPILE_CACHE=1 must enable at the default dir, not create a
+    literal ./1 directory (which it once did)."""
+    monkeypatch.setenv("NNAL_COMPILE_CACHE", spelling)
+    monkeypatch.chdir(tmp_path)
+    out = enable_compilation_cache()
+    assert out is not None
+    assert os.path.isabs(out) and os.path.basename(out) != spelling
+    assert not os.path.exists(tmp_path / spelling)
+
+
 def test_explicit_path_beats_env_disable(tmp_path, monkeypatch):
     """A caller-supplied path wins over every env disable spelling."""
     monkeypatch.setenv("NNAL_COMPILE_CACHE", "0")
