@@ -32,9 +32,9 @@ import numpy as np  # noqa: E402
 # honor an explicit JAX_PLATFORMS (the baked sitecustomize resets it to
 # "axon,cpu" at jax import, so JAX_PLATFORMS=cpu would otherwise still
 # target — and hang on — an unhealthy tunnel)
-_plat = os.environ.get("JAX_PLATFORMS")
-if _plat:
-    jax.config.update("jax_platforms", _plat)
+from nnal_tpu.core.platform import honor_env_platforms  # noqa: E402
+
+honor_env_platforms()
 
 # persistent XLA cache: remote compiles dominate cold-start bench time
 from nnal_tpu.core.compile_cache import enable_compilation_cache  # noqa: E402

@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nnal_tpu.core.platform import honor_env_platforms  # noqa: E402
+
+honor_env_platforms()
+
 
 def main():
     import numpy as np

@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nnal_tpu.core.platform import honor_env_platforms  # noqa: E402
+
+honor_env_platforms()
+
 import jax  # noqa: E402
 
 _plat = os.environ.get("JAX_PLATFORMS")

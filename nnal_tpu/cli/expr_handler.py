@@ -101,6 +101,9 @@ def create_run(root_dir: str, overrides: str = "",
 
 
 def main(argv=None):
+    from nnal_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     # process entry point: warm/persist XLA compiles across invocations
     # (remote TPU compiles are the dominant per-campaign one-time cost)
     from nnal_tpu.core.compile_cache import enable_compilation_cache

@@ -35,6 +35,9 @@ def repeat_runs(root_dir: str, methods, nqueries: int, n_runs: int = 10,
 
 
 def main(argv=None):
+    from nnal_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 3:
         print("usage: repeat_runs.py <root> <methods,comma-sep> <nqueries> "

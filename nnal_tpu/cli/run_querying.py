@@ -87,6 +87,9 @@ def run_classification_al(root_dir: str, pool, methods: Sequence[str],
 def main(argv=None):
     """argv: root_dir imgs_path_file labels_file max_queries
     [method,method,...] [key=val,...]"""
+    from nnal_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     from nnal_tpu.data.image_pool import ImagePathPool
 
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -88,6 +88,9 @@ def run_comparison(X, y, nclass: int, *, k: int = 10, rounds: int = 10,
 
 
 def main(argv=None):
+    from nnal_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms()
     X, y = synthetic_mnist()
     curves = run_comparison(X, y, 10)
     for m, c in curves.items():
