@@ -88,15 +88,22 @@ def solve_a_optimal(A: jnp.ndarray, cap: float = 1.0,
     simplex.  ``A``: (n, d, d) stack of per-sample conditional Fisher
     matrices (diagonally loaded upstream).
 
-    Solver: the multiplicative A-optimal design rule (Fedorov-Wynn /
-    Titterington), ``q <- normalize(q * sqrt(w))`` with
-    ``w_i = tr(M^{-1} A_i M^{-1})`` — its fixed points are exactly the
-    A-optimality KKT conditions (w equalized on the support), and it
-    converges orders of magnitude faster here than Frank-Wolfe variants
-    (vanilla/line-search/pairwise FW all stall near 1e-3 relative gap at
-    the B=200 operating point; this rule reaches 1e-6).  Caps and the
-    lambda terms enter through the effective weights and an exact
-    capped-normalization (bisection).
+    Solver, pure A-optimal (``lin``/``F`` absent): the multiplicative
+    design rule (Fedorov-Wynn / Titterington), ``q <- normalize(q *
+    sqrt(w))`` with ``w_i = tr(M^{-1} A_i M^{-1})`` — its fixed points
+    are exactly the A-optimality KKT conditions (w equalized on the
+    support), and it converges orders of magnitude faster here than
+    Frank-Wolfe variants (vanilla/line-search/pairwise FW all stall near
+    1e-3 relative gap at the B=200 operating point; this rule reaches
+    1e-6).  Caps enter through an exact capped-normalization (bisection).
+
+    Solver, composite objective (``lin`` and/or ``rho*F`` present): the
+    multiplicative rule's fixed points no longer match the KKT conditions
+    once the gradient can change sign (measured: it converges to a point
+    ~77% above the optimum with the wrong support on the
+    representativeness path), so this branch runs Frank-Wolfe with Armijo
+    backtracking line search instead — valid for any smooth convex
+    objective over the capped simplex.
 
     Convergence control: the FW duality gap ``<grad(q), q - s>`` over the
     capped simplex (an upper bound on f(q) - f* by convexity) is checked
@@ -130,7 +137,7 @@ def solve_a_optimal(A: jnp.ndarray, cap: float = 1.0,
         t, _, rgap = state
         return (t < steps) & (rgap > tol)
 
-    def body(state):
+    def body_mult(state):
         t, q, _ = state
         g = gradient(q)
         rgap = rel_gap(q, g)
@@ -139,7 +146,62 @@ def solve_a_optimal(A: jnp.ndarray, cap: float = 1.0,
         q_new = jnp.where(rgap > tol, q_new, q)
         return t + 1, q_new, rgap
 
-    _, q, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), q0, jnp.inf))
+    def _project_capped(u):
+        """Euclidean projection onto {q: sum q = 1, 0 <= q <= cap}:
+        clip(u - theta, 0, cap) with theta found by bisection (the
+        constraint sum is monotone decreasing in theta)."""
+        lo0 = jnp.min(u) - 1.0 / u.shape[0]
+        hi0 = jnp.max(u)
+
+        def bis(_, st):
+            lo, hi = st
+            mid = 0.5 * (lo + hi)
+            s = jnp.sum(jnp.clip(u - mid, 0.0, cap))
+            return (jnp.where(s > 1.0, mid, lo), jnp.where(s > 1.0, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 80, bis, (lo0, hi0))
+        return jnp.clip(u - 0.5 * (lo + hi), 0.0, cap)
+
+    def body_fw(state):
+        """One projected-gradient step with Armijo backtracking (the
+        step size warm-starts at twice the last accepted one).  The FW
+        duality gap over the capped simplex is kept as the optimality
+        certificate — it is algorithm-independent."""
+        t, q, _, gamma = state
+        g = gradient(q)
+        s = _lmo_capped_simplex(g, cap)
+        rgap = jnp.dot(g, q - s) / jnp.maximum(jnp.abs(objective(q)),
+                                               1e-12)
+        f0 = objective(q)
+
+        def ls_cond(st):
+            gm, it = st
+            qn = _project_capped(q - gm * g)
+            return (objective(qn) >
+                    f0 + 0.3 * jnp.dot(g, qn - q)) & (it < 40)
+
+        def ls_body(st):
+            gm, it = st
+            return gm * 0.5, it + 1
+
+        gamma, _ = jax.lax.while_loop(ls_cond, ls_body,
+                                      (gamma * 2.0, jnp.int32(0)))
+        q_new = _project_capped(q - gamma * g)
+        q_new = jnp.where(rgap > tol, q_new, q)
+        return t + 1, q_new, rgap, gamma
+
+    composite = lin is not None or FtF is not None
+    if composite:
+        def cond_fw(state):
+            t, _, rgap, _ = state
+            return (t < steps) & (rgap > tol)
+
+        _, q, _, _ = jax.lax.while_loop(
+            cond_fw, body_fw,
+            (jnp.int32(0), q0, jnp.inf, jnp.asarray(1.0, A.dtype)))
+    else:
+        _, q, _ = jax.lax.while_loop(cond, body_mult,
+                                     (jnp.int32(0), q0, jnp.inf))
     # the loop's gap is one iterate stale; report the final one
     rgap = rel_gap(q, gradient(q))
     return q, rgap

@@ -228,3 +228,58 @@ def test_a_optimal_gap_and_scale_parity():
     np.testing.assert_allclose(np.sort(q_fw)[::-1][:len(sup_fw)],
                                np.sort(q_ref)[::-1][:len(sup_ref)],
                                atol=2e-3)
+
+
+def test_composite_sdp_matches_host_solver():
+    """Representativeness path (lambda > 0): the composite objective's
+    gradient changes sign, so the multiplicative Fedorov-Wynn rule is
+    invalid there (it converged ~77% above the optimum with the wrong
+    support before the projected-gradient branch landed).  Pin objective
+    parity with an SLSQP host oracle on both the failing instance and a
+    capped B=200-scale one."""
+    from scipy.optimize import minimize
+
+    rho = 10.0
+
+    def host_opt(An, lin, FtF, cap):
+        n = An.shape[0]
+
+        def og(q):
+            M = np.einsum("n,nab->ab", q, An)
+            Minv = np.linalg.inv(M)
+            G = Minv @ Minv
+            f = float(np.trace(Minv) + lin @ q + 0.5 * q @ FtF @ q)
+            return f, -np.einsum("ab,nab->n", G, An) + lin + FtF @ q
+
+        res = minimize(og, np.full(n, 1.0 / n), jac=True, method="SLSQP",
+                       bounds=[(0.0, cap)] * n,
+                       constraints=[{"type": "eq",
+                                     "fun": lambda q: q.sum() - 1.0,
+                                     "jac": lambda q: np.ones(n)}],
+                       options={"maxiter": 2000, "ftol": 1e-14})
+        return res.fun, og
+
+    # the instance that exposed the bug (test_fi_query_distribution_wrapper
+    # inputs at lambda=0.5)
+    rng = np.random.default_rng(9)
+    A = np.stack([np.eye(3) * (0.1 + rng.random()) for _ in range(6)])
+    F = rng.normal(size=(2, 6))
+    F -= F.mean(1, keepdims=True)
+    lam = 0.5
+    q = fi_query_distribution(list(A), lam, F, 3)
+    f_host, og = host_opt(A, -lam * (F ** 2).sum(0), rho * F.T @ F, 1.0)
+    assert abs(og(q)[0] - f_host) <= 1e-3 * abs(f_host)
+
+    # capped B=200-scale composite
+    rng = np.random.default_rng(11)
+    d, n = 7, 200
+    A2 = np.stack([(lambda g: g @ g.T + 1e-3 * np.eye(d))(
+        rng.normal(size=(d, 2)) * rng.uniform(0.2, 2.0)) for _ in range(n)])
+    F2 = rng.normal(size=(4, n))
+    F2 -= F2.mean(1, keepdims=True)
+    lam = 0.3
+    q2 = fi_query_distribution(list(A2), lam, F2, 32, cap_peak=True)
+    assert q2.max() <= 1.0 / 32 + 1e-6
+    f2_host, og2 = host_opt(A2, -lam * (F2 ** 2).sum(0),
+                            rho * F2.T @ F2, 1.0 / 32)
+    assert abs(og2(q2)[0] - f2_host) <= 1e-3 * abs(f2_host)
