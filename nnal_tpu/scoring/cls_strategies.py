@@ -126,12 +126,13 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         if method_name == "BALD":
             return np.argsort(-bald, kind="stable")[:ctx.k]
         from nnal_tpu.scoring.batchbald import batchbald_select_probs
+        from nnal_tpu.scoring.strategies import _BB_CFG_FOLD
 
         Bc = min(ctx.B, n)
         sel = np.argsort(-bald, kind="stable")[:Bc]
         chosen = np.asarray(batchbald_select_probs(
             jnp.asarray(stack[:, sel]), min(ctx.k, Bc),
-            jax.random.fold_in(key, (1 << 20) + 13)))
+            jax.random.fold_in(key, _BB_CFG_FOLD)))
         return sel[chosen]
 
     if method_name in ("ensemble", "QBC-JS"):

@@ -76,7 +76,7 @@ def refine_feature_matrix(F: np.ndarray, B: int,
 def fi_select(spec, params, patches, posts_p1, k: int, rng, *,
               lambda_: float = 0.0, features: Optional[np.ndarray] = None,
               diag_load: float = 1e-5, cap_peak: bool = False,
-              sdp_steps: int = 400) -> np.ndarray:
+              sdp_steps: int = 2000) -> np.ndarray:
     """End-to-end FI querying over a filtered candidate set.
 
     ``patches``: (B, ...) normalized candidate patches, ``posts_p1``: their

@@ -280,8 +280,8 @@ def shrunk_class_grads_persample(spec, params, x: jnp.ndarray) -> jnp.ndarray:
     return per_sample(x) / sizes  # (b, c, L)
 
 
-@partial(jax.jit, static_argnames=("spec", "loss_fn"))
-def per_sample_grads(spec, params, x, y_onehot, loss_fn=None):
+@partial(jax.jit, static_argnames=("spec",))
+def per_sample_grads(spec, params, x, y_onehot):
     """Full per-sample loss gradients via ``vmap(grad)`` — pytree with a
     leading batch axis (used by diagonal Fisher; reference computes these
     one sess.run per sample, model_utils.py:294-330)."""

@@ -217,6 +217,7 @@ class GridPoolEvaluator(PoolEvaluator):
         # channel stack can't reproduce that shift, so even d3 delegates
         # every evaluate to the exact dynamic-slice path
         self._sweep_ok = d3 % 2 == 1
+        self._slices = None              # set below iff sweeping is legal
         if d3 == 1:
             # (D3, D1p, D2p, m) slice stack, device-resident
             self._slices = jnp.transpose(self.padded, (3, 1, 2, 0))
@@ -244,6 +245,15 @@ class GridPoolEvaluator(PoolEvaluator):
         return self.z_chunk
 
     def _sweep_slices(self):
+        if not self._sweep_ok:
+            # even d3 never builds a slice stack (__init__ docstring);
+            # evaluate() guards on _sweep_ok but the public sweep entry
+            # points land here — fail with the reason, not AttributeError
+            raise ValueError(
+                f"d3={self.patch_shape[2]} is even: the channel-stacked "
+                "sweep cannot reproduce the clamped gather at the volume "
+                "border — use evaluate() (it delegates to the exact "
+                "dynamic-slice path)")
         z_pad = -self.nz % self._pad_mult()
         slices = self._slices
         if z_pad:

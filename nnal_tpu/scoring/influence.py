@@ -94,14 +94,21 @@ def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
     r0 = v
     p0 = r0
     rs0 = _tree_dot(r0, r0)
+    # RELATIVE stopping threshold: an absolute one silently skipped the
+    # whole loop for small-norm query gradients (late-round well-fit
+    # models), returning s_test = 0 and degenerating every influence
+    # ranking to the uncertainty-filter order.
+    rs_stop = tol * jnp.maximum(rs0, 1e-30)
 
     # truncated CG: the CE Hessian is indefinite in general; on detecting
     # non-positive curvature (p^T (H + damping) p <= 0) the iteration exits
     # with the current iterate — standard Newton-CG behavior, matching the
-    # reference's fmin_ncg curvature handling.
+    # reference's fmin_ncg curvature handling.  On FIRST-iteration negative
+    # curvature fmin_ncg falls back to the steepest-descent direction (the
+    # RHS v), not the zero vector — mirrored here.
     def cond(carry):
         _, _, _, rs, i, done = carry
-        return jnp.logical_and(jnp.logical_and(i < max_iter, rs > tol),
+        return jnp.logical_and(jnp.logical_and(i < max_iter, rs > rs_stop),
                                jnp.logical_not(done))
 
     def body(carry):
@@ -109,8 +116,10 @@ def cg_solve_hvp(spec, params, x, y_onehot, v, damping: float = 0.01,
         Ap = matvec(p)
         pAp = _tree_dot(p, Ap)
         neg_curv = pAp <= 1e-12
+        first_neg = jnp.logical_and(neg_curv, i == 0)
         alpha = jnp.where(neg_curv, 0.0, rs / jnp.where(neg_curv, 1.0, pAp))
-        t = jax.tree_util.tree_map(lambda a, b: a + alpha * b, t, p)
+        t = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(first_neg, b, a + alpha * b), t, p)
         r = jax.tree_util.tree_map(lambda a, b: a - alpha * b, r, Ap)
         rs_new = _tree_dot(r, r)
         beta = rs_new / jnp.maximum(rs, 1e-30)

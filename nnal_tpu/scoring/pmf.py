@@ -37,9 +37,11 @@ def sample_query_pmf(q_pmf, k: int, rng, replacement: bool = True) -> np.ndarray
 
     if replacement:
         draws = q.cumsum().searchsorted(rng.random(k))
-        draws = np.unique(draws)
+        # clamp BEFORE unique: a float-rounding draw past cumsum[-1] maps
+        # to len(q); clamping after dedup could emit len(q)-1 twice,
+        # violating the unique-positions contract
         draws[draws == len(q)] = len(q) - 1
-        return draws
+        return np.unique(draws)
 
     rem = np.arange(len(q))
     out = []

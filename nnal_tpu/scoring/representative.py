@@ -26,9 +26,13 @@ import numpy as np
 
 @jax.jit
 def cosine_similarity(F1: jnp.ndarray, F2: jnp.ndarray) -> jnp.ndarray:
-    """(n1, n2) cosine similarities; features are rows."""
-    n1 = F1 / jnp.linalg.norm(F1, axis=1, keepdims=True)
-    n2 = F2 / jnp.linalg.norm(F2, axis=1, keepdims=True)
+    """(n1, n2) cosine similarities; features are rows.  Zero rows (a
+    post-ReLU feature vector can be exactly zero for background patches
+    under a one-class-regime model) normalize to zero instead of NaN —
+    NaN comparisons are false on XLA, which silently corrupts every
+    downstream greedy argmax/argmin selection."""
+    n1 = F1 / jnp.maximum(jnp.linalg.norm(F1, axis=1, keepdims=True), 1e-12)
+    n2 = F2 / jnp.maximum(jnp.linalg.norm(F2, axis=1, keepdims=True), 1e-12)
     return jnp.dot(n1, n2.T, preferred_element_type=jnp.float32)
 
 
@@ -126,7 +130,8 @@ def core_set_select(Fu_normed: jnp.ndarray, sims0: jnp.ndarray,
 
 def normalize_rows(F) -> jnp.ndarray:
     F = jnp.asarray(F)
-    return F / jnp.linalg.norm(F, axis=1, keepdims=True)
+    # zero rows -> zero, not NaN (see cosine_similarity)
+    return F / jnp.maximum(jnp.linalg.norm(F, axis=1, keepdims=True), 1e-12)
 
 
 # --------------------------------------------------------------------- BADGE

@@ -43,10 +43,12 @@ from nnal_tpu.scoring.uncertainty import (
     binary_uncertainty_filter,
 )
 
-# rng fold constant for BatchBALD's configuration sampling — far outside
-# the 0..MC_iters-1 fold range the MC-dropout passes use on the same base
-# key, so the config draws can never alias a dropout pass's key chain
-_BB_CFG_FOLD = (1 << 20) + 13
+# rng fold constants — far outside the 0..MC_iters-1 fold range the
+# MC-dropout passes use on the same base key, so these streams can never
+# alias a dropout pass's key chain (CLAUDE.md rng-fold discipline); one
+# home each, imported by the classification dispatch too
+_BB_CFG_FOLD = (1 << 20) + 13        # BatchBALD configuration sampling
+_ARNOLDI_KEY_FOLD = (1 << 20) + 29   # Lanczos start vector
 
 
 @dataclass
@@ -362,7 +364,7 @@ def _s_test_dispatch(extra: Dict, spec, params, tx, ty, damping,
         st, _ = arnoldi_s_test(
             spec, params, tx, ty, tx, ty,
             rank=int(extra.get("arnoldi_rank", 8)),
-            key=jax.random.fold_in(jax_rng, (1 << 20) + 29),
+            key=jax.random.fold_in(jax_rng, _ARNOLDI_KEY_FOLD),
             damping=damping, n_valid=n_tr, q_n_valid=n_tr)
         return st
     if mode != "cg":
@@ -649,7 +651,26 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             order.append(base + li)
         A = np.concatenate(A_list)
         order = np.concatenate(order)
-        q = fi_query_distribution(A, contexts[0].lambda_, None, k)
+        X_pool = None
+        if contexts[0].lambda_ > 0:
+            # representativeness term: per-subject feature gathers for the
+            # surviving candidates, concatenated in A/order order (mirrors
+            # the single-subject _fi; without this the lambda config was
+            # silently a no-op on the multi-subject path)
+            from nnal_tpu.scoring.fisher import refine_feature_matrix
+
+            F_list = []
+            for si, c in enumerate(contexts):
+                li = sel_local[si]
+                if len(li) == 0:
+                    continue
+                F_list.append(np.asarray(c.evaluator.evaluate(
+                    c.params, c.pool_inds[li],
+                    ("feature_layer",))["feature_layer"]))
+            F = np.concatenate(F_list)
+            ref_F = refine_feature_matrix(F.T, len(order))
+            X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
+        q = fi_query_distribution(A, contexts[0].lambda_, X_pool, k)
         draws = sample_query_pmf(q, k, rng, replacement=True)
         pick = order[draws]
         return global2local_inds(pick, sizes)
