@@ -165,20 +165,26 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
             core_set_select,
             cross_max_similarities,
             normalize_rows,
+            pad_rows,
         )
 
         F_u = jnp.asarray(batched_forward(
             ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
             ("feature_layer",))["feature_layer"])
+        # bucket-pad the pool side (shape-stability rule); pads get
+        # sims0=+inf so the k-center argmin can never pick them
+        F_u, n_u = pad_rows(F_u)
         Fn = normalize_rows(F_u)
         if ctx.labeled_x is not None and len(ctx.labeled_x) > 0:
             F_t = jnp.asarray(batched_forward(
                 ctx.spec, ctx.params, ctx.labeled_x, ctx.batch,
                 ("feature_layer",))["feature_layer"])
             sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
-                                                       as_device=True))
+                                                       as_device=True,
+                                                       keep_pad=True))
         else:
             sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
+        sims0 = jnp.where(jnp.arange(F_u.shape[0]) < n_u, sims0, jnp.inf)
         return np.asarray(core_set_select(Fn, sims0, min(ctx.k, n)))
 
     posts = batched_forward(ctx.spec, ctx.params, ctx.pool_x,
@@ -256,13 +262,15 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         return sel[picks]
 
     if method_name == "rep-entropy":
+        from nnal_tpu.scoring.representative import rep_entropy_from_features
+
         F = batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
                             ("feature_layer",))["feature_layer"]
         rest = np.setdiff1d(np.arange(n), sel)
         if len(rest) == 0:
             return sel[:ctx.k]
-        sims = cosine_similarity(jnp.asarray(F[rest]), jnp.asarray(F[sel]))
-        chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
+        chosen = rep_entropy_from_features(jnp.asarray(F), rest, sel,
+                                           min(ctx.k, B))
         return sel[chosen]
 
     if method_name == "BADGE":

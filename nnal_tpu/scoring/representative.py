@@ -24,6 +24,56 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# leading-dim bucket for the heavy jitted kernels (similarity matmuls,
+# greedy-select fori loops): the pool shrinks by k and the labeled set
+# grows by k every AL round, so un-padded shapes recompiled those
+# programs per round on the remote compiler (the repo's shape-stability
+# standing rule).  4096 rows of 4096-d f32 features = 64 MB per bucket
+# increment — cheap against 16 GB HBM.
+ROW_BUCKET = 4096
+
+
+def pad_rows(F, mult: int = ROW_BUCKET, fill: float = 0.0):
+    """Pad the leading dim to a multiple of ``mult`` (device concat — the
+    one cheap program allowed to recompile per round; the heavy kernels
+    downstream then see bucket-stable shapes).  Returns ``(padded, n)``.
+
+    Fill choice is the caller's rank-neutrality argument: zero rows
+    normalize to zero similarity (a constant shift in rep-entropy scores,
+    and sliced-off rows in max-reductions)."""
+    F = jnp.asarray(F)
+    n = F.shape[0]
+    pad = -n % mult
+    if pad == 0:
+        return F, n
+    return jnp.concatenate(
+        [F, jnp.full((pad,) + F.shape[1:], fill, F.dtype)]), n
+
+
+def pad_inds_repeat(inds, mult: int) -> np.ndarray:
+    """Pad a HOST index array to a multiple of ``mult`` by repeating its
+    first entry — the device gather over it then compiles once per
+    bucket, and the duplicate rows it produces are exact no-ops wherever
+    a max-reduction consumes them (or are masked/sliced by the caller)."""
+    inds = np.asarray(inds)
+    pad = -len(inds) % mult
+    if pad == 0:
+        return inds
+    return np.concatenate([inds, np.full(pad, inds[0], inds.dtype)])
+
+
+def pad_rows_repeat(F, mult: int = ROW_BUCKET):
+    """Pad the leading dim to a multiple of ``mult`` by repeating row 0 —
+    duplicates never change a max-reduction over rows, so this is the
+    exact pad for the *reduced-over* side of cross-max similarities."""
+    F = jnp.asarray(F)
+    pad = -F.shape[0] % mult
+    if pad == 0:
+        return F
+    return jnp.concatenate(
+        [F, jnp.broadcast_to(F[:1], (pad,) + F.shape[1:])])
+
+
 @jax.jit
 def cosine_similarity(F1: jnp.ndarray, F2: jnp.ndarray) -> jnp.ndarray:
     """(n1, n2) cosine similarities; features are rows.  Zero rows (a
@@ -52,27 +102,60 @@ def self_max_similarities(F: jnp.ndarray, tile: int = 4096) -> np.ndarray:
 
 
 def cross_max_similarities(F1, F2, tile: int = 4096,
-                           as_device: bool = False) -> np.ndarray:
+                           as_device: bool = False,
+                           keep_pad: bool = False) -> np.ndarray:
     """Per-row-of-F1 max similarity to F2 (reference ``get_cross_sims``,
     PW_NNAL.py:1105-1136).  On TPU with large pools, routes through the
     Pallas VMEM-resident row-max kernel; XLA tiling otherwise.
     ``as_device`` keeps the result on device (the core-set flow never
-    leaves HBM)."""
+    leaves HBM).
+
+    Bucket-stable: F1 (the pool side) is zero-padded to a ``tile``
+    multiple (zero rows yield similarity 0 and are sliced off) and F2
+    (the reduced-over labeled side) is padded by repeating row 0 (a
+    duplicate never changes a max) — so the heavy matmul compiles once
+    per bucket instead of once per AL round.  With ``keep_pad`` the
+    result length is F1's length rounded up to a ``tile`` multiple —
+    callers who pre-pad F1 must use the same ``tile``."""
     import jax
 
-    F1, F2 = jnp.asarray(F1), jnp.asarray(F2)
+    F1, n1 = pad_rows(F1, tile)
+    F2 = pad_rows_repeat(F2, min(ROW_BUCKET, 256))
     if (jax.devices()[0].platform == "tpu"
             and F1.shape[0] * F2.shape[0] > 1 << 22):
         from nnal_tpu.ops.similarity_pallas import max_similarity
 
         sims = max_similarity(F1, F2, use_pallas=True)
+        sims = sims if keep_pad else sims[:n1]
         return sims if as_device else np.asarray(sims)
     out = []
     for lo in range(0, F1.shape[0], tile):
         sims = cosine_similarity(F1[lo:lo + tile], F2)
         out.append(jnp.max(sims, axis=1))
     cat = jnp.concatenate(out)
+    cat = cat if keep_pad else cat[:n1]
     return cat if as_device else np.asarray(cat)
+
+
+def rep_entropy_from_features(F, rest, sel, k: int) -> np.ndarray:
+    """Bucket-stable rep-entropy selection from a feature matrix:
+    gathers ``F[rest]`` zero-masked-padded to a ROW_BUCKET multiple (a
+    zero row adds the same max(best, 0) to every candidate's score —
+    rank-neutral) and runs the greedy select on stable shapes.
+    ``rest``/``sel`` are host index arrays; returns positions into
+    ``sel``.  A NumPy ``F`` is gathered on host (zero device compiles);
+    a device ``F`` via a bucket-stable gather + mask."""
+    rest = np.asarray(rest)
+    rest_p = pad_inds_repeat(rest, ROW_BUCKET)
+    valid = (np.arange(len(rest_p)) < len(rest)).astype(np.float32)
+    if isinstance(F, np.ndarray):
+        F_rest = jnp.asarray(F[rest_p] * valid[:, None])
+        F_sel = jnp.asarray(F[np.asarray(sel)])
+    else:
+        F_rest = F[jnp.asarray(rest_p)] * jnp.asarray(valid)[:, None]
+        F_sel = F[jnp.asarray(sel)]
+    sims = cosine_similarity(F_rest, F_sel)
+    return np.asarray(rep_entropy_select(sims, k))
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -144,18 +144,31 @@ def _rep_entropy(ctx: QueryContext):
     remaining pool (reference PW_NNAL.py:284-351).  Features stay on
     device (the (pool, 4096) tensor round-tripping to host dominated
     round latency at production scale)."""
-    res = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+    # bucket-stable end-to-end (shape-stability rule: the pool shrinks by
+    # k per round, so unpadded shapes recompiled the evaluate-row gather,
+    # the similarity matmul, and the greedy fori every round): the pool
+    # index array is repeat-padded BEFORE the device evaluate, so every
+    # device program downstream sees one bucket shape; the duplicate rows
+    # are excluded on host (p1 slice) and zero-masked in the greedy
+    from nnal_tpu.scoring.representative import (
+        ROW_BUCKET,
+        pad_inds_repeat,
+        rep_entropy_from_features,
+    )
+
+    n = len(ctx.pool_inds)
+    inds_p = pad_inds_repeat(ctx.pool_inds, ROW_BUCKET)
+    res = ctx.evaluator.evaluate(ctx.params, inds_p,
                                  ("posteriors", "feature_layer"),
                                  as_device=True)
-    p1 = np.asarray(res["posteriors"])
+    p1 = np.asarray(res["posteriors"])[:n]
     F = res["feature_layer"]
-    B = min(ctx.B, len(ctx.pool_inds))
+    B = min(ctx.B, n)
     sel = np.asarray(binary_uncertainty_filter(p1, B))
-    rest = np.setdiff1d(np.arange(len(ctx.pool_inds)), sel)
+    rest = np.setdiff1d(np.arange(n), sel)
     if len(rest) == 0:
         return sel[:ctx.k]
-    sims = cosine_similarity(F[jnp.asarray(rest)], F[jnp.asarray(sel)])
-    chosen = np.asarray(rep_entropy_select(sims, min(ctx.k, B)))
+    chosen = rep_entropy_from_features(F, rest, sel, min(ctx.k, B))
     return sel[chosen]
 
 
@@ -164,26 +177,41 @@ def _core_set(ctx: QueryContext):
     """Greedy k-center on pool features vs labeled features (reference
     PW_NNAL.py:353-451).  Features stay on device end-to-end — with 4096-d
     PW1 features a host round-trip costs GBs per round over the tunnel."""
-    F_u = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+    # bucket-stable end-to-end (shape-stability rule): the pool index
+    # array is repeat-padded BEFORE the device evaluate, so the row
+    # gather, the cross-max matmul, and the k-center fori all compile
+    # once per bucket.  Padded rows are duplicates of pool row 0; they
+    # get sims0=+inf so the argmin can never pick them, and as gather
+    # columns they only matter if picked.  The labeled index array is
+    # repeat-padded too (a duplicate never changes a max).
+    from nnal_tpu.scoring.representative import ROW_BUCKET, pad_inds_repeat
+
+    n_u = len(ctx.pool_inds)
+    inds_p = pad_inds_repeat(ctx.pool_inds, ROW_BUCKET)
+    F_u = ctx.evaluator.evaluate(ctx.params, inds_p,
                                  ("feature_layer",),
                                  as_device=True)["feature_layer"]
     Fn = normalize_rows(F_u)
     if ctx.train_inds is not None and len(ctx.train_inds) > 0:
         lab_ev = ctx.labeled_evaluator or ctx.evaluator
-        F_t = lab_ev.evaluate(ctx.params, ctx.train_inds,
+        tr_p = pad_inds_repeat(ctx.train_inds, 256)
+        F_t = lab_ev.evaluate(ctx.params, tr_p,
                               ("feature_layer",),
                               as_device=True)["feature_layer"]
         sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
-                                                   as_device=True))
+                                                   as_device=True,
+                                                   keep_pad=True))
     elif ctx.extra.get("bootstrap_features") is not None:
         # labeled-set bootstrap from held-out subjects (reference
         # PW_AL.py:809-822)
         sims0 = jnp.asarray(cross_max_similarities(
-            F_u, ctx.extra["bootstrap_features"]))
+            F_u, ctx.extra["bootstrap_features"], as_device=True,
+            keep_pad=True))
     else:
         sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
-    chosen = np.asarray(core_set_select(Fn, sims0,
-                                        min(ctx.k, F_u.shape[0])))
+    sims0 = jnp.where(jnp.arange(F_u.shape[0]) < jnp.asarray(n_u),
+                      sims0, jnp.inf)
+    chosen = np.asarray(core_set_select(Fn, sims0, min(ctx.k, n_u)))
     return chosen
 
 
@@ -528,9 +556,11 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         if len(rest) == 0:
             pick = sel[:k]
         else:
-            sims = cosine_similarity(F[jnp.asarray(rest)],
-                                     F[jnp.asarray(sel)])
-            chosen = np.asarray(rep_entropy_select(sims, min(k, B)))
+            from nnal_tpu.scoring.representative import (
+                rep_entropy_from_features,
+            )
+
+            chosen = rep_entropy_from_features(F, rest, sel, min(k, B))
             pick = sel[chosen]
         return global2local_inds(pick, sizes)
 
@@ -579,11 +609,17 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         # (reference PW_NNAL.py:353-451 with its 1000-chunk streaming) —
         # everything stays on device (4096-d features x 100K-pools are
         # GBs; host round-trips dominated round latency)
+        from nnal_tpu.scoring.representative import pad_rows
+
         F_u = jnp.concatenate([
             c.evaluator.evaluate(c.params, c.pool_inds,
                                  ("feature_layer",),
                                  as_device=True)["feature_layer"]
             for c in contexts])
+        # bucket-pad the concatenated pool (shape-stability rule); pads
+        # get sims0=+inf so the k-center argmin can never pick them
+        n_u = F_u.shape[0]
+        F_u, _ = pad_rows(F_u)
         Fn = normalize_rows(F_u)
         sims0 = jnp.full((F_u.shape[0],), -jnp.inf, jnp.float32)
         any_labeled = False
@@ -593,19 +629,19 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
                     c.params, c.train_inds, ("feature_layer",),
                     as_device=True)["feature_layer"]
                 sims0 = jnp.maximum(sims0, cross_max_similarities(
-                    F_u, F_t, as_device=True))
+                    F_u, F_t, as_device=True, keep_pad=True))
                 any_labeled = True
         bf = contexts[0].extra.get("bootstrap_features")
         if not any_labeled and bf is not None:
             # core-set labeled bootstrap from held-out subjects
             # (reference PW_AL.py:809-822)
-            sims0 = jnp.asarray(cross_max_similarities(F_u, bf,
-                                                       as_device=True))
+            sims0 = jnp.asarray(cross_max_similarities(
+                F_u, bf, as_device=True, keep_pad=True))
             any_labeled = True
         if not any_labeled:
             sims0 = jnp.full((F_u.shape[0],), -jnp.inf)
-        pick = np.asarray(core_set_select(Fn, sims0,
-                                          min(k, F_u.shape[0])))
+        sims0 = jnp.where(jnp.arange(F_u.shape[0]) < n_u, sims0, jnp.inf)
+        pick = np.asarray(core_set_select(Fn, sims0, min(k, n_u)))
         return global2local_inds(pick, sizes)
 
     if method_name == "fi":

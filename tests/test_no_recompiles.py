@@ -44,7 +44,8 @@ OVERRIDES = ("patch_shape=[9,9,1],grid_spacing=4,k=3,B=20,ntb=256,b=16,"
              "epochs=1,MC_iters=2,init_size=6,seed=19")
 
 
-@pytest.mark.parametrize("method", ["entropy", "influence"])
+@pytest.mark.parametrize("method", ["entropy", "influence", "rep-entropy",
+                                    "core-set"])
 def test_warm_campaign_rounds_compile_nothing(tmp_path, compile_counter,
                                               method):
     root = str(tmp_path / method)

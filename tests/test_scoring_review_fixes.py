@@ -158,3 +158,41 @@ def test_pmf_out_of_range_draw_stays_unique():
     out = sample_query_pmf(q, 2, StubRng(), replacement=True)
     assert len(out) == len(np.unique(out)), out
     assert out.tolist() == [1]
+
+
+def test_bucket_padded_selection_parity():
+    """Bucket-padding (shape-stability rule) must be rank-exact: padded
+    rep-entropy and core-set selections equal the unpadded oracles."""
+    from nnal_tpu.scoring.representative import (
+        core_set_select,
+        cosine_similarity,
+        cross_max_similarities,
+        normalize_rows,
+        pad_rows,
+        rep_entropy_from_features,
+        rep_entropy_select,
+    )
+
+    rng = np.random.default_rng(5)
+    F = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+    sel = rng.permutation(300)[:24]
+    rest = np.setdiff1d(np.arange(300), sel)
+
+    sims_o = cosine_similarity(F[jnp.asarray(rest)], F[jnp.asarray(sel)])
+    chosen_o = np.asarray(rep_entropy_select(sims_o, 6))
+    chosen_p = rep_entropy_from_features(F, rest, sel, 6)
+    assert np.array_equal(chosen_o, chosen_p)
+
+    F_t = jnp.asarray(rng.normal(size=(17, 16)).astype(np.float32))
+    sims0_o = jnp.asarray(cross_max_similarities(F, F_t, as_device=True))
+    pick_o = np.asarray(core_set_select(normalize_rows(F), sims0_o, 5))
+    F_p, n_u = pad_rows(F, 128)
+    sims0_p = jnp.asarray(cross_max_similarities(
+        F_p, F_t, as_device=True, keep_pad=True, tile=128))
+    sims0_p = jnp.where(jnp.arange(F_p.shape[0]) < n_u, sims0_p, jnp.inf)
+    pick_p = np.asarray(core_set_select(normalize_rows(F_p), sims0_p, 5))
+    assert np.array_equal(pick_o, pick_p)
+    # repeat-padding the reduced-over side never changes a max
+    np.testing.assert_array_equal(
+        np.asarray(cross_max_similarities(F, F_t[:1])),
+        np.asarray(cross_max_similarities(F, jnp.tile(F_t[:1], (7, 1)))))
