@@ -65,11 +65,16 @@ def _fwd_mc(spec, params, x, rng):
 
 
 def batched_forward(spec, params, X, batch: int, what=("posteriors",),
-                    mc_rng=None):
+                    mc_rng=None, as_device: bool = False):
     """Static-shape chunked forward over an array pool (the classification
     analogue of PW_NN.batch_eval; reference idxBatch_posteriors,
     NNAL_tools.py:382).  ``mc_rng`` makes the pass stochastic (MC dropout),
-    with a per-chunk fold so chunking does not alias masks."""
+    with a per-chunk fold so chunking does not alias masks.
+
+    ``as_device`` keeps the outputs in HBM (device-residency rule: the
+    (pool, 4096) feature matrix is ~100 MB — pulling it through the
+    tunnel at 16-25 MB/s costs seconds per AL round, and core-set /
+    rep-entropy consume it on device anyway)."""
     outs = {w: [] for w in what}
     n = X.shape[0]
     for lo in range(0, n, batch):
@@ -84,11 +89,14 @@ def batched_forward(spec, params, X, batch: int, what=("posteriors",),
             out = _fwd_mc(spec, params, jnp.asarray(xs),
                           jax.random.fold_in(mc_rng, lo))
         for w in what:
-            arr = np.asarray({"posteriors": out.posteriors,
-                              "prediction": out.prediction,
-                              "feature_layer": out.feature}[w])
-            outs[w].append(arr[:arr.shape[0] - pad] if pad else arr)
-    return {w: np.concatenate(v) for w, v in outs.items()}
+            dev = {"posteriors": out.posteriors,
+                   "prediction": out.prediction,
+                   "feature_layer": out.feature}[w]
+            if pad:
+                dev = dev[:dev.shape[0] - pad]
+            outs[w].append(dev if as_device else np.asarray(dev))
+    cat = jnp.concatenate if as_device else np.concatenate
+    return {w: cat(v) for w, v in outs.items()}
 
 
 def _entropy_np(p: np.ndarray) -> np.ndarray:
@@ -168,17 +176,17 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
             pad_rows,
         )
 
-        F_u = jnp.asarray(batched_forward(
+        F_u = batched_forward(
             ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
-            ("feature_layer",))["feature_layer"])
+            ("feature_layer",), as_device=True)["feature_layer"]
         # bucket-pad the pool side (shape-stability rule); pads get
         # sims0=+inf so the k-center argmin can never pick them
         F_u, n_u = pad_rows(F_u)
         Fn = normalize_rows(F_u)
         if ctx.labeled_x is not None and len(ctx.labeled_x) > 0:
-            F_t = jnp.asarray(batched_forward(
+            F_t = batched_forward(
                 ctx.spec, ctx.params, ctx.labeled_x, ctx.batch,
-                ("feature_layer",))["feature_layer"])
+                ("feature_layer",), as_device=True)["feature_layer"]
             sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
                                                        as_device=True,
                                                        keep_pad=True))
@@ -265,12 +273,12 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         from nnal_tpu.scoring.representative import rep_entropy_from_features
 
         F = batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
-                            ("feature_layer",))["feature_layer"]
+                            ("feature_layer",),
+                            as_device=True)["feature_layer"]
         rest = np.setdiff1d(np.arange(n), sel)
         if len(rest) == 0:
             return sel[:ctx.k]
-        chosen = rep_entropy_from_features(jnp.asarray(F), rest, sel,
-                                           min(ctx.k, B))
+        chosen = rep_entropy_from_features(F, rest, sel, min(ctx.k, B))
         return sel[chosen]
 
     if method_name == "BADGE":
