@@ -78,6 +78,30 @@ def test_scores_matrix(expr, method_name: str,
     return scores
 
 
+def _multi_evaluators(expr, spec):
+    """Per-train-subject evaluators for a MultiImgExperiment (the matrix
+    journal's subject column indexes these)."""
+    from nnal_tpu.data.stats import multimg_stats
+
+    stats = multimg_stats(expr.train_subjects)
+    return expr._evaluators(spec, expr.train_subjects, stats)
+
+
+def _grouped_eval(evs, params, qmat, ops):
+    """Evaluate a (voxel, subject) query matrix through each subject's OWN
+    evaluator, reassembled in column order (a single-subject evaluator
+    would misinterpret other subjects' raveled voxel ids)."""
+    k = qmat.shape[1]
+    out = [None] * k
+    for si in np.unique(qmat[1]):
+        m = np.flatnonzero(qmat[1] == si)
+        r = evs[int(si)].evaluate(params, qmat[0][m], ops)[ops[0]]
+        r = np.asarray(r)
+        for j_, row in zip(m, r):
+            out[int(j_)] = row
+    return np.asarray(out)
+
+
 def query_similarity_analysis(expr, method_name: str, params=None,
                               matrix: bool = False) -> List[np.ndarray]:
     """Per-round (k, k) cosine-similarity matrices of the queried patches'
@@ -87,7 +111,10 @@ def query_similarity_analysis(expr, method_name: str, params=None,
     the journal's shape cannot be auto-detected."""
     j = MethodJournal(expr.root_dir, method_name)
     spec = expr.build_model()
-    ev = expr.make_evaluator(spec)
+    # matrix journals come from MultiImgExperiment, which has per-subject
+    # evaluators (a voxel id only means something within ITS subject)
+    evs = _multi_evaluators(expr, spec) if matrix \
+        else [expr.make_evaluator(spec)]
     if params is None:
         params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
@@ -95,10 +122,11 @@ def query_similarity_analysis(expr, method_name: str, params=None,
     for it in j.query_iters():
         q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
                       matrix=matrix)
-        if q.ndim == 2:          # multi-subject: take the voxel row
-            q = q[0]
-        F = ev.evaluate(params, q, ("feature_layer",))["feature_layer"]
-        F = np.asarray(F)
+        if matrix:
+            F = _grouped_eval(evs, params, q, ("feature_layer",))
+        else:
+            F = np.asarray(evs[0].evaluate(
+                params, q, ("feature_layer",))["feature_layer"])
         norms = np.linalg.norm(F, axis=1, keepdims=True)
         Fn = F / np.maximum(norms, 1e-12)
         sims.append(Fn @ Fn.T)
@@ -119,21 +147,33 @@ def query_type_analysis(expr, method_name: str, var_kernel: int = 5,
     from nnal_tpu.data.samplers import sample_types_of
 
     j = MethodJournal(expr.root_dir, method_name)
-    vols, mask = expr._load_subject()
-    img = np.asarray(vols[0])
+    if matrix:
+        subjects = expr.train_subjects     # MultiImgExperiment
+    else:
+        subjects = [expr._load_subject()]
     types = []
     for it in j.query_iters():
         q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
                       matrix=matrix)
-        if q.ndim == 2:          # multi-subject: take the voxel row
-            q = q[0]
-        types.append(sample_types_of(img, mask, q, var_kernel=var_kernel,
-                                     var_thr=var_thr))
+        if matrix:
+            out = np.zeros(q.shape[1], np.int64)
+            for si in np.unique(q[1]):
+                m = q[1] == si
+                vols_s, mask_s = subjects[int(si)]
+                out[m] = sample_types_of(np.asarray(vols_s[0]), mask_s,
+                                         q[0][m], var_kernel=var_kernel,
+                                         var_thr=var_thr)
+            types.append(out)
+        else:
+            vols, mask = subjects[0]
+            types.append(sample_types_of(np.asarray(vols[0]), mask, q,
+                                         var_kernel=var_kernel,
+                                         var_thr=var_thr))
     return types
 
 
 def slice_query_preds(expr, method_name: str, slice_: int, params=None,
-                      matrix: bool = False):
+                      matrix: bool = False, subject: int = 0):
     """Class predictions of a method's journaled queries restricted to one
     axial slice (reference ``get_slice_preds``,
     PW_analyze_results.py:87-135 — unrunnable there: it calls the missing
@@ -142,17 +182,25 @@ def slice_query_preds(expr, method_name: str, slice_: int, params=None,
     coordinate equals ``slice_``."""
     j = MethodJournal(expr.root_dir, method_name)
     spec = expr.build_model()
-    ev = expr.make_evaluator(spec)
+    if matrix:
+        # one subject's slice at a time — a raveled voxel id only means
+        # something within its subject (``subject`` selects which)
+        ev = _multi_evaluators(expr, spec)[subject]
+        vols = expr.train_subjects[subject][0]
+    else:
+        ev = expr.make_evaluator(spec)
+        vols, _ = expr._load_subject()
     if params is None:
         params = jax.tree_util.tree_map(
             jnp.asarray, load_checkpoint(j.path("curr_weights.npz"))[0])
-    vols, _ = expr._load_subject()
     shape = np.asarray(vols[0]).shape
     qs = []
     for it in j.query_iters():
         q = load_inds(os.path.join(j.queries_dir, f"{it}.txt"),
                       matrix=matrix)
-        qs.append(q[0] if q.ndim == 2 else q)
+        if q.ndim == 2:
+            q = q[0][q[1] == subject]
+        qs.append(q)
     q = (np.concatenate(qs) if qs else np.zeros(0, np.int64))
     rows, cols, zs = np.unravel_index(q, shape)
     on = zs == slice_

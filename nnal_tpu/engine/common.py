@@ -61,3 +61,41 @@ def cached_tx(engine, model_cfg):
         return getattr(engine, "_tx", None)
     engine._tx_key = key
     return None
+
+
+def reconcile_membership(j, train_inds, pool_inds, *, matrix: bool = False,
+                         to_global=None):
+    """Repair the crash window between ``record_queries`` and
+    ``init_membership``: the two are separate writes, so a process death
+    in between leaves ``queries/<R>.txt`` on disk while the membership
+    files still describe round R-1.  Unrepaired, the resume replays every
+    prefix short by k (no longer bit-identical) and round R's queries
+    silently re-enter the pool.
+
+    Only the LAST journal file can be ahead (each round reconciles before
+    writing the next).  Missing queries are appended in file order —
+    preserving the prefix property anchor replay depends on.
+
+    ``matrix`` journals ((voxel, subject) rows, multi-subject engine) need
+    ``to_global``: a callable mapping the (2, k) matrix to the global ids
+    used by that engine's membership.  Returns
+    ``(train_inds, pool_inds, repaired)``.
+    """
+    import numpy as np
+
+    iters = j.query_iters()
+    if not iters:
+        return train_inds, pool_inds, False
+    last = load_inds(os.path.join(j.queries_dir, f"{iters[-1]}.txt"),
+                     matrix=matrix)
+    if matrix:
+        last = to_global(last)
+    present = np.isin(last, train_inds)
+    if present.all():
+        return train_inds, pool_inds, False
+    missing = np.asarray(last)[~present]
+    train_inds = np.concatenate([np.asarray(train_inds), missing])
+    pool_inds = np.asarray(pool_inds)
+    pool_inds = pool_inds[~np.isin(pool_inds, missing)]
+    j.init_membership(train_inds, pool_inds)
+    return train_inds, pool_inds, True

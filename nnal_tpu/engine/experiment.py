@@ -138,11 +138,33 @@ class Experiment:
         from nnal_tpu.scoring.pool_eval import eval_compute_dtype
 
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
-        ck = (id(tx), lwf_lambda, lwf_T, train_cd)
+        # honor train_layers and class_weights in this engine too (config
+        # keys must not be silently engine-specific — the PW engines
+        # support both; reference var_list filtering NN.py:557 and
+        # class-cost weighting)
+        grad_mask = None
+        if m.train_layers:
+            from nnal_tpu.models.optim import layer_train_mask
+
+            grad_mask = layer_train_mask(state.params, m.train_layers)
+        cw = getattr(m, "class_weights", None)
+        if isinstance(cw, str) and cw == "auto":
+            # inverse-frequency over the current labeled set
+            y_all = np.asarray(self._pool.labels)[train_inds]
+            counts = np.bincount(np.asarray(y_all, np.int64),
+                                 minlength=m.nclass).astype(np.float64)
+            inv = counts.sum() / np.maximum(counts, 1.0)
+            cw = (inv / inv.sum() * m.nclass).astype(np.float32)
+        # cw is passed at RUNTIME (cw= arg of step_fn): "auto" weights
+        # change every round and would bake a new program each time
+        cw_vec = None if cw is None else jnp.asarray(cw, jnp.float32)
+        ck = (id(tx), lwf_lambda, lwf_T, train_cd,
+              tuple(m.train_layers or ()))
         if ck not in cache:
             cache[ck] = make_train_step(spec, tx, mc_t=int(m.mc_t),
                                         lwf_lambda=lwf_lambda, lwf_T=lwf_T,
-                                        compute_dtype=train_cd)
+                                        compute_dtype=train_cd,
+                                        grad_mask=grad_mask)
         step_fn = cache[ck]
         if lwf_lambda > 0.0:
             # previous model's logits act as distillation targets; record
@@ -186,8 +208,25 @@ class Experiment:
                 ol = fwd(old_params, x) if lwf_lambda > 0.0 else None
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
-                    jnp.asarray(state.step), None, w, ol)
+                    jnp.asarray(state.step), None, w, ol, cw_vec)
                 state.step += 1
+        if state.bn_state:
+            # refresh BN running statistics over the labeled set (the
+            # reference's update_BN_stats pass, NN_extended.py:1059-1084;
+            # the train step itself normalizes on batch stats and never
+            # touches the moving averages) so eval/scoring run in eval
+            # mode on current statistics
+            from nnal_tpu.models.train import update_bn_stats
+
+            def _bn_batch():
+                b = host.choice(len(train_inds),
+                                size=min(m.b, len(train_inds)),
+                                replace=False)
+                return self._pool.fetch(train_inds[b])[0]
+
+            state.bn_state = update_bn_stats(
+                spec, state.params, state.bn_state, _bn_batch,
+                iters=min(20, max(1, len(train_inds) // m.b)))
         return state
 
     def _build_committee(self, spec, state, tx, train_inds, round_id):
@@ -245,6 +284,10 @@ class Experiment:
         n_queries = j.n_queried()
         round_id = len(j.query_iters())
         train_inds, pool_inds = j.membership()
+        from nnal_tpu.engine.common import reconcile_membership
+
+        train_inds, pool_inds, _ = reconcile_membership(j, train_inds,
+                                                        pool_inds)
 
         # ckpt_full_every > 1: the resume point may be an anchor from an
         # earlier round — replay the journaled rounds' retrains
@@ -281,6 +324,7 @@ class Experiment:
                 labeled_x=LazyPoolView(self._pool, train_inds),
                 labeled_y=np.asarray(self._pool.labels)[train_inds],
                 committee_params=committee,
+                bn=state.bn_state or None,
                 extra={"damping": float(getattr(cfg.query, "damping", 0.1)),
                        "influence_mode": cfg.query.influence_mode,
                        "arnoldi_rank": cfg.query.arnoldi_rank})
@@ -303,7 +347,8 @@ class Experiment:
                 preds = batched_forward(
                     spec, state.params,
                     LazyPoolView(self._pool, test_inds),
-                    cfg.query.ntb, ("prediction",))["prediction"]
+                    cfg.query.ntb, ("prediction",),
+                    state=state.bn_state or None)["prediction"]
                 acc = accuracy(preds, self._pool.labels[test_inds])
             j.append_eval([acc], "accs.txt")
             with open(j.path("predicts.txt"), "a") as f:

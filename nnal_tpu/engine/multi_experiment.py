@@ -389,6 +389,23 @@ class MultiImgExperiment:
         round_id = len(j.query_iters())
         train_g, pool_g = j.membership()   # global index space
         sizes = [len(p) for p in pools]
+        from nnal_tpu.engine.common import reconcile_membership
+
+        _offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+        def _qmat_to_global(qmat):
+            # journal rows are (voxel, subject); membership is global ids
+            # over the concatenated ORIGINAL per-subject pools (sorted by
+            # construction — generate_grid_samples emits ascending ravels)
+            out = []
+            for v, s in qmat.T:
+                pos = int(np.searchsorted(pools[s], v))
+                assert pools[s][pos] == v, (v, s)
+                out.append(int(_offsets[s]) + pos)
+            return np.asarray(out, np.int64)
+
+        train_g, pool_g, _ = reconcile_membership(
+            j, train_g, pool_g, matrix=True, to_global=_qmat_to_global)
 
         # ckpt_full_every > 1: the resume point on disk may be an anchor
         # from an earlier round — replay the journaled rounds' finetunes
@@ -489,12 +506,11 @@ class MultiImgExperiment:
             # PW_AL.py:857-885)
             subj_of = np.searchsorted(
                 np.cumsum(sizes), q_g, side="right")
-            voxels = []
-            for gi in q_g:
-                loc = global2local_inds([gi], sizes)
-                si = next(i for i, l in enumerate(loc) if len(l))
-                voxels.append(pools[si][loc[si][0]])
-            qmat = np.stack([np.asarray(voxels), subj_of])
+            # global id -> (subject, local position) is just an offset
+            # subtraction; subj_of already holds the subject mapping
+            voxels = np.asarray([pools[s][g - _offsets[s]]
+                                 for g, s in zip(q_g, subj_of)])
+            qmat = np.stack([voxels, subj_of])
             np.savetxt(os.path.join(j.queries_dir, f"{round_id}.txt"),
                        qmat, fmt="%d")
 

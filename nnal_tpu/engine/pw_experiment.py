@@ -250,7 +250,10 @@ class PWExperiment:
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), m.b, grad_mask is not None, lwf_lambda, lwf_T,
+        # key on the mask CONTENTS (train_layers), not just its presence:
+        # modify_parameters(train_layers=...) between finetunes must not
+        # reuse a runner closed over the stale layer mask
+        ck = (id(tx), m.b, tuple(m.train_layers or ()), lwf_lambda, lwf_T,
               train_cd)
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
@@ -335,6 +338,10 @@ class PWExperiment:
         round_id = len(j.query_iters())
 
         train_inds, pool_inds = j.membership()
+        from nnal_tpu.engine.common import reconcile_membership
+
+        train_inds, pool_inds, _ = reconcile_membership(j, train_inds,
+                                                        pool_inds)
 
         # ckpt_full_every > 1: the checkpoint on disk may be an *anchor*
         # from an earlier round (full saves are skipped in between).
@@ -367,6 +374,11 @@ class PWExperiment:
             if cfg.query.iter_k:
                 k = min(k, cfg.query.iter_k[min(round_id,
                                                 len(cfg.query.iter_k) - 1)])
+            if k <= 0:
+                # an iter_k schedule ending in 0 means "stop querying" —
+                # without this break the loop spins forever (same defect
+                # class as the empty-pool guard above)
+                break
             # per-round stateless stream: replayable from (seed, method,
             # round) alone, so a resumed process queries identically
             qrng = self.rng.fold(f"query-{method_name}-{round_id}")
@@ -488,7 +500,13 @@ class PWExperiment:
         (reference ``finetune_wpool``, PW_AL.py:500-543)."""
         from nnal_tpu.scoring.pseudo import confident_samples
 
-        spec_ev = self.make_evaluator(spec)
+        # reuse the evaluator across calls: construction re-pads and
+        # re-uploads the subject volumes (seconds over the tunnel) for
+        # inputs that never change within an experiment
+        cache = getattr(self, "_wpool_ev_cache", None)
+        if cache is None or cache[0] is not spec:
+            cache = self._wpool_ev_cache = (spec, self.make_evaluator(spec))
+        spec_ev = cache[1]
         state, tx = params_state
         p1 = spec_ev.evaluate(state.params, pool_inds,
                               ("posteriors",))["posteriors"]

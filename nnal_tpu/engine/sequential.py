@@ -28,9 +28,21 @@ def sequential_al(root_dir: str, subjects: List, method_name: str,
         expr.attach_subject(vols, mask)
         if not os.path.exists(os.path.join(sub_root, "init_pool_inds.txt")):
             expr.prep_data()
-        j = expr.add_method(method_name)
-        if warm_start and prev_weights is not None:
-            shutil.copy2(prev_weights, j.path("curr_weights.npz"))
+        # resume guard: add_method RESETS membership and weights to the
+        # init draw while the queries journal survives — re-invoking the
+        # chain after a mid-run crash would corrupt every completed
+        # subject's replay state.  Only initialize fresh method dirs
+        # (run_method on a complete one is a cheap no-op).
+        done_marker = os.path.join(sub_root, method_name,
+                                   "curr_train_inds.txt")
+        if not os.path.exists(done_marker):
+            j = expr.add_method(method_name)
+            if warm_start and prev_weights is not None:
+                shutil.copy2(prev_weights, j.path("curr_weights.npz"))
+        else:
+            from nnal_tpu.core.journal import MethodJournal
+
+            j = MethodJournal(sub_root, method_name)
         results.append(expr.run_method(method_name, max_queries))
         prev_weights = j.path("curr_weights.npz")
     return results

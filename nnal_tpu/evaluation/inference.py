@@ -70,33 +70,39 @@ class FCNInference:
     dense-prediction model in batches; MC-posterior averages ``T``
     stochastic passes."""
 
-    def __init__(self, spec, batch: int = 4, compute_dtype=None):
+    def __init__(self, spec, batch: int = 4, compute_dtype=None,
+                 bn_state=None):
         assert spec.fcn, "FCNInference requires a dense-prediction spec"
         self.spec = spec
         self.batch = batch
         self.compute_dtype = compute_dtype
+        # BN running statistics: without them, BN-bearing specs (DenseNet,
+        # Tiramisu) normalize each inference batch with ITS OWN statistics
+        # — non-reference semantics (eval_utils runs is_training=False on
+        # the moving averages) whose output depends on batching
+        self.bn_state = bn_state
         # close over the spec rather than jitting a bound method — hashing
         # ``self`` as a static arg invites silent recompiles
 
-        @partial(jax.jit, static_argnums=(2,))
-        def _run(params, x, mc, rng):
+        @partial(jax.jit, static_argnames=("mc",))
+        def _run(params, state, x, mc, rng):
             if compute_dtype is not None:
                 # bf16-storage serving: ~2x dense-segmentation throughput;
                 # posteriors still emerge in f32 (softmax upcasts logits)
                 params = cast_float_params(params, compute_dtype)
                 x = x.astype(compute_dtype)
             out = apply_cnn(spec, params, x, mc_dropout=mc,
-                            dropout_rng=rng)
+                            dropout_rng=rng, state=state)
             return (out.posteriors.astype(jnp.float32), out.prediction,
                     out.log_sigma.astype(jnp.float32)
                     if out.log_sigma is not None else None,
                     out.logits.astype(jnp.float32))
 
         @jax.jit
-        def _loss(params, x, y_onehot):
+        def _loss(params, state, x, y_onehot):
             from nnal_tpu.models.losses import fcn_cross_entropy
 
-            out = apply_cnn(spec, params, x)
+            out = apply_cnn(spec, params, x, state=state)
 
             def one(lg, yo):
                 return fcn_cross_entropy(lg[None], yo[None])
@@ -124,17 +130,19 @@ class FCNInference:
             if op in ("MC-posteriors", "MC-sigma"):
                 acc = 0.0
                 for t in range(mc_T):
-                    post, _, sig, _ = self._run(params, xs, True,
-                                                jax.random.fold_in(rng, t))
+                    post, _, sig, _ = self._run(
+                        params, self.bn_state, xs, mc=True,
+                        rng=jax.random.fold_in(rng, t))
                     val = post if op == "MC-posteriors" else jnp.exp(sig)
                     acc = (val + t * acc) / (t + 1)
                 outs.append(np.asarray(acc))
             elif op == "loss":
                 ys = jnp.asarray(labels[lo:lo + self.batch])
-                outs.append(np.asarray(self._loss(params, xs, ys)))
+                outs.append(np.asarray(self._loss(params, self.bn_state,
+                                                  xs, ys)))
             else:
-                post, pred, sigma, logits = self._run(params, xs, False,
-                                                      rng)
+                post, pred, sigma, logits = self._run(
+                    params, self.bn_state, xs, mc=False, rng=rng)
                 if op == "sigma":
                     # the head is log-sigma; the reference's op returns the
                     # aleatoric sigma itself (eval_utils.py:137-170)
@@ -151,12 +159,14 @@ class ShapeCachedFCN:
     ``models_dict_for_different_sizes``, eval_utils.py:413-439 — with XLA the
     'models' are just compiled programs per shape)."""
 
-    def __init__(self, spec_factory):
+    def __init__(self, spec_factory, bn_state=None):
         self.spec_factory = spec_factory
+        self.bn_state = bn_state
         self._cache: Dict = {}
 
     def for_shape(self, shape) -> FCNInference:
         shape = tuple(shape)
         if shape not in self._cache:
-            self._cache[shape] = FCNInference(self.spec_factory(shape))
+            self._cache[shape] = FCNInference(self.spec_factory(shape),
+                                              bn_state=self.bn_state)
         return self._cache[shape]

@@ -145,5 +145,16 @@ def train_with_registries(spec, state, step_fn, train_gen, *,
             state.teacher_params = ema_update(state.teacher_params,
                                               state.params, ema_decay)
         state.step += 1
+
+    if state.bn_state:
+        # refresh BN running statistics over the training stream (the
+        # reference's update_BN_stats pass, NN_extended.py:1059-1084) so
+        # eval-mode inference runs on current moving averages rather than
+        # per-batch statistics
+        from nnal_tpu.models.train import update_bn_stats
+
+        state.bn_state = update_bn_stats(
+            spec, state.params, state.bn_state,
+            lambda: next(train_gen), iters=20)
     run_evals()
     return state

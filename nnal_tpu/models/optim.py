@@ -83,7 +83,11 @@ def pft_mask_from_saliency(diag_fisher: Dict, k: int) -> Dict:
     used with PFT_bflag)."""
     leaves, treedef = jax.tree_util.tree_flatten(diag_fisher)
     flat = np.concatenate([np.asarray(l).ravel() for l in leaves])
-    if k >= flat.size:
+    if k <= 0:
+        # keep the 0 largest = freeze everything (np.partition(flat, -0)
+        # would select the global MINIMUM and unfreeze everything)
+        thr = np.inf
+    elif k >= flat.size:
         thr = -np.inf
     else:
         thr = np.partition(flat, -k)[-k]

@@ -87,7 +87,8 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
     counterpart — the TF1 code is f32-only)."""
     from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
-    def loss_fn(params, x, y, w, old_logits, rng, teacher_params, step):
+    def loss_fn(params, x, y, w, old_logits, rng, teacher_params, step,
+                cw_rt=None):
         params, x = _cast_for_forward(compute_dtype, params, x)
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
@@ -101,8 +102,12 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
         else:
             logp = jax.nn.log_softmax(out.logits, axis=-1)
             per = -jnp.sum(y * logp, axis=-1)
-            if class_weights is not None:
-                per = per * jnp.sum(y * jnp.asarray(class_weights), axis=-1)
+            # class weights: build-time constant, or a RUNTIME vector (so
+            # per-round "auto" inverse-frequency weights do not bake a new
+            # program each AL round — shape-stability rule)
+            cwv = class_weights if class_weights is not None else cw_rt
+            if cwv is not None:
+                per = per * jnp.sum(y * jnp.asarray(cwv), axis=-1)
             base = _wmean(per, w)
         loss = base
         if lwf_lambda > 0.0 and old_logits is not None:
@@ -126,9 +131,9 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, x, y, rng, step, teacher_params=None,
-                w=None, old_logits=None):
+                w=None, old_logits=None, cw=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, y, w, old_logits, rng, teacher_params, step)
+            params, x, y, w, old_logits, rng, teacher_params, step, cw)
         grads = apply_grad_mask(grads, grad_mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

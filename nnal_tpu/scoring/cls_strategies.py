@@ -44,6 +44,7 @@ class ClsQueryContext:
     labeled_x: Optional[object] = None   # current train inputs (core-set,
     labeled_y: Optional[np.ndarray] = None  # influence); array-like view
     committee_params: Optional[list] = None  # ensemble/QBC-JS members
+    bn: Optional[Dict] = None            # BN running stats (eval mode)
     extra: Dict = field(default_factory=dict)
 
 
@@ -51,21 +52,23 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def _fwd(spec, params, x):
+def _fwd(spec, params, x, state=None):
     # module-level jit: a per-call ``jax.jit(lambda ...)`` closure compiled
     # a fresh program every invocation even at identical shapes
-    return apply_cnn(spec, params, x)
+    return apply_cnn(spec, params, x, state=state)
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def _fwd_mc(spec, params, x, rng):
+def _fwd_mc(spec, params, x, rng, state=None):
     # MC-dropout stochastic pass (reference feeds keep_prob=dropout_rate
-    # at eval, PW_NNAL.py:67-87 — the classification analogue)
-    return apply_cnn(spec, params, x, mc_dropout=True, dropout_rng=rng)
+    # at eval, PW_NNAL.py:67-87 — the classification analogue); BN (when
+    # the spec has it) stays in eval mode on the running stats
+    return apply_cnn(spec, params, x, mc_dropout=True, dropout_rng=rng,
+                     state=state)
 
 
 def batched_forward(spec, params, X, batch: int, what=("posteriors",),
-                    mc_rng=None, as_device: bool = False):
+                    mc_rng=None, as_device: bool = False, state=None):
     """Static-shape chunked forward over an array pool (the classification
     analogue of PW_NN.batch_eval; reference idxBatch_posteriors,
     NNAL_tools.py:382).  ``mc_rng`` makes the pass stochastic (MC dropout),
@@ -84,10 +87,10 @@ def batched_forward(spec, params, X, batch: int, what=("posteriors",),
             xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
                                               xs.dtype)])
         if mc_rng is None:
-            out = _fwd(spec, params, jnp.asarray(xs))
+            out = _fwd(spec, params, jnp.asarray(xs), state)
         else:
             out = _fwd_mc(spec, params, jnp.asarray(xs),
-                          jax.random.fold_in(mc_rng, lo))
+                          jax.random.fold_in(mc_rng, lo), state)
         for w in what:
             dev = {"posteriors": out.posteriors,
                    "prediction": out.prediction,
@@ -120,8 +123,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         key = jax.random.key(int(ctx.rng.integers(2 ** 31 - 1)))
         stack = np.stack([
             batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
-                            mc_rng=jax.random.fold_in(key, t)
-                            )["posteriors"]
+                            mc_rng=jax.random.fold_in(key, t),
+                            state=ctx.bn)["posteriors"]
             for t in range(ctx.MC_iters)])                   # (T, n, C)
         if method_name == "MC-entropy":
             avg = 0.0
@@ -153,8 +156,11 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         assert ctx.committee_params, \
             f"{method_name} needs ctx.committee_params (engine-built)"
         stack = np.stack([
+            # committee members share the main model's BN stats (members
+            # are short finetunes of it; per-member stats would cost a
+            # refresh pass each)
             batched_forward(ctx.spec, p, ctx.pool_x,
-                            ctx.batch)["posteriors"]
+                            ctx.batch, state=ctx.bn)["posteriors"]
             for p in ctx.committee_params])              # (E, n, C)
         if method_name == "ensemble":
             avg = 0.0
@@ -178,7 +184,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
 
         F_u = batched_forward(
             ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
-            ("feature_layer",), as_device=True)["feature_layer"]
+            ("feature_layer",), as_device=True,
+            state=ctx.bn)["feature_layer"]
         # bucket-pad the pool side (shape-stability rule); pads get
         # sims0=+inf so the k-center argmin can never pick them
         F_u, n_u = pad_rows(F_u)
@@ -186,7 +193,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         if ctx.labeled_x is not None and len(ctx.labeled_x) > 0:
             F_t = batched_forward(
                 ctx.spec, ctx.params, ctx.labeled_x, ctx.batch,
-                ("feature_layer",), as_device=True)["feature_layer"]
+                ("feature_layer",), as_device=True,
+                state=ctx.bn)["feature_layer"]
             sims0 = jnp.asarray(cross_max_similarities(F_u, F_t,
                                                        as_device=True,
                                                        keep_pad=True))
@@ -196,7 +204,7 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         return np.asarray(core_set_select(Fn, sims0, min(ctx.k, n)))
 
     posts = batched_forward(ctx.spec, ctx.params, ctx.pool_x,
-                            ctx.batch)["posteriors"]
+                            ctx.batch, state=ctx.bn)["posteriors"]
 
     if method_name == "entropy":
         # bucket-padded filter (shape-stability rule): a direct
@@ -261,8 +269,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         X_pool = None
         if ctx.lambda_ > 0:
             F = batched_forward(ctx.spec, ctx.params, ctx.pool_x[sel],
-                                ctx.batch,
-                                ("feature_layer",))["feature_layer"]
+                                ctx.batch, ("feature_layer",),
+                                state=ctx.bn)["feature_layer"]
             ref_F = refine_feature_matrix(F.T, B)
             X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
         q = fi_query_distribution(np.asarray(A), ctx.lambda_, X_pool, ctx.k)
@@ -273,8 +281,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         from nnal_tpu.scoring.representative import rep_entropy_from_features
 
         F = batched_forward(ctx.spec, ctx.params, ctx.pool_x, ctx.batch,
-                            ("feature_layer",),
-                            as_device=True)["feature_layer"]
+                            ("feature_layer",), as_device=True,
+                            state=ctx.bn)["feature_layer"]
         rest = np.setdiff1d(np.arange(n), sel)
         if len(rest) == 0:
             return sel[:ctx.k]
@@ -292,8 +300,8 @@ def cls_query(ctx: ClsQueryContext, method_name: str) -> np.ndarray:
         )
 
         F = batched_forward(ctx.spec, ctx.params, ctx.pool_x[sel],
-                            ctx.batch,
-                            ("feature_layer",))["feature_layer"]
+                            ctx.batch, ("feature_layer",),
+                            state=ctx.bn)["feature_layer"]
         E = badge_embeddings_multiclass(jnp.asarray(F),
                                         jnp.asarray(posts[sel]))
         key = jax.random.key(int(ctx.rng.integers(2 ** 31 - 1)))

@@ -318,3 +318,38 @@ def test_full_model_pred_dcrf3d(ran_expr, tmp_path):
     assert preds[:, :, [0, 4]].sum() == 0  # untouched slices stay empty
     assert os.path.exists(tmp_path / "d3" / "dcrf3d_segs.npy")
     assert os.path.exists(tmp_path / "d3" / "F1_score_dcrf3d.txt")
+
+
+def test_matrix_mode_analysis_multi_subject(tmp_path, pars):
+    """matrix=True analysis over a REAL MultiImgExperiment: each query is
+    evaluated through ITS subject's evaluator (this used to raise
+    AttributeError — make_evaluator/_load_subject are single-subject-only
+    — and would have mixed voxel ids across subjects even with one)."""
+    from nnal_tpu.engine.analysis import (
+        query_similarity_analysis,
+        query_type_analysis,
+        slice_query_preds,
+    )
+
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s,
+                              n_blobs=6) for s in range(2)]
+    expr = MultiImgExperiment(str(tmp_path / "mmat"),
+                              ExperimentConfig.from_pars(pars))
+    expr.attach_subjects(subs)
+    expr.prep_data()
+    expr.add_method("random")
+    expr.run_method("random", 6)
+
+    sims = query_similarity_analysis(expr, "random", matrix=True)
+    assert len(sims) == 2
+    for S in sims:
+        assert S.shape[0] == S.shape[1] and np.isfinite(S).all()
+        np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-5)
+
+    types = query_type_analysis(expr, "random", matrix=True)
+    assert len(types) == 2
+    assert all(np.isin(t, [0, 1, 2]).all() for t in types)
+
+    preds, (rows, cols), flat = slice_query_preds(expr, "random", 2,
+                                                  matrix=True, subject=0)
+    assert len(preds) == len(rows) == len(flat)
