@@ -13,6 +13,7 @@ finishes, so partial runs are still recorded).
 from __future__ import annotations
 
 import json
+import pathlib
 import os
 import re
 import sys
@@ -90,6 +91,30 @@ if _INFL_MODE:
     PARS["influence_mode"] = _INFL_MODE
     PARS["arnoldi_rank"] = _ARNOLDI_RANK
 
+# NNAL_CKPT_DTYPE=bfloat16 stores the resume anchors in bf16 (halved
+# device->host pull; bit-identical crash-resume via adoption, see
+# config.model.ckpt_dtype); recorded as "<name>@...abf16".
+_CKPT_DTYPE = os.environ.get("NNAL_CKPT_DTYPE", "").strip()
+if _CKPT_DTYPE:
+    PARS["ckpt_dtype"] = _CKPT_DTYPE
+
+# NNAL_OPT_RESET=1 warm-restarts the optimizer each round's finetune —
+# anchors then skip the Adam-moment leaves (2/3 of the payload; see
+# config.model.opt_reset_per_round); recorded as "<name>@...or".
+_OPT_RESET = os.environ.get("NNAL_OPT_RESET", "") == "1"
+if _OPT_RESET:
+    PARS["opt_reset_per_round"] = True
+
+# NNAL_MT=<coeff> turns on mean-teacher SSL (config consistency_coeff;
+# ramp/measure via NNAL_MT_RAMP / NNAL_MT_MEASURE), the semi-supervised
+# signal from the unlabeled pool; recorded as "<name>@...mt".
+_MT = float(os.environ.get("NNAL_MT", "0") or 0)
+if _MT > 0:
+    PARS["consistency_coeff"] = _MT
+    PARS["consistency_ramp"] = int(os.environ.get("NNAL_MT_RAMP", "30"))
+    PARS["consistency_measure"] = os.environ.get("NNAL_MT_MEASURE", "MSE")
+    PARS["ema_decay"] = float(os.environ.get("NNAL_MT_EMA", "0.99"))
+
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
@@ -117,6 +142,12 @@ def _method_tag(method):
     if _INFL_MODE == "arnoldi" and method == "influence":
         tag += (f"@arnoldi{_ARNOLDI_RANK}" if "@" not in tag
                 else f"arnoldi{_ARNOLDI_RANK}")
+    if _CKPT_DTYPE in ("bfloat16", "bf16"):
+        tag += "@abf16" if "@" not in tag else "abf16"
+    if _OPT_RESET:
+        tag += "@or" if "@" not in tag else "or"
+    if _MT > 0:
+        tag += "@mt" if "@" not in tag else "mt"
     return tag
 
 
@@ -144,11 +175,17 @@ def _phase_totals(root, method):
     path = os.path.join(root, method, "phases.jsonl")
     tot = {}
     if os.path.exists(path):
-        for line in open(path):
+        for line in pathlib.Path(path).read_text().splitlines():
             rec = json.loads(line)
             for k, v in rec.items():
                 if isinstance(v, float):
                     tot[k] = tot.get(k, 0.0) + v
+                elif k == "sub" and isinstance(v, dict):
+                    # strategy-internal sub-phase spans (fi/gather_grads_A,
+                    # fi/sdp, ...) — the select-tail profile the r03
+                    # verdict asked for, aggregated over rounds
+                    for sk, sv in v.items():
+                        tot[f"sub/{sk}"] = tot.get(f"sub/{sk}", 0.0) + sv
     return {k: round(v, 1) for k, v in tot.items()
             if k not in ("f_measure",)}
 
@@ -264,12 +301,12 @@ def main():
     for m in (methods or MULTI_METHODS):
         if m in MULTI_METHODS:
             run_multi(m, out)
-            json.dump(out, open(path, "w"), indent=1)
+            pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     for m in (methods or SINGLE_METHODS):
         if m in SINGLE_METHODS:
             run_single(m, out)
-            json.dump(out, open(path, "w"), indent=1)
-    json.dump(out, open(path, "w"), indent=1)
+            pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
+    pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     print("wrote", path)
 
 

@@ -20,6 +20,7 @@ are recorded).
 from __future__ import annotations
 
 import json
+import pathlib
 import os
 import re
 import sys
@@ -176,7 +177,7 @@ def main():
                    "acc": [round(float(v), 4)
                            for v in np.atleast_1d(res["accs"]).ravel()]}
             _upsert(out["methods"], rec)
-            json.dump(out, open(path, "w"), indent=1)
+            pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
             print(json.dumps(rec), flush=True)
     print("wrote", path)
 

@@ -15,6 +15,7 @@ after a tunnel stall) refreshes only the configs it completed.
 import datetime
 import io
 import json
+import pathlib
 import os
 import sys
 from contextlib import redirect_stdout
@@ -61,7 +62,7 @@ def main():
         out["configs"] = ([c for c in out["configs"]
                            if c["config"] != rec["config"]] + [rec])
         out["configs"].sort(key=lambda c: c["config"])
-        json.dump(out, open(path, "w"), indent=1)
+        pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
 
     buf = io.StringIO()
 
@@ -87,7 +88,7 @@ def main():
         bench_suite.main()
     upsert(buf.getvalue())  # unterminated final line, if any
 
-    json.dump(out, open(path, "w"), indent=1)
+    pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     print("wrote", path)
 
 

@@ -13,6 +13,7 @@ Run: ``python benchmarks/crf_bench.py [round_tag]``
 from __future__ import annotations
 
 import json
+import pathlib
 import os
 import sys
 import time
@@ -118,7 +119,7 @@ def main():
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"CRF_{tag}.json")
-    json.dump(out, open(path, "w"), indent=1)
+    pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     print("wrote", path)
 
 

@@ -30,8 +30,26 @@ def main(argv=None) -> int:
                     help="seconds between probes")
     ap.add_argument("--max-wait", type=float, default=0,
                     help="give up after this many seconds (0 = forever)")
+    ap.add_argument("--prime", action="store_true",
+                    help="after the device responds, pre-compile the "
+                         "standard campaign programs into the persistent "
+                         "compilation cache (cli.prime_cache) so a cold "
+                         "box's first campaign skips the remote-compile "
+                         "storm")
+    ap.add_argument("--prime-methods", default="entropy,fi",
+                    help="methods to prime (with --prime)")
     args = ap.parse_args(argv)
     ok = wait_for_device(args.probe_timeout, args.interval, args.max_wait)
+    if ok and args.prime:
+        # subprocess: priming initializes a JAX backend; keep this
+        # watchdog process clean so callers can chain more jobs after it
+        import subprocess
+
+        rc = subprocess.call([sys.executable, "-m",
+                              "nnal_tpu.cli.prime_cache",
+                              "--methods", args.prime_methods])
+        if rc != 0:
+            return rc
     return 0 if ok else 3
 
 

@@ -71,6 +71,24 @@ class ModelConfig:
     # ``get_LwF``, model_utils.py:98-135)
     lwf_lambda: float = 0.0
     lwf_T: float = 2.0
+    # mean-teacher semi-supervised learning (reference MT_SSL,
+    # NN_extended.py:1337-1396: EMA teacher via custom_getter +
+    # consistency loss + sigmoid ramp-up).  consistency_coeff > 0 turns it
+    # on end-to-end: the engines maintain an EMA teacher across AL rounds
+    # (checkpointed in the anchors' teacher/ group), and every finetune
+    # step adds coeff * consistency(student(x_u, dropout), teacher(x_u))
+    # over unlabeled_batch pool patches — the semi-supervised signal the
+    # unlabeled pool provides for free. consistency_ramp is the sigmoid
+    # ramp-up length in optimizer steps (0 = constant coefficient).
+    consistency_coeff: float = 0.0
+    consistency_measure: str = "CE"     # CE | MSE
+    consistency_ramp: int = 0
+    ema_decay: float = 0.99
+    # unlabeled patches per MT consistency step (0 = use the labeled
+    # batch size b); sampled with replacement from the INITIAL pool so
+    # crash-resume replay sees the identical stream (the current pool
+    # differs between an original round and its replay)
+    unlabeled_batch: int = 0
     # overlap per-round checkpoint writes with the next round's scoring
     # (the async-checkpoint pattern of production training systems).
     # Off by default: on a direct-attached TPU the save is ~0.1 s so
@@ -104,6 +122,26 @@ class ModelConfig:
     # from the last anchor). Trade-off: per-iteration analysis artifacts
     # (engine/analysis.test_scores_matrix) need the history files.
     hist_every: int = 1
+    # storage dtype for the RESUME checkpoints (anchors + the final full
+    # save): "bfloat16" halves the params(+moments) device->host pull —
+    # the #1 wall-clock item in tunneled campaigns (bytes are the lever).
+    # Crash-resume stays bit-identical because at every full save the
+    # engine ADOPTS the bf16-rounded values into its live state first
+    # (models.checkpoint.round_trip_bf16), so disk decodes to exactly what
+    # the uninterrupted process keeps training with. bf16 keeps f32's
+    # exponent range, so ~1e-8 Adam second moments survive (float16 would
+    # flush them). The rounding itself is ~1e-3 relative on weights —
+    # the same precision class as the train_dtype=bfloat16 option.
+    ckpt_dtype: str = "float32"
+    # warm-restart optimization: start each AL round's finetune from a
+    # FRESH optimizer state instead of carrying Adam moments across
+    # rounds. Resume anchors then skip the moment leaves entirely (2/3 of
+    # the checkpoint payload) and crash-resume replay re-inits moments
+    # identically — bit-identical by construction. The reference's TF1
+    # AdamOptimizer slots persisted across finetunes (carry semantics =
+    # default False); per-round restarts are a standard AL protocol and
+    # their quality effect is measured in the campaign artifacts.
+    opt_reset_per_round: bool = False
     # input perturbation for AU_4U output-perturbation uncertainty
     # (reference Gaussian_noise_std / rotation_angle, NN_extended.py:913)
     gaussian_noise_std: Optional[float] = 0.05

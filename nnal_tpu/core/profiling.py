@@ -16,6 +16,33 @@ import time
 from typing import Dict, Optional
 
 
+# module-global sub-phase accumulator: deep library code (strategy
+# internals, SDP, gathers) records named spans with ``subphase`` and the
+# engine's PhaseTimer folds them into its per-round JSONL record — no
+# timer object has to be threaded through the scoring call stack.  Times
+# are host wall-clock, so an async device dispatch bills to whichever
+# span materializes its result (the attribution we want for tunnel work).
+_SUB: Dict[str, float] = {}
+
+
+@contextlib.contextmanager
+def subphase(name: str):
+    """Accumulate a named sub-span into the next committed round record
+    (``sub`` field).  Nesting records both levels independently."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _SUB[name] = _SUB.get(name, 0.0) + (time.perf_counter() - t0)
+
+
+def drain_subphases() -> Dict[str, float]:
+    """Return and clear the accumulated sub-phase spans."""
+    global _SUB
+    out, _SUB = _SUB, {}
+    return {k: round(v, 6) for k, v in out.items()}
+
+
 class PhaseTimer:
     """Per-round phase timing journal (JSONL, one record per round)."""
 
@@ -36,6 +63,9 @@ class PhaseTimer:
     def commit_round(self, round_id: int, **extra) -> dict:
         rec = {"round": int(round_id), **{k: round(v, 6) for k, v
                                           in self.current.items()}, **extra}
+        sub = drain_subphases()
+        if sub:
+            rec["sub"] = sub
         self.records.append(rec)
         if self.path:
             with open(self.path, "a") as f:

@@ -47,6 +47,11 @@ CONVENTIONS: Dict[str, DatasetConvention] = {
     "grand2016": DatasetConvention(
         "grand2016", ["FLAIR.nii", "T1.nii"], "wmh.nii",
         "Grand-Challenge-2016 WMH (reference path_loader.py:353)"),
+    "crohns": DatasetConvention(
+        "crohns", ["img.nrrd"], "wall_label.nrrd",
+        "unimodal Crohns bowel-wall (reference "
+        "patch_utils.py:577 extract_Crohns_data_path: one "
+        "directory per subject with img.nrrd + wall_label.nrrd)"),
 }
 
 

@@ -49,6 +49,57 @@ def replay_prefix_lens(j, al_state, round_id: int, n_train: int,
     return lens[anchor:round_id]
 
 
+def adopt_anchor_rounding(state, model_cfg) -> bool:
+    """bf16-anchor bit-identity step: round the live (params, bn[, opt])
+    to bfloat16 representables and ADOPT the rounded values, immediately
+    before a full (resume-point) save with ``ckpt_dtype=bfloat16``.  The
+    checkpoint on disk then decodes to exactly the values the
+    uninterrupted process keeps training with, so crash-resume == continue
+    bit-for-bit (see ``models.checkpoint.round_trip_bf16``).  Optimizer
+    moments are only rounded when they are part of the anchor
+    (``opt_reset_per_round`` drops them from both).  Returns True when an
+    adoption happened (callers then pass ``dtype='bfloat16'`` to the
+    save)."""
+    if getattr(model_cfg, "ckpt_dtype", "float32") != "bfloat16":
+        return False
+    from nnal_tpu.models.checkpoint import round_trip_bf16
+
+    include_opt = not getattr(model_cfg, "opt_reset_per_round", False)
+    p, b, o, t = round_trip_bf16(
+        (state.params, state.bn_state,
+         state.opt_state if include_opt else None,
+         getattr(state, "teacher_params", None)))
+    state.params = p
+    if state.bn_state is not None:
+        state.bn_state = b
+    if include_opt:
+        state.opt_state = o
+    if getattr(state, "teacher_params", None) is not None:
+        state.teacher_params = t
+    return True
+
+
+def anchor_save_kwargs(model_cfg, state) -> dict:
+    """The resume-point save's payload policy under the anchor-shrinking
+    levers: storage dtype + whether the optimizer moments ride along.
+    The mean-teacher EMA params (when the MT-SSL config is active) are
+    part of the resume point — replay re-runs finetunes whose consistency
+    term reads the teacher, so resume must restore it exactly."""
+    include_opt = not getattr(model_cfg, "opt_reset_per_round", False)
+    return {"dtype": getattr(model_cfg, "ckpt_dtype", "float32"),
+            "opt_state": state.opt_state if include_opt else None,
+            "teacher_params": getattr(state, "teacher_params", None)}
+
+
+def maybe_reset_opt(state, tx, model_cfg) -> None:
+    """``opt_reset_per_round``: warm-restart the optimizer at the top of
+    each finetune.  Both the original run and any crash-resume replay go
+    through this same reset, so replay stays bit-identical without the
+    moments ever touching a checkpoint."""
+    if getattr(model_cfg, "opt_reset_per_round", False):
+        state.opt_state = tx.init(state.params)
+
+
 def cached_tx(engine, model_cfg):
     """Reuse the optimizer across ``run_method`` calls: the jitted
     step/scan caches key on ``id(tx)``, so a fresh optax transformation

@@ -126,6 +126,9 @@ class Experiment:
     def _retrain(self, spec, state, tx, train_inds, epochs: int,
                  rng_tag: str = ""):
         m = self.config.model
+        from nnal_tpu.engine.common import maybe_reset_opt
+
+        maybe_reset_opt(state, tx, m)
         # cache the jitted step across AL rounds: a fresh closure per round
         # recompiles every round (per-round latency on a tunneled TPU)
         cache = getattr(self, "_step_fns", None)
@@ -158,13 +161,40 @@ class Experiment:
         # cw is passed at RUNTIME (cw= arg of step_fn): "auto" weights
         # change every round and would bake a new program each time
         cw_vec = None if cw is None else jnp.asarray(cw, jnp.float32)
+        # mean-teacher consistency (config-driven like the PW engines):
+        # this engine applies it on each training batch — the student sees
+        # the batch with dropout, the EMA teacher clean (reference MT_SSL
+        # batch semantics, NN_extended.py:1337-1396)
+        cc = float(getattr(m, "consistency_coeff", 0.0))
+        coeff_fn = None
+        if cc > 0.0:
+            ramp_len = int(getattr(m, "consistency_ramp", 0))
+            if ramp_len > 0:
+                from nnal_tpu.models.optim import sigmoid_rampup
+
+                _ramp = sigmoid_rampup(ramp_len)
+            else:
+                def _ramp(t):
+                    return 1.0
+
+            def coeff_fn(step, _cc=cc):
+                return _cc * _ramp(step)
+
+            if state.teacher_params is None:
+                state.teacher_params = jax.tree_util.tree_map(
+                    jnp.copy, state.params)
         ck = (id(tx), lwf_lambda, lwf_T, train_cd,
-              tuple(m.train_layers or ()))
+              tuple(m.train_layers or ()), cc,
+              int(getattr(m, "consistency_ramp", 0)),
+              str(getattr(m, "consistency_measure", "CE")))
         if ck not in cache:
-            cache[ck] = make_train_step(spec, tx, mc_t=int(m.mc_t),
-                                        lwf_lambda=lwf_lambda, lwf_T=lwf_T,
-                                        compute_dtype=train_cd,
-                                        grad_mask=grad_mask)
+            cache[ck] = make_train_step(
+                spec, tx, mc_t=int(m.mc_t),
+                lwf_lambda=lwf_lambda, lwf_T=lwf_T,
+                compute_dtype=train_cd, grad_mask=grad_mask,
+                consistency_coeff=coeff_fn,
+                consistency_measure=str(
+                    getattr(m, "consistency_measure", "CE")))
         step_fn = cache[ck]
         if lwf_lambda > 0.0:
             # previous model's logits act as distillation targets; record
@@ -208,7 +238,14 @@ class Experiment:
                 ol = fwd(old_params, x) if lwf_lambda > 0.0 else None
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
-                    jnp.asarray(state.step), None, w, ol, cw_vec)
+                    jnp.asarray(state.step), state.teacher_params, w, ol,
+                    cw_vec)
+                if cc > 0.0:
+                    from nnal_tpu.models.optim import ema_update
+
+                    state.teacher_params = ema_update(
+                        state.teacher_params, state.params,
+                        float(getattr(m, "ema_decay", 0.99)))
                 state.step += 1
         if state.bn_state:
             # refresh BN running statistics over the labeled set (the
@@ -269,12 +306,16 @@ class Experiment:
         from nnal_tpu.models.checkpoint import restore_opt_state
 
         ckpt = j.path("curr_weights.npz")
-        params, bn, _, al_state = load_checkpoint(ckpt)
+        params, bn, teacher, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
                                      cfg.model.learning_rate, bn_state=bn,
                                      tx=self._cached_tx())
         self._tx = tx
+        if teacher is not None:
+            # MT-SSL: the EMA teacher is part of the resume point
+            state.teacher_params = jax.tree_util.tree_map(jnp.asarray,
+                                                          teacher)
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
             state.step = int(al_state.get("step", 0))
@@ -291,13 +332,23 @@ class Experiment:
 
         # ckpt_full_every > 1: the resume point may be an anchor from an
         # earlier round — replay the journaled rounds' retrains
-        # (bit-identical; see engine.common.replay_prefix_lens)
-        from nnal_tpu.engine.common import replay_prefix_lens
+        # (bit-identical; see engine.common.replay_prefix_lens).
+        # bf16 anchors: re-apply the adoption roundings at the same rounds
+        # the live process did (they are part of the trajectory)
+        from nnal_tpu.engine.common import (
+            adopt_anchor_rounding,
+            replay_prefix_lens,
+        )
 
-        for ln in replay_prefix_lens(j, al_state, round_id,
-                                     len(train_inds)):
+        K_replay = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
+        anchor0 = (0 if al_state is None
+                   else int(al_state.get("round", round_id)))
+        for ri, ln in enumerate(replay_prefix_lens(j, al_state, round_id,
+                                                   len(train_inds))):
             state = self._retrain(spec, state, tx, train_inds[:ln],
                                   cfg.model.epochs)
+            if (anchor0 + ri + 1) % K_replay == 0:
+                adopt_anchor_rounding(state, cfg.model)
 
         from nnal_tpu.core.profiling import PhaseTimer
 
@@ -359,12 +410,21 @@ class Experiment:
                 # ckpt_full_every > 1 skips the pull (resume replays)
                 K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
                 if round_id % K == 0:
+                    # anchor-payload levers (engine.common): bf16 adoption
+                    # keeps crash-resume bit-identical; opt_reset drops the
+                    # moment leaves from the anchor
+                    from nnal_tpu.engine.common import (
+                        adopt_anchor_rounding,
+                        anchor_save_kwargs,
+                    )
+
+                    adopt_anchor_rounding(state, cfg.model)
                     save_checkpoint(j.path("curr_weights.npz"),
                                     state.params,
                                     bn_state=state.bn_state,
-                                    opt_state=state.opt_state,
                                     al_state={"step": int(state.step),
-                                              "round": round_id})
+                                              "round": round_id},
+                                    **anchor_save_kwargs(cfg.model, state))
                     last_full_round = round_id
             timer.commit_round(round_id - 1, n_train=len(train_inds),
                                n_pool=len(pool_inds), accuracy=float(acc))
@@ -374,11 +434,17 @@ class Experiment:
         if last_full_round != round_id:
             # a completed invocation always leaves a full resume point;
             # only crashes between anchors ever take the replay path
+            from nnal_tpu.engine.common import (
+                adopt_anchor_rounding,
+                anchor_save_kwargs,
+            )
+
+            adopt_anchor_rounding(state, cfg.model)
             save_checkpoint(j.path("curr_weights.npz"), state.params,
                             bn_state=state.bn_state,
-                            opt_state=state.opt_state,
                             al_state={"step": int(state.step),
-                                      "round": round_id})
+                                      "round": round_id},
+                            **anchor_save_kwargs(cfg.model, state))
         return {"n_queries": n_queries,
                 "accs": j.load_evals("accs.txt"),
                 "train_inds": train_inds, "pool_inds": pool_inds}

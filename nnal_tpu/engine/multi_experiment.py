@@ -168,6 +168,9 @@ class MultiImgExperiment:
             w.wait()
 
         m = self.config.model
+        from nnal_tpu.engine.common import maybe_reset_opt
+
+        maybe_reset_opt(state, tx, m)
         epochs = m.epochs if epochs is None else epochs
         sizes = [len(v) for v in per_subject_inds]
         total = int(np.sum(sizes))
@@ -230,13 +233,24 @@ class MultiImgExperiment:
         from nnal_tpu.scoring.pool_eval import eval_compute_dtype
 
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
-        ck = (id(tx), m.b, lwf_lambda, lwf_T, train_cd)
+        cc = float(getattr(m, "consistency_coeff", 0.0))
+        mt_kw = {}
+        if cc > 0.0:
+            mt_kw = dict(consistency_coeff=cc,
+                         consistency_measure=str(
+                             getattr(m, "consistency_measure", "CE")),
+                         consistency_ramp=int(
+                             getattr(m, "consistency_ramp", 0)),
+                         ema_decay=float(getattr(m, "ema_decay", 0.99)))
+        ck = (id(tx), m.b, lwf_lambda, lwf_T, train_cd,
+              tuple(sorted(mt_kw.items())))
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
                                               mc_t=int(m.mc_t),
                                               lwf_lambda=lwf_lambda,
                                               lwf_T=lwf_T,
-                                              compute_dtype=train_cd)
+                                              compute_dtype=train_cd,
+                                              **mt_kw)
         run = cache[ck]
         # honor config class_weights like the single-subject engine does
         # (the reference's multimg path trains unweighted, PW_AL.py:
@@ -255,6 +269,7 @@ class MultiImgExperiment:
         else:
             cw_vec = jnp.ones((m.nclass,), jnp.float32)
         key = jax.random.fold_in(jrng, state.step)
+        old_logits = None
         if lwf_lambda > 0.0:
             # previous model's logits over the labeled set, recorded once
             # per round (reference get_LwF, model_utils.py:98-135)
@@ -265,6 +280,61 @@ class MultiImgExperiment:
                 fwd = self._lwf_fwd = jax.jit(
                     lambda p, x: apply_cnn(spec, p, x).logits)
             old_logits = fwd(state.params, x_all)
+        if cc > 0.0:
+            # mean-teacher: EMA teacher persists on the train state across
+            # rounds (checkpointed in the anchors' teacher/ group);
+            # unlabeled consistency batches come from the INITIAL
+            # per-subject pools (step-keyed stream -> replay-identical)
+            from nnal_tpu.models.train import build_unlabeled_index_matrix
+
+            if state.teacher_params is None:
+                state.teacher_params = jax.tree_util.tree_map(
+                    jnp.copy, state.params)
+            u_cat = getattr(self, "_mt_u_cat", None)
+            if u_cat is None:
+                from nnal_tpu.core.journal import load_inds
+
+                per = [np.asarray(load_inds(self._p(f"pool_inds_{i}.txt")),
+                                  np.int64)
+                       for i in range(len(self.train_subjects))]
+                u_cat = self._mt_u_cat = (
+                    np.concatenate([np.full(len(p), si, np.int64)
+                                    for si, p in enumerate(per)]),
+                    np.concatenate(per))
+            u_subj, u_vox = u_cat
+            uhost = self.rng.fold(
+                f"ft-multi-unlab-{rng_tag}{state.step}").host
+            n_take = 256
+            draw = uhost.integers(0, len(u_vox), size=n_take)
+            subj, vox = u_subj[draw], u_vox[draw]
+            xu_np = None
+            for si in np.unique(subj):
+                if si not in host_padded:
+                    host_padded[si] = [
+                        np.ascontiguousarray(np.pad(
+                            np.asarray(v, np.float32),
+                            ((r1, r1), (r2, r2), (r3, r3))))
+                        for v in self.train_subjects[si][0]]
+                orig = tuple(np.asarray(
+                    self.train_subjects[si][0][0]).shape)
+                sel_si = subj == si
+                got = gather_patches_native(
+                    host_padded[si], vox[sel_si], patch_shape, orig,
+                    stats[si, 0::2], stats[si, 1::2])
+                if xu_np is None:
+                    xu_np = np.zeros((n_take,) + got.shape[1:],
+                                     got.dtype)
+                xu_np[sel_si] = got
+            xu_all = jnp.asarray(xu_np)
+            ub = int(getattr(m, "unlabeled_batch", 0)) or m.b
+            u_idx = build_unlabeled_index_matrix(
+                n_take, ub, idx_mat.shape[0], uhost)
+            (state.params, state.opt_state, state.teacher_params, _) = run(
+                state.params, state.opt_state, state.teacher_params,
+                x_all, y_all, jnp.asarray(idx_mat), jnp.asarray(w_mat),
+                cw_vec, key, jnp.asarray(state.step, jnp.float32),
+                xu_all, jnp.asarray(u_idx), old_logits)
+        elif old_logits is not None:
             state.params, state.opt_state, _ = run(
                 state.params, state.opt_state, x_all, y_all,
                 jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key,
@@ -373,12 +443,16 @@ class MultiImgExperiment:
         from nnal_tpu.models.checkpoint import restore_opt_state
 
         ckpt = j.path("curr_weights.npz")
-        params, bn, _, al_state = load_checkpoint(ckpt)
+        params, bn, teacher, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(spec, params, cfg.model.optimizer_name,
                                      cfg.model.learning_rate, bn_state=bn,
                                      tx=self._cached_tx())
         self._tx = tx
+        if teacher is not None:
+            # MT-SSL: the EMA teacher is part of the resume point
+            state.teacher_params = jax.tree_util.tree_map(jnp.asarray,
+                                                          teacher)
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
             state.step = int(al_state.get("step", 0))
@@ -395,13 +469,17 @@ class MultiImgExperiment:
 
         def _qmat_to_global(qmat):
             # journal rows are (voxel, subject); membership is global ids
-            # over the concatenated ORIGINAL per-subject pools (sorted by
-            # construction — generate_grid_samples emits ascending ravels)
+            # over the concatenated ORIGINAL per-subject pools.  Exact
+            # position lookup — the pool files are NOT sorted (the grid
+            # sampler emits slice-major order with per-slice resets), so a
+            # searchsorted here returned wrong positions and the earlier
+            # assert tripped on any crash-repair after round 0
+            pos_of = [
+                {int(v): i for i, v in enumerate(np.asarray(p).tolist())}
+                for p in pools]
             out = []
             for v, s in qmat.T:
-                pos = int(np.searchsorted(pools[s], v))
-                assert pools[s][pos] == v, (v, s)
-                out.append(int(_offsets[s]) + pos)
+                out.append(int(_offsets[s]) + pos_of[int(s)][int(v)])
             return np.asarray(out, np.int64)
 
         train_g, pool_g, _ = reconcile_membership(
@@ -410,14 +488,24 @@ class MultiImgExperiment:
         # ckpt_full_every > 1: the resume point on disk may be an anchor
         # from an earlier round — replay the journaled rounds' finetunes
         # (bit-identical; see engine.common.replay_prefix_lens —
-        # matrix=True because multi journals are (voxel, subject) 2 x k)
-        from nnal_tpu.engine.common import replay_prefix_lens
+        # matrix=True because multi journals are (voxel, subject) 2 x k).
+        # bf16 anchors: re-apply the adoption roundings at the same rounds
+        # the live process did (they are part of the trajectory)
+        from nnal_tpu.engine.common import (
+            adopt_anchor_rounding,
+            replay_prefix_lens,
+        )
 
-        for ln in replay_prefix_lens(j, al_state, round_id, len(train_g),
-                                     matrix=True):
+        K_replay = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
+        anchor0 = (0 if al_state is None
+                   else int(al_state.get("round", round_id)))
+        for ri, ln in enumerate(replay_prefix_lens(
+                j, al_state, round_id, len(train_g), matrix=True)):
             tv = [pools[i][loc] for i, loc in
                   enumerate(global2local_inds(train_g[:ln], sizes))]
             state = self.finetune_multimg(spec, state, tx, tv)
+            if (anchor0 + ri + 1) % K_replay == 0:
+                adopt_anchor_rounding(state, cfg.model)
 
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)
@@ -545,8 +633,20 @@ class MultiImgExperiment:
                 # skipping it makes those rounds checkpoint-byte-free
                 H = int(getattr(cfg.model, "hist_every", 1))
                 want_hist = H > 0 and round_id % H == 0
-                params_d, bn_d, opt_d = (state.params, state.bn_state,
-                                         state.opt_state)
+                # anchor-payload levers (engine.common): bf16 adoption
+                # keeps crash-resume bit-identical under the halved-byte
+                # anchor; opt_reset_per_round drops the moment leaves
+                # (2/3 of the payload) from the anchor entirely
+                from nnal_tpu.engine.common import adopt_anchor_rounding
+
+                bf16_anchor = full and adopt_anchor_rounding(state,
+                                                             cfg.model)
+                include_opt = not getattr(cfg.model, "opt_reset_per_round",
+                                          False)
+                params_d, bn_d, opt_d, teach_d = (
+                    state.params, state.bn_state,
+                    state.opt_state if include_opt else None,
+                    state.teacher_params)
                 step_now, rid = int(state.step), round_id
                 # history copies are analysis-only: hist_dtype=float16
                 # halves their device->host bytes (cast on device, one
@@ -574,10 +674,21 @@ class MultiImgExperiment:
                     hist_p = caster(params_d)
                     hist_b = caster(bn_d) if bn_d is not None else None
 
+                if full and bf16_anchor:
+                    # pre-pull device cast: the adoption above made every
+                    # float32 leaf bf16-representable, so this is exact —
+                    # and it halves the anchor's tunnel pull (ONE jitted
+                    # tree program; models.checkpoint._cast_tree_bf16)
+                    from nnal_tpu.models.checkpoint import _cast_tree_bf16
+
+                    params_d, bn_d, opt_d, teach_d = _cast_tree_bf16(
+                        (params_d, bn_d, opt_d, teach_d))
+
                 def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
-                          bn_d=bn_d, opt_d=opt_d, step_now=step_now,
+                          bn_d=bn_d, opt_d=opt_d, teach_d=teach_d,
+                          step_now=step_now,
                           rid=rid, full=full, want_hist=want_hist,
-                          cast_hist=cast_hist):
+                          cast_hist=cast_hist, bf16_anchor=bf16_anchor):
                     # share one pull between the history copy and the
                     # resume point when they are the same tensors
                     from nnal_tpu.models.checkpoint import \
@@ -587,11 +698,15 @@ class MultiImgExperiment:
                     if want_hist:
                         payload["p"], payload["b"] = hist_p, hist_b
                     if full:
-                        if cast_hist or not want_hist:
-                            # resume point stays full precision even on
-                            # anchor rounds where the history copy is cast
+                        if cast_hist or not want_hist or bf16_anchor:
+                            # the resume point's own tensors (full f32, or
+                            # the bf16 anchor encoding) — shared with the
+                            # history pull only when byte-identical
                             payload["rp"], payload["rb"] = params_d, bn_d
-                        payload["o"] = opt_d
+                        if opt_d is not None:
+                            payload["o"] = opt_d
+                        if teach_d is not None:
+                            payload["t"] = teach_d
                     if not payload:        # hist_every skipped, non-anchor:
                         return             # zero checkpoint bytes this round
                     pulled = _chunked_device_get(payload)
@@ -603,7 +718,8 @@ class MultiImgExperiment:
                                         pulled.get("rp", pulled.get("p")),
                                         bn_state=pulled.get(
                                             "rb", pulled.get("b")),
-                                        opt_state=pulled["o"],
+                                        opt_state=pulled.get("o"),
+                                        teacher_params=pulled.get("t"),
                                         al_state={"step": step_now,
                                                   "round": rid})
 
@@ -623,11 +739,17 @@ class MultiImgExperiment:
             if last_full_round != round_id:
                 # a completed invocation always leaves a full resume point;
                 # only crashes between anchors ever take the replay path
+                from nnal_tpu.engine.common import (
+                    adopt_anchor_rounding,
+                    anchor_save_kwargs,
+                )
+
+                adopt_anchor_rounding(state, cfg.model)
                 save_checkpoint(j.path("curr_weights.npz"), state.params,
                                 bn_state=state.bn_state,
-                                opt_state=state.opt_state,
                                 al_state={"step": int(state.step),
-                                          "round": round_id})
+                                          "round": round_id},
+                                **anchor_save_kwargs(cfg.model, state))
         if timer.current:
             # tail record so the final async wait stays visible in the
             # phase journal (summed with its round by consumers)

@@ -194,6 +194,9 @@ class PWExperiment:
             w.wait()
 
         m = self.config.model
+        from nnal_tpu.engine.common import maybe_reset_opt
+
+        maybe_reset_opt(params_state[0], params_state[1], m)
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
         state, tx = params_state
@@ -247,6 +250,15 @@ class PWExperiment:
         lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
         lwf_T = float(getattr(m, "lwf_T", 2.0))
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        cc = float(getattr(m, "consistency_coeff", 0.0))
+        mt_kw = {}
+        if cc > 0.0:
+            mt_kw = dict(consistency_coeff=cc,
+                         consistency_measure=str(
+                             getattr(m, "consistency_measure", "CE")),
+                         consistency_ramp=int(
+                             getattr(m, "consistency_ramp", 0)),
+                         ema_decay=float(getattr(m, "ema_decay", 0.99)))
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
@@ -254,18 +266,20 @@ class PWExperiment:
         # modify_parameters(train_layers=...) between finetunes must not
         # reuse a runner closed over the stale layer mask
         ck = (id(tx), m.b, tuple(m.train_layers or ()), lwf_lambda, lwf_T,
-              train_cd)
+              train_cd, tuple(sorted(mt_kw.items())))
         if ck not in cache:
             cache[ck] = make_scanned_finetune(spec, tx, batch_size=m.b,
                                               grad_mask=grad_mask,
                                               mc_t=int(m.mc_t),
                                               lwf_lambda=lwf_lambda,
                                               lwf_T=lwf_T,
-                                              compute_dtype=train_cd)
+                                              compute_dtype=train_cd,
+                                              **mt_kw)
         run = cache[ck]
         cw_vec = jnp.ones((m.nclass,), jnp.float32) if cw is None \
             else jnp.asarray(cw, jnp.float32)
         key = jax.random.fold_in(jrng, state.step)
+        old_logits = None
         if lwf_lambda > 0.0:
             # record the previous model's logits over the labeled set ONCE
             # per round; the scan distills against these rows per batch
@@ -277,6 +291,37 @@ class PWExperiment:
                 fwd = self._lwf_fwd = jax.jit(
                     lambda p, x: apply_cnn(spec, p, x).logits)
             old_logits = fwd(state.params, x_all)
+        if cc > 0.0:
+            # mean-teacher: EMA teacher persists on the train state across
+            # rounds (and through the anchors' teacher/ group); unlabeled
+            # consistency batches are drawn from the INITIAL pool with a
+            # step-keyed stream so replay is bit-identical
+            from nnal_tpu.models.train import build_unlabeled_index_matrix
+
+            if state.teacher_params is None:
+                state.teacher_params = jax.tree_util.tree_map(
+                    jnp.copy, state.params)
+            u_pool = getattr(self, "_mt_u_pool", None)
+            if u_pool is None:
+                u_pool = self._mt_u_pool = load_inds(
+                    self._p("init_pool_inds.txt"))
+            uhost = self.rng.fold(
+                f"finetune-unlab-{rng_tag}{state.step}").host
+            n_take = 256
+            u_sub = u_pool[uhost.integers(0, len(u_pool), size=n_take)]
+            xu_all = gather_patches_normalized(
+                padded, jnp.asarray(u_sub, jnp.int64), mu, sd,
+                tuple(m.patch_shape), orig_shape)
+            ub = int(getattr(m, "unlabeled_batch", 0)) or m.b
+            u_idx = build_unlabeled_index_matrix(
+                n_take, ub, idx_mat.shape[0], uhost)
+            (state.params, state.opt_state, state.teacher_params,
+             losses) = run(
+                state.params, state.opt_state, state.teacher_params,
+                x_all, y_all, jnp.asarray(idx_mat), jnp.asarray(w_mat),
+                cw_vec, key, jnp.asarray(state.step, jnp.float32),
+                xu_all, jnp.asarray(u_idx), old_logits)
+        elif old_logits is not None:
             state.params, state.opt_state, losses = run(
                 state.params, state.opt_state, x_all, y_all,
                 jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key,
@@ -293,13 +338,27 @@ class PWExperiment:
                          train_inds, round_id):
         """Rebuild training state at ``round_id`` from an anchor checkpoint
         by re-running the journaled rounds' finetunes (bit-identical; see
-        ``engine.common.replay_prefix_lens``)."""
-        from nnal_tpu.engine.common import replay_prefix_lens
+        ``engine.common.replay_prefix_lens``).
+
+        Under ``ckpt_dtype=bfloat16`` the live process ADOPTS bf16-rounded
+        state at every anchor round — those roundings are part of the
+        training trajectory, so replay re-applies them at the same rounds
+        (a crash can land between the adoption and its save; without this
+        the replayed trajectory diverges at bf16 ulp scale)."""
+        from nnal_tpu.engine.common import (
+            adopt_anchor_rounding,
+            replay_prefix_lens,
+        )
 
         state, tx = params_state
-        for ln in replay_prefix_lens(j, al_state, round_id,
-                                     len(train_inds)):
+        K = max(1, int(getattr(self.config.model, "ckpt_full_every", 1)))
+        anchor = (0 if al_state is None
+                  else int(al_state.get("round", round_id)))
+        for i, ln in enumerate(replay_prefix_lens(j, al_state, round_id,
+                                                  len(train_inds))):
             state = self.finetune(spec, (state, tx), train_inds[:ln])
+            if (anchor + i + 1) % K == 0:
+                adopt_anchor_rounding(state, self.config.model)
         return state
 
     # ------------------------------------------------------------- AL loop
@@ -320,12 +379,16 @@ class PWExperiment:
         from nnal_tpu.models.checkpoint import restore_opt_state
 
         ckpt = j.path("curr_weights.npz")
-        params, bn, _, al_state = load_checkpoint(ckpt)
+        params, bn, teacher, al_state = load_checkpoint(ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state, tx = init_train_state(
             spec, params, cfg.model.optimizer_name, cfg.model.learning_rate,
             bn_state=bn, tx=self._cached_tx())
         self._tx = tx
+        if teacher is not None:
+            # MT-SSL: the EMA teacher is part of the resume point
+            state.teacher_params = jax.tree_util.tree_map(jnp.asarray,
+                                                          teacher)
         # resume mid-campaign with the exact optimizer moments + step
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
         if al_state is not None:
@@ -447,20 +510,29 @@ class PWExperiment:
                 # (resume replays the journaled finetunes from the anchor)
                 K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
                 if round_id % K == 0:
+                    # anchor-payload levers: adopt bf16 rounding into the
+                    # live state first (bit-identity; engine.common), then
+                    # save at the anchor dtype, skipping moments under
+                    # opt_reset_per_round
+                    from nnal_tpu.engine.common import (
+                        adopt_anchor_rounding,
+                        anchor_save_kwargs,
+                    )
+
+                    adopt_anchor_rounding(state, cfg.model)
+                    akw = anchor_save_kwargs(cfg.model, state)
                     # async: the params+moments pull rides the tunnel while
                     # the next round's scoring runs; the wait above (and
                     # the guard in finetune) protects the donated buffers
-                    params_d, bn_d, opt_d = (state.params, state.bn_state,
-                                             state.opt_state)
+                    params_d, bn_d = state.params, state.bn_state
                     step_now, rid_now = int(state.step), round_id
 
-                    def _save(params_d=params_d, bn_d=bn_d, opt_d=opt_d,
+                    def _save(params_d=params_d, bn_d=bn_d, akw=akw,
                               step_now=step_now, rid_now=rid_now):
                         save_checkpoint(j.path("curr_weights.npz"),
                                         params_d, bn_state=bn_d,
-                                        opt_state=opt_d,
                                         al_state={"step": step_now,
-                                                  "round": rid_now})
+                                                  "round": rid_now}, **akw)
 
                     if getattr(cfg.model, "async_checkpoint", False):
                         self._ckpt_writer.submit(_save)
@@ -479,11 +551,17 @@ class PWExperiment:
                 # so downstream consumers read FINAL weights and a later
                 # run_method call resumes replay-free; only crashes between
                 # anchors ever take the replay path
+                from nnal_tpu.engine.common import (
+                    adopt_anchor_rounding,
+                    anchor_save_kwargs,
+                )
+
+                adopt_anchor_rounding(state, cfg.model)
                 save_checkpoint(j.path("curr_weights.npz"), state.params,
                                 bn_state=state.bn_state,
-                                opt_state=state.opt_state,
                                 al_state={"step": int(state.step),
-                                          "round": round_id})
+                                          "round": round_id},
+                                **anchor_save_kwargs(cfg.model, state))
         if timer.current:
             timer.commit_round(round_id - 1, tail=True)
         tb.close()

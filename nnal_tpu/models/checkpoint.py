@@ -17,7 +17,89 @@ import tempfile
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
+
+# storage-dtype marker appended to npz keys holding bfloat16 payloads
+# (numpy has no native bfloat16 descr; the bits are stored as uint16 and
+# re-viewed through ml_dtypes at load time)
+_BF16 = "@bf16"
+
+
+@jax.jit
+def _cast_tree_bf16(tree):
+    """ONE whole-tree device cast f32 -> bf16 (halves the device->host
+    checkpoint pull on tunneled backends, where bytes — not streams — are
+    the transfer lever; CLAUDE.md transfer economics).  A single program:
+    eager per-leaf ``astype`` would dispatch one remote compile per leaf
+    shape, which ate the byte savings in short campaigns (same lesson as
+    the multi engine's hist cast)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, tree)
+
+
+@jax.jit
+def round_trip_bf16(tree):
+    """f32 -> bf16 -> f32 rounding of every float32 leaf, one program.
+
+    The bf16-anchor scheme's bit-identity trick: at anchor rounds the
+    engine ADOPTS these rounded values into its live state before saving,
+    so the bf16 checkpoint on disk decodes to exactly the values the
+    uninterrupted process keeps training with — crash-resume stays
+    bit-identical by construction (resume == continue).  bf16 keeps f32's
+    exponent range, so tiny Adam second moments (~1e-8) survive the
+    round-trip (float16 would flush them)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+        if a.dtype == jnp.float32 else a, tree)
+
+
+def _encode_payload_bf16(payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-pull encoding: float32 leaves -> bf16 (device leaves via ONE
+    jitted tree cast; host leaves via ml_dtypes).  Leaves already bf16
+    pass through.  Non-float leaves (ints, the al_state bytes) untouched."""
+    dev = {k: v for k, v in payload.items()
+           if isinstance(v, jax.Array) and v.dtype == jnp.float32}
+    if dev:
+        dev = _cast_tree_bf16(dev)
+    out = {}
+    for k, v in payload.items():
+        if k in dev:
+            out[k] = dev[k]
+        elif isinstance(v, np.ndarray) and v.dtype == np.float32:
+            out[k] = v.astype(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
+def _mark_and_view(payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Post-pull: bf16 host arrays -> uint16 bit views under a marked key
+    (npz stays pure-numpy portable)."""
+    out = {}
+    for k, v in payload.items():
+        a = np.asarray(v)
+        if a.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16] = a.view(np.uint16)
+        else:
+            out[k] = a
+    return out
+
+
+def _decode_flat(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Load-side inverse of ``_mark_and_view``: marked uint16 arrays come
+    back as float32 (the engines' master-param dtype; the values are exact
+    bf16 representables, so this is lossless)."""
+    out = {}
+    for k, v in flat.items():
+        if k.endswith(_BF16):
+            out[k[:-len(_BF16)]] = (
+                v.view(ml_dtypes.bfloat16).astype(np.float32))
+        else:
+            out[k] = v
+    return out
 
 
 def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -108,14 +190,21 @@ class AsyncCheckpointWriter:
 def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
                     teacher_params: Optional[Dict] = None,
                     al_state: Optional[dict] = None,
-                    opt_state=None) -> None:
+                    opt_state=None, dtype: Optional[str] = None) -> None:
     """Atomic single-file checkpoint (tmpfile + rename), so an interrupted
     save never corrupts the resume point (SURVEY.md §5.3).
 
     ``opt_state`` may be any optax state pytree; its leaves are stored
     positionally (``opt/<i>``) and re-attached at load time to a freshly
     ``tx.init``-ed state of the same structure, so a resumed finetune
-    continues with identical Adam moments (bit-identical replay)."""
+    continues with identical Adam moments (bit-identical replay).
+
+    ``dtype='bfloat16'`` stores float32 leaves as bf16 (uint16 bit views
+    under ``@bf16``-marked keys) and casts DEVICE leaves before the pull,
+    halving the dominant tunnel transfer.  Loaders transparently decode
+    back to float32.  For bit-identical crash-resume the engines pair this
+    with ``round_trip_bf16`` adoption (see its docstring); leaves that are
+    already bf16 (pre-cast by a caller sharing one pull) pass through."""
     payload = {}
     payload.update(_flatten(params, "params/"))
     if bn_state:
@@ -129,7 +218,11 @@ def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
     if al_state is not None:
         payload["__al_state__"] = np.frombuffer(
             json.dumps(al_state).encode(), dtype=np.uint8)
-    payload = _chunked_device_get(payload)
+    if dtype == "bfloat16":
+        payload = _encode_payload_bf16(payload)
+    elif dtype not in (None, "float32"):
+        raise ValueError(f"unsupported checkpoint dtype {dtype!r}")
+    payload = _mark_and_view(_chunked_device_get(payload))
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
     os.close(fd)
@@ -143,9 +236,10 @@ def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
 
 
 def load_checkpoint(path: str):
-    """Returns (params, bn_state, teacher_params, al_state)."""
+    """Returns (params, bn_state, teacher_params, al_state).  bf16-stored
+    leaves (``@bf16`` keys) decode to float32 transparently."""
     with np.load(path, allow_pickle=False) as z:
-        flat = {k: z[k] for k in z.files}
+        flat = _decode_flat({k: z[k] for k in z.files})
     al_state = None
     if "__al_state__" in flat:
         al_state = json.loads(flat.pop("__al_state__").tobytes().decode())
@@ -196,10 +290,12 @@ def restore_opt_state(path: str, opt_state):
     onto a freshly initialized state of identical structure.  Returns the
     input unchanged when the checkpoint predates opt-state saving."""
     with np.load(path, allow_pickle=False) as z:
-        keys = sorted(k for k in z.files if k.startswith("opt/"))
+        flat = _decode_flat({k: z[k] for k in z.files
+                             if k.startswith("opt/")})
+        keys = sorted(flat)
         if not keys:
             return opt_state
-        saved = [z[k] for k in keys]
+        saved = [flat[k] for k in keys]
     leaves, treedef = jax.tree_util.tree_flatten(opt_state)
     if len(saved) != len(leaves):
         raise ValueError(f"checkpoint has {len(saved)} opt leaves, "

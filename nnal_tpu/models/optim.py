@@ -112,8 +112,11 @@ def apply_grad_mask(grads: Dict, mask: Optional[Dict]) -> Dict:
 # --------------------------------------------------------------------------- #
 # EMA teacher (reference MT_SSL custom_getter EMA, NN_extended.py:1337-1396)
 # --------------------------------------------------------------------------- #
+@jax.jit
 def ema_update(teacher_params: Dict, student_params: Dict,
                decay: float = 0.999) -> Dict:
+    """ONE fused program for the whole tree — the eager per-leaf form
+    dispatched ~3 ops per leaf per training step."""
     return jax.tree_util.tree_map(
         lambda t, s: decay * t + (1.0 - decay) * s,
         teacher_params, student_params)

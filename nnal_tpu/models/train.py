@@ -201,7 +201,11 @@ def train(spec, state: TrainState, step_fn, train_gen, *, step_limit: int,
 def make_scanned_finetune(spec, tx, *, batch_size: int,
                           grad_mask=None, mc_t: int = 10,
                           lwf_lambda: float = 0.0, lwf_T: float = 2.0,
-                          compute_dtype=None):
+                          compute_dtype=None,
+                          consistency_coeff: float = 0.0,
+                          consistency_measure: str = "CE",
+                          consistency_ramp: int = 0,
+                          ema_decay: float = 0.99):
     """Whole-epoch finetuning as ONE jitted ``lax.scan`` over a precomputed
     (steps, b) batch-index matrix into device-resident training patches.
 
@@ -219,13 +223,31 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     ``lwf_T`` (reference ``get_LwF``, model_utils.py:98-135).
     ``compute_dtype=bfloat16`` runs the scan mixed-precision (bf16
     forward/backward, f32 master params + optimizer state).
-    """
-    from nnal_tpu.models.optim import apply_grad_mask
-    from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
-    def loss_fn(params, x, y, w, cw, ol, rng):
-        params, x = _cast_for_forward(compute_dtype, params, x)
-        out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
+    ``consistency_coeff > 0`` builds the MEAN-TEACHER runner instead
+    (reference MT_SSL, NN_extended.py:1337-1396: EMA teacher + consistency
+    loss + sigmoid ramp-up): signature ``fn(params, opt_state, teacher,
+    x_all, y_all, idx_mat, w_mat, cw, rng, step0, xu_all, u_idx_mat)
+    -> (params, opt_state, teacher, losses)``.  Each step adds
+    ``coeff(step0+i) * consistency(student(x_u, dropout), teacher(x_u))``
+    over the unlabeled batch ``xu_all[u_idx_mat[i]]`` and EMA-updates the
+    teacher AFTER the optimizer step — all inside the one scan, so MT-SSL
+    costs zero extra dispatches.  ``consistency_ramp`` is the sigmoid
+    ramp-up length in optimizer steps (0 = constant coefficient);
+    ``step0`` is the global step at scan entry, so the ramp is continuous
+    across AL rounds and bit-identical under crash-resume replay.
+    """
+    from nnal_tpu.models.optim import apply_grad_mask, ema_update
+    from nnal_tpu.models.losses import (
+        aleatoric_ce_per_sample,
+        consistency_loss,
+    )
+
+    mt = consistency_coeff > 0.0
+
+    def loss_fn(params, x, y, w, cw, ol, rng, teacher, x_u, coeff):
+        params_c, x = _cast_for_forward(compute_dtype, params, x)
+        out = apply_cnn(spec, params_c, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
             per = aleatoric_ce_per_sample(
                 out.logits, out.log_sigma.astype(jnp.float32), y,
@@ -241,20 +263,41 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
             dper = -jnp.sum(soft * lp, axis=-1)
             loss = loss + lwf_lambda * (jnp.sum(dper * w)
                                         / jnp.maximum(jnp.sum(w), 1.0))
+        if mt:
+            # student sees the unlabeled batch WITH dropout (its own key
+            # chain, offset far outside the labeled fold range), the
+            # teacher clean — the reference's noise asymmetry
+            _, x_uc = _cast_for_forward(compute_dtype, params, x_u)
+            s_out = apply_cnn(spec, params_c, x_uc, train=True,
+                              dropout_rng=jax.random.fold_in(
+                                  rng, (1 << 21) + 3))
+            t_params, _ = _cast_for_forward(compute_dtype, teacher, x_u)
+            t_out = apply_cnn(spec, t_params, x_uc)
+            loss = loss + coeff * consistency_loss(
+                s_out.logits, t_out.logits, consistency_measure)
         return loss
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng,
-            old_logits_all=None):
+    if consistency_ramp > 0:
+        from nnal_tpu.models.optim import sigmoid_rampup
+
+        ramp = sigmoid_rampup(consistency_ramp)
+    else:
+        def ramp(t):
+            return 1.0
+
+    def _scan(params, opt_state, teacher, x_all, y_all, idx_mat, w_mat,
+              cw, rng, step0, xu_all, u_idx_mat, old_logits_all):
         def step(carry, sc):
-            params, opt_state = carry
-            idx, w, i = sc
+            params, opt_state, teacher = carry
+            idx, uidx, w, i = sc
             x = x_all[idx]
             y = y_all[idx]
+            x_u = None if xu_all is None else xu_all[uidx]
+            coeff = (consistency_coeff * ramp(step0 + i)) if mt else 0.0
             ol = None if old_logits_all is None else old_logits_all[idx]
             key = jax.random.fold_in(rng, i)
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w, cw,
-                                                      ol, key)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, y, w, cw, ol, key, teacher, x_u, coeff)
             grads = apply_grad_mask(grads, grad_mask)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -266,12 +309,39 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
             opt_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(do, new, old), new_opt,
                 opt_state)
-            return (params, opt_state), loss
+            if mt:
+                new_teacher = ema_update(teacher, params, ema_decay)
+                teacher = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(do, new, old), new_teacher,
+                    teacher)
+            return (params, opt_state, teacher), loss
 
         steps = jnp.arange(idx_mat.shape[0])
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (idx_mat, w_mat, steps))
-        return params, opt_state, losses
+        if u_idx_mat is None:
+            u_idx_mat = jnp.zeros((idx_mat.shape[0], 1), jnp.int32)
+        (params, opt_state, teacher), losses = jax.lax.scan(
+            step, (params, opt_state, teacher),
+            (idx_mat, u_idx_mat, w_mat, steps))
+        return params, opt_state, teacher, losses
+
+    if mt:
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_mt(params, opt_state, teacher, x_all, y_all, idx_mat,
+                   w_mat, cw, rng, step0, xu_all, u_idx_mat,
+                   old_logits_all=None):
+            return _scan(params, opt_state, teacher, x_all, y_all,
+                         idx_mat, w_mat, cw, rng, step0, xu_all,
+                         u_idx_mat, old_logits_all)
+
+        return run_mt
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng,
+            old_logits_all=None):
+        p, o, _, losses = _scan(params, opt_state, None, x_all, y_all,
+                                idx_mat, w_mat, cw, rng, 0, None, None,
+                                old_logits_all)
+        return p, o, losses
 
     return run
 
@@ -303,6 +373,14 @@ def build_batch_index_matrix(n: int, batch_size: int, epochs: int, rng,
             rows.append(np.zeros(batch_size, np.int64))
             weights.append(np.zeros(batch_size, np.float32))
     return np.stack(rows), np.stack(weights)
+
+
+def build_unlabeled_index_matrix(n_u: int, ub: int, steps: int, rng):
+    """(steps, ub) with-replacement index matrix into the round's gathered
+    unlabeled subset — the mean-teacher consistency batches.  Fixed shape
+    by construction (sampling with replacement), so the MT scan compiles
+    once per bucket like the labeled matrix."""
+    return rng.integers(0, n_u, size=(steps, ub)).astype(np.int32)
 
 
 def update_bn_stats(spec, params, bn_state, sample_gen, iters: int = 200):

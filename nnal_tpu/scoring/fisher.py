@@ -83,15 +83,21 @@ def fi_select(spec, params, patches, posts_p1, k: int, rng, *,
     binary posteriors.  Returns positions (into the candidate set) of the
     sampled queries.
     """
-    shrunk = shrunk_class_grads(spec, params, jnp.asarray(patches))
-    A = a_matrices(shrunk, jnp.asarray(np.asarray(posts_p1, np.float32)),
-                   diag_load)
+    from nnal_tpu.core.profiling import subphase
+
+    with subphase("fi/grads_A"):
+        shrunk = shrunk_class_grads(spec, params, jnp.asarray(patches))
+        A = np.asarray(a_matrices(
+            shrunk, jnp.asarray(np.asarray(posts_p1, np.float32)),
+            diag_load))
     X_pool = None
     if lambda_ > 0 and features is not None:
         B = patches.shape[0]
         ref_F = refine_feature_matrix(np.asarray(features).T, B)
         ref_F = ref_F - ref_F.mean(axis=1, keepdims=True)
         X_pool = ref_F
-    q = fi_query_distribution(np.asarray(A), lambda_, X_pool, k,
-                              cap_peak=cap_peak, steps=sdp_steps)
-    return sample_query_pmf(q, k, rng, replacement=True)
+    with subphase("fi/sdp"):
+        q = fi_query_distribution(A, lambda_, X_pool, k,
+                                  cap_peak=cap_peak, steps=sdp_steps)
+    with subphase("fi/pmf"):
+        return sample_query_pmf(q, k, rng, replacement=True)

@@ -254,6 +254,32 @@ def shrunk_class_grads_with_logits(spec, params, x: jnp.ndarray,
     return jnp.transpose(grads, (1, 0, 2)) / sizes, logits
 
 
+@partial(jax.jit, static_argnames=("spec", "patch_shape", "orig_shape",
+                                   "compute_dtype"))
+def gather_shrunk_a_matrices(spec, params, padded, inds, mu, sd,
+                             patch_shape, orig_shape, posts_p1,
+                             diag_load=1e-5, compute_dtype=None):
+    """ONE device program for the FI scoring tail: candidate patch gather
+    (+normalize) -> 'sum'-shrunk class gradients -> conditional-FI
+    A-matrices.
+
+    The unfused pipeline dispatched three programs per subject and
+    materialized the (B, d1, d2, m*d3) patch tensor between them; over the
+    tunnel each extra dispatch costs ~0.1-0.3 s of latency and the fused
+    form keeps every intermediate on device — only the (B, L, L)
+    A-matrices (a few hundred KB) ever cross to host.  Replaces the
+    reference's one-sess.run-per-sample-per-class loop + host assembly
+    (PW_NNAL.py:738-816) end to end."""
+    from nnal_tpu.data.patches import gather_patches_normalized
+    from nnal_tpu.scoring.fisher import a_matrices
+
+    x = gather_patches_normalized(padded, inds, mu, sd, patch_shape,
+                                  orig_shape)
+    shrunk = shrunk_class_grads_with_logits(spec, params, x,
+                                            compute_dtype)[0]
+    return a_matrices(shrunk, posts_p1, diag_load)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def shrunk_class_grads_persample(spec, params, x: jnp.ndarray) -> jnp.ndarray:
     """Oracle implementation: vmapped per-sample parameter perturbation

@@ -456,19 +456,24 @@ def _influence(ctx: QueryContext):
 @register_strategy("fi")
 def _fi(ctx: QueryContext):
     """Fisher-information querying (reference PW_NNAL.py:89-163)."""
-    p1 = _posteriors(ctx)
+    from nnal_tpu.core.profiling import subphase
+
+    with subphase("fi/posteriors"):
+        p1 = _posteriors(ctx)
     B = min(ctx.B, len(ctx.pool_inds))
     sel = np.asarray(binary_uncertainty_filter(p1, B))
     cand_inds = ctx.pool_inds[sel]
     ev = ctx.evaluator
-    patches = gather_patches_normalized(
-        ev.padded, jnp.asarray(cand_inds), ev.mu, ev.sd, ev.patch_shape,
-        ev.orig_shape)
+    with subphase("fi/gather"):
+        patches = np.asarray(gather_patches_normalized(
+            ev.padded, jnp.asarray(cand_inds), ev.mu, ev.sd, ev.patch_shape,
+            ev.orig_shape))
     feats = None
     if ctx.lambda_ > 0:
-        feats = ev.evaluate(ctx.params, cand_inds,
-                            ("feature_layer",))["feature_layer"]
-    picks = fi_select(ctx.spec, ctx.params, np.asarray(patches), p1[sel],
+        with subphase("fi/features"):
+            feats = ev.evaluate(ctx.params, cand_inds,
+                                ("feature_layer",))["feature_layer"]
+    picks = fi_select(ctx.spec, ctx.params, patches, p1[sel],
                       ctx.k, ctx.rng, lambda_=ctx.lambda_, features=feats,
                       diag_load=ctx.diag_load)
     return sel[picks]
@@ -648,12 +653,14 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         # global uncertainty filter, per-subject patch gather + shrunk
         # grads, concatenated A-matrices -> one SDP -> PMF sampling
         # (reference PW_NNAL.py:547-627)
-        p1 = np.concatenate([_posteriors(c) for c in contexts])
+        from nnal_tpu.core.profiling import subphase
+
+        with subphase("fi/posteriors"):
+            p1 = np.concatenate([_posteriors(c) for c in contexts])
         B = min(contexts[0].B, len(p1))
         sel = np.asarray(binary_uncertainty_filter(p1, B))
         sel_local = global2local_inds(sel, sizes)
-        from nnal_tpu.scoring.gradients import shrunk_class_grads
-        from nnal_tpu.scoring.fisher import a_matrices
+        from nnal_tpu.scoring.gradients import gather_shrunk_a_matrices
         from nnal_tpu.scoring.sdp import fi_query_distribution
         from nnal_tpu.scoring.pmf import sample_query_pmf
 
@@ -677,13 +684,17 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             pv_p = np.zeros(B, np.float32)
             base = int(np.sum(sizes[:si]))
             pv_p[:nb] = p1[base + li]
-            patches = gather_patches_normalized(
-                ev.padded, jnp.asarray(cand_p), ev.mu, ev.sd,
-                ev.patch_shape, ev.orig_shape)
-            shrunk = shrunk_class_grads(c.spec, c.params, patches)
-            A_list.append(np.asarray(a_matrices(
-                shrunk, jnp.asarray(pv_p),
-                contexts[0].diag_load))[:nb])
+            with subphase("fi/gather_grads_A"):
+                # ONE fused dispatch per subject: patch gather -> shrunk
+                # per-class grads -> A-matrices, materializing only the
+                # (B, n_shrunk+1, n_shrunk+1) output (the round-2 fusion
+                # lesson: the intermediate (B, patch, 4096) tensors never
+                # leave the device)
+                A_list.append(np.asarray(gather_shrunk_a_matrices(
+                    c.spec, c.params, ev.padded, jnp.asarray(cand_p),
+                    ev.mu, ev.sd, ev.patch_shape, ev.orig_shape,
+                    jnp.asarray(pv_p),
+                    contexts[0].diag_load))[:nb])
             order.append(base + li)
         A = np.concatenate(A_list)
         order = np.concatenate(order)
@@ -695,19 +706,22 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
             # silently a no-op on the multi-subject path)
             from nnal_tpu.scoring.fisher import refine_feature_matrix
 
-            F_list = []
-            for si, c in enumerate(contexts):
-                li = sel_local[si]
-                if len(li) == 0:
-                    continue
-                F_list.append(np.asarray(c.evaluator.evaluate(
-                    c.params, c.pool_inds[li],
-                    ("feature_layer",))["feature_layer"]))
-            F = np.concatenate(F_list)
+            with subphase("fi/features"):
+                F_list = []
+                for si, c in enumerate(contexts):
+                    li = sel_local[si]
+                    if len(li) == 0:
+                        continue
+                    F_list.append(np.asarray(c.evaluator.evaluate(
+                        c.params, c.pool_inds[li],
+                        ("feature_layer",))["feature_layer"]))
+                F = np.concatenate(F_list)
             ref_F = refine_feature_matrix(F.T, len(order))
             X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
-        q = fi_query_distribution(A, contexts[0].lambda_, X_pool, k)
-        draws = sample_query_pmf(q, k, rng, replacement=True)
+        with subphase("fi/sdp"):
+            q = fi_query_distribution(A, contexts[0].lambda_, X_pool, k)
+        with subphase("fi/pmf"):
+            draws = sample_query_pmf(q, k, rng, replacement=True)
         pick = order[draws]
         return global2local_inds(pick, sizes)
 

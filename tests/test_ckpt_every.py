@@ -145,6 +145,91 @@ def test_single_engine_anchor_writes_and_replay_resume(tmp_path):
     _assert_identical(ref, _artifacts(str(b_root), "random"))
 
 
+def test_bf16_anchor_replay_resume_bit_identical(tmp_path):
+    """ckpt_dtype=bfloat16 + opt_reset_per_round: the shrunken anchors
+    (bf16 storage, no optimizer moments) must keep crash-resume
+    bit-identical — the adoption step (engine.common.adopt_anchor_rounding)
+    makes disk decode to exactly the live state at every full save."""
+    import nnal_tpu.engine.pw_experiment as pw_mod
+    from nnal_tpu.engine.pw_experiment import PWExperiment
+
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    over = dict(ckpt_full_every=3, ckpt_dtype="bfloat16",
+                opt_reset_per_round=True)
+
+    def fresh(root):
+        expr = PWExperiment(str(root), _pw_cfg(**over))
+        expr.attach_subject(vols, mask)
+        return expr
+
+    a_root = tmp_path / "uninterrupted"
+    expr = fresh(a_root)
+    expr.prep_data()
+    expr.add_method("random")
+    res = expr.run_method("random", 12)
+    assert res["n_queries"] == 12
+    ref = _artifacts(str(a_root), "random")
+
+    # the anchor on disk is bf16-encoded and carries no moment leaves
+    with np.load(str(a_root / "random" / "curr_weights.npz")) as z:
+        assert any(k.endswith("@bf16") for k in z.files), z.files
+        assert not any(k.startswith("opt/") for k in z.files), z.files
+
+    # crash AFTER an anchor round whose save was lost (round 3: the live
+    # process adopted the bf16 rounding but the write never landed) —
+    # replay must re-apply that adoption or it diverges at bf16 ulp scale
+    b_root = tmp_path / "resumed"
+    expr = fresh(b_root)
+    expr.prep_data()
+    expr.add_method("random")
+    with _SuppressResume(pw_mod) as sup:
+        expr.run_method("random", 9)
+    assert sup.suppressed >= 1
+    expr2 = fresh(b_root)
+    res2 = expr2.run_method("random", 12)
+    assert res2["n_queries"] == 12
+    _assert_identical(ref, _artifacts(str(b_root), "random"))
+
+
+def test_bf16_anchor_multi_engine_replay_resume(tmp_path):
+    import nnal_tpu.engine.multi_experiment as mm_mod
+    from nnal_tpu.engine.multi_experiment import MultiImgExperiment
+
+    subs = [synthetic_subject(shape=(20, 20, 6), n_modalities=1, seed=s)
+            for s in range(2)]
+    over = dict(ckpt_full_every=2, ckpt_dtype="bfloat16",
+                opt_reset_per_round=True, hist_every=0)
+
+    def fresh(root):
+        expr = MultiImgExperiment(str(root), _pw_cfg(**over))
+        expr.attach_subjects(subs)
+        return expr
+
+    a_root = tmp_path / "uninterrupted"
+    expr = fresh(a_root)
+    expr.prep_data()
+    expr.add_method("random")
+    res = expr.run_method("random", 9)
+    assert res["n_queries"] == 9
+    ref = _artifacts(str(a_root), "random")
+    with np.load(str(a_root / "random" / "curr_weights.npz")) as z:
+        assert any(k.endswith("@bf16") for k in z.files), z.files
+        assert not any(k.startswith("opt/") for k in z.files), z.files
+
+    b_root = tmp_path / "resumed"
+    expr = fresh(b_root)
+    expr.prep_data()
+    expr.add_method("random")
+    with _SuppressResume(mm_mod) as sup:
+        expr.run_method("random", 6)
+    assert sup.suppressed >= 1
+    expr2 = fresh(b_root)
+    res2 = expr2.run_method("random", 9)
+    assert res2["n_queries"] == 9
+    _assert_identical(ref, _artifacts(str(b_root), "random"))
+
+
 def test_classification_engine_replay_resume(tmp_path):
     import nnal_tpu.engine.experiment as cls_mod
     from nnal_tpu.engine.experiment import Experiment

@@ -6,6 +6,7 @@ exercised implicitly through the engines; repeat_runs not at all).
 
 import json
 import os
+import pathlib
 import time
 
 import nnal_tpu.cli.repeat_runs as rr
@@ -30,7 +31,8 @@ def test_phase_timer_accumulates_and_commits(tmp_path):
         pass
     t.commit_round(1)
 
-    lines = [json.loads(l) for l in open(path)]
+    lines = [json.loads(l)
+             for l in pathlib.Path(path).read_text().splitlines()]
     assert [r["round"] for r in lines] == [0, 1]
     assert "score" in lines[0] and "select" in lines[1]
     assert "score" not in lines[1]  # no leakage across rounds
@@ -65,8 +67,9 @@ def test_repeat_runs_counter_resume_and_durations(tmp_path, monkeypatch):
     assert len(calls) == 4
     assert calls[0][0].endswith("run_0") and calls[2][0].endswith("run_1")
     assert calls[0][3] == "k=2,seed=0" and calls[2][3] == "k=2,seed=1"
-    assert open(os.path.join(root, "counter.txt")).read().strip() == "2"
-    durations = open(os.path.join(root, "durations.txt")).read().splitlines()
+    assert pathlib.Path(root, "counter.txt").read_text().strip() == "2"
+    durations = pathlib.Path(root,
+                             "durations.txt").read_text().splitlines()
     assert len(durations) == 2 and durations[0].startswith("0 ")
 
     # resume: counter says 2 -> n_runs=3 runs ONLY run_2
@@ -74,7 +77,7 @@ def test_repeat_runs_counter_resume_and_durations(tmp_path, monkeypatch):
     rr.repeat_runs(root, ["entropy"], nqueries=3, n_runs=3)
     assert [c[0][-5:] for c in calls] == ["run_2"]
     assert calls[0][3] == "seed=2"  # empty overrides -> bare seed
-    assert open(os.path.join(root, "counter.txt")).read().strip() == "3"
+    assert pathlib.Path(root, "counter.txt").read_text().strip() == "3"
 
 
 def test_repeat_runs_main_usage(capsys):
