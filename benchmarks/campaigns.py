@@ -43,7 +43,7 @@ PARS = {
     "optimizer_name": "Adam", "dropout_rate": 0.5, "init_size": 16,
     "n_ensemble": 3, "seed": 11, "dtype": "bfloat16",
 }
-MULTI_METHODS = ["fi", "core-set", "ensemble", "influence"]
+MULTI_METHODS = ["fi", "core-set", "ensemble", "influence", "entropy"]
 # BADGE and BatchBALD are TPU-native extra strategies (gradient-embedding
 # k-means++ / greedy joint MI); their multi-subject paths are covered by
 # the CPU tests — one single-subject hardware row each is enough evidence
@@ -270,6 +270,47 @@ def run_multi(method, out):
         print(json.dumps(rec), flush=True)
 
 
+def run_fcn(method, out):
+    """Dense-model (Tiramisu) AL campaign — the v2 family inside the
+    product loop (round-3 verdict #7): whole-slice dense pool scoring +
+    queried-voxel-masked dense finetunes via the SAME PWExperiment
+    engine.  Row key "fcn-<method>" in the single_subject section."""
+    from nnal_tpu.core.config import ExperimentConfig
+    from nnal_tpu.data.patches import gather_labels
+    from nnal_tpu.engine.pw_experiment import PWExperiment
+
+    with tempfile.TemporaryDirectory() as root:
+        pars = dict(PARS)
+        pars.update({
+            "model_name": "Tiramisu",
+            # a mid-size FC-DenseNet (the 103-layer config is serving-
+            # proven in INFERENCE_r03; campaigns use a lighter stack so
+            # the row measures the AL loop, not one giant compile)
+            "model_kwargs": {"growth": 8, "depths": [3, 4, 5]},
+            "dropout_rate": 0.1, "b": 4, "epochs": 10,
+        })
+        cfg = ExperimentConfig.from_pars(pars)
+        expr = PWExperiment(root, cfg)
+        vols, mask = _subjects(1)[0]
+        expr.attach_subject(vols, mask)
+        expr.prep_data()
+        j = expr.add_method(method, init_size=0)
+        _, pool = j.membership()
+        lab = np.asarray(gather_labels(mask, pool, tuple(vols[0].shape)))
+        seed_inds = _balanced_seed(pool, lab, PARS["init_size"])
+        j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
+        t0 = time.perf_counter()
+        res = expr.run_method(method, 64)
+        dt = time.perf_counter() - t0
+        rec = {"method": _method_tag(f"fcn-{method}"),
+               "queries": int(res["n_queries"]),
+               "wall_s": round(dt, 1),
+               "phase_s": _phase_totals(root, method),
+               "perf": [round(float(v), 3) for v in res["perf"]]}
+        _upsert(out["single_subject"], rec)
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     args = sys.argv[1:]
     # a round tag is r<digits> ("r03"), NOT any r-word — "rep-entropy" and
@@ -305,6 +346,11 @@ def main():
     for m in (methods or SINGLE_METHODS):
         if m in SINGLE_METHODS:
             run_single(m, out)
+            pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
+    for m in (methods or []):
+        # dense-model rows are opt-in: "fcn-entropy", "fcn-BALD", ...
+        if m.startswith("fcn-"):
+            run_fcn(m[len("fcn-"):], out)
             pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
     print("wrote", path)

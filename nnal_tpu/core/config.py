@@ -51,6 +51,10 @@ class ModelConfig:
     grad_layers: list = field(default_factory=list)
     init_weights_path: Optional[str] = None
     pre_weights_path: Optional[str] = None
+    # extra factory kwargs for the model builder (e.g. Tiramisu
+    # growth/depths for the dense-model AL path:
+    # model_kwargs: {growth: 8, depths: [2, 2, 3]})
+    model_kwargs: dict = field(default_factory=dict)
     # 'auto' weights CE by inverse class frequency of the labeled set
     # (reference bin_class_weights hyper, NN_extended.py:24-63)
     class_weights: Optional[Any] = "auto"

@@ -98,10 +98,24 @@ class PWExperiment:
     def build_model(self):
         m = self.config.model
         d1, d2, d3 = m.patch_shape
-        nmod = len(self._load_subject()[0])
-        spec = create_model(m.model_name, nclass=m.nclass,
-                            dropout_rate=m.dropout_rate,
-                            patch_shape=(d1, d2, nmod * d3))
+        vols = self._load_subject()[0]
+        nmod = len(vols)
+        if m.model_name in ("Tiramisu", "FCDenseNet103"):
+            # dense-model AL path: the FCN consumes whole axial slices
+            # (H, W, modalities); size knobs (growth/depths) ride
+            # model_kwargs (reference FCDenseNet_103Layers,
+            # create_NN.py:211)
+            H, W, _ = np.asarray(vols[0]).shape
+            kw = dict(getattr(m, "model_kwargs", None) or {})
+            kw.setdefault("dropout_rate", m.dropout_rate)
+            if "depths" in kw:
+                kw["depths"] = tuple(kw["depths"])
+            spec = create_model(m.model_name, nclass=m.nclass,
+                                input_shape=(int(H), int(W), nmod), **kw)
+        else:
+            spec = create_model(m.model_name, nclass=m.nclass,
+                                dropout_rate=m.dropout_rate,
+                                patch_shape=(d1, d2, nmod * d3))
         if getattr(m, "aleatoric", False):
             from nnal_tpu.models.specs import with_aleatoric_head
 
@@ -118,8 +132,16 @@ class PWExperiment:
         vols, _ = self._load_subject()
         mu, sd = self._stats_arrays()
         patch_shape = tuple(self.config.model.patch_shape)
-        padded = pad_volumes(vols, patch_shape)
         cd = eval_compute_dtype(self.config.model.dtype)
+        if getattr(spec, "fcn", False):
+            # dense models score the pool by whole-slice sweeps + gather —
+            # no patch extraction (scoring/fcn_eval.py)
+            from nnal_tpu.scoring.fcn_eval import FCNGridPoolEvaluator
+
+            return FCNGridPoolEvaluator(spec, vols, mu, sd,
+                                        tuple(np.asarray(vols[0]).shape),
+                                        compute_dtype=cd)
+        padded = pad_volumes(vols, patch_shape)
         # grid pools sweep via im2col — the fast TPU path; d3 > 1 rides
         # it too via z-neighbor channel stacking (grid_eval docstring)
         from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
@@ -197,6 +219,9 @@ class PWExperiment:
         from nnal_tpu.engine.common import maybe_reset_opt
 
         maybe_reset_opt(params_state[0], params_state[1], m)
+        if getattr(spec, "fcn", False):
+            return self._finetune_fcn(spec, params_state, train_inds,
+                                      epochs=epochs, rng_tag=rng_tag)
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
         state, tx = params_state
@@ -333,6 +358,88 @@ class PWExperiment:
         state.step += int(idx_mat.shape[0])
         return state
 
+    def _finetune_fcn(self, spec, params_state, train_inds, *,
+                      epochs=None, rng_tag: str = ""):
+        """Dense-model finetune: whole axial slices with the CE masked to
+        exactly the queried voxels (active learning never leaks the
+        oracle's dense mask).  One jitted scan per round, same
+        replay-stable RNG/step discipline as the patch path."""
+        from nnal_tpu.data.batching import make_onehot
+        from nnal_tpu.models.train import (
+            build_batch_index_matrix,
+            make_scanned_finetune_fcn,
+        )
+
+        m = self.config.model
+        state, tx = params_state
+        epochs = m.epochs if epochs is None else epochs
+        if len(train_inds) == 0 or epochs == 0:
+            return state
+        vols, mask = self._load_subject()
+        mu, sd = self._stats_arrays()
+        H, W, Z = np.asarray(vols[0]).shape
+
+        # normalized (Z, H, W, C) slice stack, cached per subject
+        slices = getattr(self, "_fcn_slices", None)
+        if slices is None:
+            stack = np.stack([(np.asarray(v, np.float32) - mm) / ss
+                              for v, mm, ss in zip(vols, np.ravel(mu),
+                                                   np.ravel(sd))],
+                             axis=-1)
+            slices = self._fcn_slices = np.transpose(stack, (2, 0, 1, 3))
+
+        x_, y_, z_ = np.unravel_index(np.asarray(train_inds, np.int64),
+                                      (H, W, Z))
+        lab = np.asarray(mask).reshape(-1)[np.asarray(train_inds,
+                                                      np.int64)]
+        zs = np.unique(z_)
+        S = len(zs)
+        s_bucket = -(-S // 8) * 8        # shape-stability: slice-count
+        z_pad = np.concatenate([zs, np.full(s_bucket - S, zs[0],
+                                            np.int64)])
+        x_all = jnp.asarray(slices[z_pad])
+        y_vol = np.zeros((s_bucket, H, W), np.int64)
+        wpix = np.zeros((s_bucket, H, W), np.float32)
+        zpos = {int(zv): i for i, zv in enumerate(zs)}
+        cw = getattr(m, "class_weights", None)
+        if isinstance(cw, str) and cw == "auto":
+            counts = np.bincount(lab.astype(np.int64),
+                                 minlength=m.nclass).astype(np.float64)
+            inv = counts.sum() / np.maximum(counts, 1.0)
+            cw = (inv / inv.sum() * m.nclass).astype(np.float32)
+        for xi, yi, zi, li in zip(x_, y_, z_, lab.astype(np.int64)):
+            si = zpos[int(zi)]
+            y_vol[si, xi, yi] = li
+            wpix[si, xi, yi] = 1.0 if cw is None else float(cw[li])
+        y_all = jnp.asarray(make_onehot(y_vol.reshape(-1), m.nclass)
+                            .reshape(s_bucket, H, W, m.nclass))
+        wpix_all = jnp.asarray(wpix)
+
+        host = self.rng.fold(f"finetune-{rng_tag}{state.step}").host
+        jrng = self.rng.fold(
+            f"finetune-dropout-{rng_tag}{state.step}").next()
+        fcn_b = max(1, min(int(m.b), 4))   # slices are whole images
+        idx_mat, w_mat = build_batch_index_matrix(S, fcn_b, epochs, host,
+                                                  bucket=8)
+        from nnal_tpu.scoring.pool_eval import eval_compute_dtype
+
+        train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        cache = getattr(self, "_ft_runners", None)
+        if cache is None:
+            cache = self._ft_runners = {}
+        ck = (id(tx), "fcn", fcn_b, train_cd)
+        if ck not in cache:
+            cache[ck] = make_scanned_finetune_fcn(spec, tx,
+                                                  batch_size=fcn_b,
+                                                  compute_dtype=train_cd)
+        run = cache[ck]
+        key = jax.random.fold_in(jrng, state.step)
+        state.params, state.opt_state, _ = run(
+            state.params, state.opt_state, x_all, y_all, wpix_all,
+            jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
+        state.step += int(idx_mat.shape[0])
+        return state
+
     # ------------------------------------------------------------- replay
     def _replay_to_round(self, j, spec, params_state, al_state,
                          train_inds, round_id):
@@ -391,6 +498,9 @@ class PWExperiment:
                                                           teacher)
         # resume mid-campaign with the exact optimizer moments + step
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
+        if hasattr(evaluator, "bn_state"):
+            # BN-bearing dense specs score on the resumed running stats
+            evaluator.bn_state = state.bn_state
         if al_state is not None:
             state.step = int(al_state.get("step", 0))
 

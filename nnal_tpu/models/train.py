@@ -346,6 +346,63 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     return run
 
 
+def make_scanned_finetune_fcn(spec, tx, *, batch_size: int,
+                              compute_dtype=None):
+    """Whole-round DENSE finetuning as one jitted ``lax.scan`` — the FCN
+    analog of :func:`make_scanned_finetune` for the dense-model AL path.
+
+    ``fn(params, opt_state, x_all, y_all, wpix_all, idx_mat, w_mat, rng)
+    -> (params, opt_state, losses)`` where ``x_all`` is an (S, H, W, C)
+    slice stack, ``y_all`` (S, H, W, nclass) one-hot labels and
+    ``wpix_all`` (S, H, W) PER-PIXEL weights — in active learning only the
+    queried voxels are labeled, so the CE is masked to exactly those
+    pixels (the oracle's dense mask is never leaked); class weights can be
+    folded into ``wpix_all`` by the caller.  ``idx_mat``/``w_mat`` batch
+    slices exactly like the patch runner (padding steps are exact
+    no-ops).  Reference analog: the v2 FCN train loop
+    (NN_extended.py:928-1008) with get_FCN_loss masking."""
+    from nnal_tpu.models.optim import apply_grad_mask  # noqa: F401
+
+    def loss_fn(params, x, y, wpix, rng):
+        params_c, x = _cast_for_forward(compute_dtype, params, x)
+        out = apply_cnn(spec, params_c, x, train=True, dropout_rng=rng)
+        logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
+        per = -jnp.sum(y * logp, axis=-1)            # (b, H, W)
+        return jnp.sum(per * wpix) / jnp.maximum(jnp.sum(wpix), 1.0)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x_all, y_all, wpix_all, idx_mat, w_mat,
+            rng):
+        def step(carry, sc):
+            params, opt_state = carry
+            idx, w, i = sc
+            x = x_all[idx]
+            y = y_all[idx]
+            # zero out the padding rows' pixels so ragged batches are
+            # exact no-ops (same contract as the patch runner's w)
+            wpix = wpix_all[idx] * w[:, None, None]
+            key = jax.random.fold_in(rng, i)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, wpix,
+                                                      key)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            do = jnp.sum(wpix) > 0
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(do, new, old), new_params,
+                params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(do, new, old), new_opt,
+                opt_state)
+            return (params, opt_state), loss
+
+        steps = jnp.arange(idx_mat.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (idx_mat, w_mat, steps))
+        return params, opt_state, losses
+
+    return run
+
+
 def build_batch_index_matrix(n: int, batch_size: int, epochs: int, rng,
                              bucket: int = 256):
     """(steps, b) index matrix + (steps, b) validity weights with the same

@@ -45,9 +45,24 @@ _LOG_TINY = 1e-30
 # near-zero-MI fresh point).  The per-step cost is one (M,T)x(T,B*2)
 # matmul — tiny — so M is set generously.
 DEFAULT_M_CONFIGS = 1024
+# MI-budget saturation guard.  With sampled weights, I(y_S; w) <= H(w) =
+# log T: once the chosen set has extracted (almost) all of it, the config
+# weights Pt collapse onto one dropout sample per config and every further
+# joint-gain estimate is pure estimator noise — the greedy tail then
+# ANTI-selects (measured on an 8-class/T=8 protocol: picks 16-32 landed on
+# the uninformative 85% of the pool; plain BALD's top-32 hit 30/32).  The
+# collapse is observable as the mean normalized entropy of the Pt rows
+# (fraction of log T still undecided); below this threshold the greedy
+# switches to the MARGINAL BALD ranking for the remaining picks — exactly
+# the right limit, since beyond saturation joint and marginal objectives
+# coincide up to noise.  Calibrated on the probe above: quality holds to
+# ~1e-3 and is junk by ~1e-4.
+DEFAULT_COLLAPSE_THRESHOLD = 1e-3
 
 
-def _greedy_joint_mi(probs, k: int, key, M: int, draw) -> jnp.ndarray:
+def _greedy_joint_mi(probs, k: int, key, M: int, draw,
+                     collapse_threshold: float = DEFAULT_COLLAPSE_THRESHOLD
+                     ) -> jnp.ndarray:
     """Shared greedy loop over ``(T, n, C)`` MC posteriors; ``draw(step_key,
     t_assign, nxt, probs) -> (M,) class indices`` supplies the ancestral
     class draw (the binary path keeps its original uniform-threshold draw
@@ -59,14 +74,30 @@ def _greedy_joint_mi(probs, k: int, key, M: int, draw) -> jnp.ndarray:
     # constant across greedy steps so the per-step argmax only needs the
     # candidate's own term.
     cond = -jnp.mean(jnp.sum(probs * jnp.log(probs), axis=-1), axis=0)
+    # marginal BALD scores — the saturation-fallback ranking (and the
+    # exact step-0 objective)
+    pbar = jnp.mean(probs, axis=0)
+    marginal = (-jnp.sum(pbar * jnp.log(jnp.maximum(pbar, _LOG_TINY)),
+                         axis=-1) - cond)
 
     t_assign = jax.random.randint(jax.random.fold_in(key, 0), (M,), 0, T)
     Pt0 = jnp.ones((M, T), jnp.float32)
     taken0 = jnp.zeros((n,), bool)
     chosen0 = jnp.zeros((k,), jnp.int32)
+    logT = jnp.log(jnp.asarray(float(T)))
 
     def body(step, carry):
-        Pt, taken, chosen = carry
+        Pt, taken, chosen, joint_ok = carry
+        # w-posterior collapse check (MI-budget saturation, see
+        # DEFAULT_COLLAPSE_THRESHOLD): once tripped it stays off —
+        # re-entering the joint estimator after collapse would rank on
+        # noise again
+        Wn = Pt / jnp.maximum(jnp.sum(Pt, axis=1, keepdims=True),
+                              _LOG_TINY)
+        hbar = jnp.mean(-jnp.sum(
+            Wn * jnp.log(jnp.maximum(Wn, _LOG_TINY)), axis=1)) / logT
+        joint_ok = jnp.logical_and(joint_ok, hbar > collapse_threshold)
+
         # joint probs for every candidate in one MXU matmul
         J = jnp.einsum("mt,tnc->mnc", Pt, probs,
                        preferred_element_type=jnp.float32) / T  # (M, n, C)
@@ -74,7 +105,8 @@ def _greedy_joint_mi(probs, k: int, key, M: int, draw) -> jnp.ndarray:
         w = 1.0 / (M * jnp.maximum(q, _LOG_TINY))
         Hj = -jnp.sum(w[:, None, None] * J
                       * jnp.log(jnp.maximum(J, _LOG_TINY)), axis=(0, 2))
-        scores = jnp.where(taken, -jnp.inf, Hj - cond)
+        scores = jnp.where(joint_ok, Hj - cond, marginal)
+        scores = jnp.where(taken, -jnp.inf, scores)
         nxt = jnp.argmax(scores).astype(jnp.int32)   # first-max = stable
 
         # ancestral draw: config m extends with a class from p_{t_m}(y_nxt)
@@ -84,15 +116,20 @@ def _greedy_joint_mi(probs, k: int, key, M: int, draw) -> jnp.ndarray:
         Pt = Pt * mult
         # scale-invariant renormalization (see module docstring)
         Pt = Pt / jnp.maximum(jnp.mean(Pt), _LOG_TINY)
-        return Pt, taken.at[nxt].set(True), chosen.at[step].set(nxt)
+        return (Pt, taken.at[nxt].set(True), chosen.at[step].set(nxt),
+                joint_ok)
 
-    _, _, chosen = jax.lax.fori_loop(0, k, body, (Pt0, taken0, chosen0))
+    _, _, chosen, _ = jax.lax.fori_loop(
+        0, k, body, (Pt0, taken0, chosen0, jnp.asarray(True)))
     return chosen
 
 
-@partial(jax.jit, static_argnames=("k", "m_configs"))
+@partial(jax.jit, static_argnames=("k", "m_configs",
+                                   "collapse_threshold"))
 def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
-                     m_configs: int = DEFAULT_M_CONFIGS) -> jnp.ndarray:
+                     m_configs: int = DEFAULT_M_CONFIGS,
+                     collapse_threshold: float =
+                     DEFAULT_COLLAPSE_THRESHOLD) -> jnp.ndarray:
     """Greedy BatchBALD batch over ``(T, n)`` binary MC posteriors.
 
     Returns ``(k,)`` distinct candidate positions, most-informative-first.
@@ -105,12 +142,16 @@ def batchbald_select(mc_p1: jnp.ndarray, k: int, key,
         u = jax.random.uniform(step_key, (t_assign.shape[0],))
         return (u < probs[t_assign, nxt, 1]).astype(jnp.int32)
 
-    return _greedy_joint_mi(probs, k, key, m_configs, draw)
+    return _greedy_joint_mi(probs, k, key, m_configs, draw,
+                            collapse_threshold)
 
 
-@partial(jax.jit, static_argnames=("k", "m_configs"))
+@partial(jax.jit, static_argnames=("k", "m_configs",
+                                   "collapse_threshold"))
 def batchbald_select_probs(mc_probs: jnp.ndarray, k: int, key,
-                           m_configs: int = DEFAULT_M_CONFIGS
+                           m_configs: int = DEFAULT_M_CONFIGS,
+                           collapse_threshold: float =
+                           DEFAULT_COLLAPSE_THRESHOLD
                            ) -> jnp.ndarray:
     """Greedy BatchBALD over ``(T, n, C)`` multiclass MC posteriors (the
     classification-engine entry point); class draws are categorical from
@@ -122,4 +163,5 @@ def batchbald_select_probs(mc_probs: jnp.ndarray, k: int, key,
         logits = jnp.log(probs[t_assign, nxt, :])        # (M, C)
         return jax.random.categorical(step_key, logits).astype(jnp.int32)
 
-    return _greedy_joint_mi(probs, k, key, m_configs, draw)
+    return _greedy_joint_mi(probs, k, key, m_configs, draw,
+                            collapse_threshold)

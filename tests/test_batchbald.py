@@ -175,3 +175,41 @@ def test_batchbald_multi_subject(tmp_path):
     assert res["n_queries"] >= 1
     assert len(np.intersect1d(res["train_global"],
                               res["pool_global"])) == 0
+
+
+def test_saturation_fallback_recovers_bald_tail_quality():
+    """MI-budget saturation guard (DEFAULT_COLLAPSE_THRESHOLD): with T=8
+    weight samples and k=32 picks, the joint estimator's budget (log T
+    nats) is spent after ~15 picks and the unguarded greedy tail
+    ANTI-selects (the r03 cls campaign regression: BatchBALD 0.819 vs
+    random 0.956 final acc).  The guard must (a) keep the tail picks at
+    marginal-BALD quality, and (b) never trigger in the small-k regime
+    the pinned selection tests cover."""
+    from nnal_tpu.scoring.batchbald import batchbald_select_probs
+
+    rng = np.random.default_rng(0)
+    T, n, C = 8, 200, 8
+    logits = rng.normal(size=(1, n, C)) * 2.0
+    noise = rng.normal(size=(T, n, C))
+    info = np.zeros(n)
+    info[:30] = 1.0   # 30 informative candidates, 170 near-deterministic
+    probs = np.exp(logits + noise * (0.2 + 2.0 * info[None, :, None]))
+    probs /= probs.sum(-1, keepdims=True)
+    p = jnp.asarray(probs, jnp.float32)
+
+    guarded = np.asarray(batchbald_select_probs(p, 32, jax.random.key(1)))
+    unguarded = np.asarray(batchbald_select_probs(
+        p, 32, jax.random.key(1), collapse_threshold=0.0))
+    # unguarded tail is noise (measured 15/32 informative); the guard
+    # restores near-BALD coverage of the informative set
+    assert (guarded < 30).sum() >= 24, (guarded < 30).sum()
+    assert (guarded < 30).sum() > (unguarded < 30).sum()
+    # distinctness contract still holds
+    assert len(np.unique(guarded)) == 32
+
+    # (b) small-k: the guard is inert (hbar stays well above threshold
+    # for the first ~10 picks), so selections match the unguarded greedy
+    g8 = np.asarray(batchbald_select_probs(p, 8, jax.random.key(1)))
+    u8 = np.asarray(batchbald_select_probs(
+        p, 8, jax.random.key(1), collapse_threshold=0.0))
+    np.testing.assert_array_equal(g8, u8)
