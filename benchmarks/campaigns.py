@@ -144,6 +144,8 @@ def _method_tag(method):
                 else f"arnoldi{_ARNOLDI_RANK}")
     if _CKPT_DTYPE in ("bfloat16", "bf16"):
         tag += "@abf16" if "@" not in tag else "abf16"
+    elif _CKPT_DTYPE == "int8":
+        tag += "@ai8" if "@" not in tag else "ai8"
     if _OPT_RESET:
         tag += "@or" if "@" not in tag else "or"
     if _MT > 0:
@@ -188,6 +190,17 @@ def _phase_totals(root, method):
                         tot[f"sub/{sk}"] = tot.get(f"sub/{sk}", 0.0) + sv
     return {k: round(v, 1) for k, v in tot.items()
             if k not in ("f_measure",)}
+
+
+def _phase_rounds(root, method):
+    """Raw per-round phase records — round 1 carries the per-process
+    executable loads (compile-cache deserialization), so steady-state
+    comparisons should read round >= 2."""
+    path = os.path.join(root, method, "phases.jsonl")
+    if not os.path.exists(path):
+        return []
+    return [json.loads(line)
+            for line in pathlib.Path(path).read_text().splitlines()]
 
 
 def _balanced_seed(pool_positions, labels_of_pool, n=16, seed=0):
@@ -265,6 +278,7 @@ def run_multi(method, out):
                "queries": int(res["n_queries"]),
                "wall_s": round(dt, 1),
                "phase_s": _phase_totals(root, method),
+               "phase_rounds": _phase_rounds(root, method),
                "perf": [round(float(v), 3) for v in res["perf"]]}
         _upsert(out["multi_subject_3x"], rec)
         print(json.dumps(rec), flush=True)

@@ -128,14 +128,19 @@ class ModelConfig:
     hist_every: int = 1
     # storage dtype for the RESUME checkpoints (anchors + the final full
     # save): "bfloat16" halves the params(+moments) device->host pull —
-    # the #1 wall-clock item in tunneled campaigns (bytes are the lever).
+    # the #1 wall-clock item in tunneled campaigns (bytes are the lever) —
+    # and "int8" cuts the weight matrices 4x further (per-out-slice
+    # symmetric quantization, biases/bn/moments bf16).
     # Crash-resume stays bit-identical because at every full save the
-    # engine ADOPTS the bf16-rounded values into its live state first
-    # (models.checkpoint.round_trip_bf16), so disk decodes to exactly what
-    # the uninterrupted process keeps training with. bf16 keeps f32's
-    # exponent range, so ~1e-8 Adam second moments survive (float16 would
-    # flush them). The rounding itself is ~1e-3 relative on weights —
-    # the same precision class as the train_dtype=bfloat16 option.
+    # engine ADOPTS the rounded/dequantized values into its live state
+    # first (models.checkpoint.round_trip_bf16/round_trip_int8), so disk
+    # decodes to exactly what the uninterrupted process keeps training
+    # with. bf16 keeps f32's exponent range, so ~1e-8 Adam second moments
+    # survive (float16 would flush them). Precision: bf16 rounding is
+    # ~1e-3 relative on weights (same class as train_dtype=bfloat16);
+    # int8 is ~0.4% relative per weight — adopted only at anchor rounds,
+    # and the campaign F-curves are the measured quality evidence
+    # (benchmarks/CAMPAIGNS_r04.json fi rows).
     ckpt_dtype: str = "float32"
     # warm-restart optimization: start each AL round's finetune from a
     # FRESH optimizer state instead of carrying Adam moments across

@@ -49,26 +49,46 @@ def replay_prefix_lens(j, al_state, round_id: int, n_train: int,
     return lens[anchor:round_id]
 
 
+def anchor_dtype(model_cfg) -> str:
+    return str(getattr(model_cfg, "ckpt_dtype", "float32"))
+
+
 def adopt_anchor_rounding(state, model_cfg) -> bool:
-    """bf16-anchor bit-identity step: round the live (params, bn[, opt])
-    to bfloat16 representables and ADOPT the rounded values, immediately
-    before a full (resume-point) save with ``ckpt_dtype=bfloat16``.  The
-    checkpoint on disk then decodes to exactly the values the
-    uninterrupted process keeps training with, so crash-resume == continue
-    bit-for-bit (see ``models.checkpoint.round_trip_bf16``).  Optimizer
+    """Anchor bit-identity step: round the live (params, bn[, opt],
+    teacher) to the anchor storage's representables and ADOPT the rounded
+    values, immediately BEFORE a full (resume-point) save with
+    ``ckpt_dtype`` bfloat16 or int8.  The checkpoint on disk then decodes
+    to exactly the values the uninterrupted process keeps training with,
+    so crash-resume == continue bit-for-bit (see
+    ``models.checkpoint.round_trip_bf16`` / ``round_trip_int8``).
+    Callers must capture the PRE-adoption tensors for the save itself —
+    the save re-runs the same deterministic encode on those originals
+    (int8's encode is not idempotent on its own output).  Optimizer
     moments are only rounded when they are part of the anchor
     (``opt_reset_per_round`` drops them from both).  Returns True when an
-    adoption happened (callers then pass ``dtype='bfloat16'`` to the
-    save)."""
-    if getattr(model_cfg, "ckpt_dtype", "float32") != "bfloat16":
+    adoption happened."""
+    dt = anchor_dtype(model_cfg)
+    if dt == "float32":
         return False
-    from nnal_tpu.models.checkpoint import round_trip_bf16
+    from nnal_tpu.models.checkpoint import round_trip_bf16, round_trip_int8
 
     include_opt = not getattr(model_cfg, "opt_reset_per_round", False)
-    p, b, o, t = round_trip_bf16(
-        (state.params, state.bn_state,
-         state.opt_state if include_opt else None,
-         getattr(state, "teacher_params", None)))
+    if dt == "bfloat16":
+        p, b, o, t = round_trip_bf16(
+            (state.params, state.bn_state,
+             state.opt_state if include_opt else None,
+             getattr(state, "teacher_params", None)))
+    elif dt == "int8":
+        # weights: int8 per-out-slice quant-dequant; bn/opt (and any
+        # non-matrix leaf) bf16 — the exact per-group rule the int8
+        # save encoder applies (models.checkpoint._encode_payload_int8)
+        p, t = round_trip_int8((state.params,
+                                getattr(state, "teacher_params", None)))
+        b, o = round_trip_bf16(
+            (state.bn_state,
+             state.opt_state if include_opt else None))
+    else:
+        raise ValueError(f"unsupported ckpt_dtype {dt!r}")
     state.params = p
     if state.bn_state is not None:
         state.bn_state = b

@@ -410,21 +410,21 @@ class Experiment:
                 # ckpt_full_every > 1 skips the pull (resume replays)
                 K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
                 if round_id % K == 0:
-                    # anchor-payload levers (engine.common): bf16 adoption
-                    # keeps crash-resume bit-identical; opt_reset drops the
-                    # moment leaves from the anchor
+                    # anchor-payload levers (engine.common): capture
+                    # originals, adopt the rounded values (bit-identity),
+                    # save the originals at the anchor dtype
                     from nnal_tpu.engine.common import (
                         adopt_anchor_rounding,
                         anchor_save_kwargs,
                     )
 
+                    akw = anchor_save_kwargs(cfg.model, state)
+                    params_d, bn_d = state.params, state.bn_state
                     adopt_anchor_rounding(state, cfg.model)
-                    save_checkpoint(j.path("curr_weights.npz"),
-                                    state.params,
-                                    bn_state=state.bn_state,
+                    save_checkpoint(j.path("curr_weights.npz"), params_d,
+                                    bn_state=bn_d,
                                     al_state={"step": int(state.step),
-                                              "round": round_id},
-                                    **anchor_save_kwargs(cfg.model, state))
+                                              "round": round_id}, **akw)
                     last_full_round = round_id
             timer.commit_round(round_id - 1, n_train=len(train_inds),
                                n_pool=len(pool_inds), accuracy=float(acc))
@@ -439,12 +439,13 @@ class Experiment:
                 anchor_save_kwargs,
             )
 
+            akw = anchor_save_kwargs(cfg.model, state)
+            params_d, bn_d = state.params, state.bn_state
             adopt_anchor_rounding(state, cfg.model)
-            save_checkpoint(j.path("curr_weights.npz"), state.params,
-                            bn_state=state.bn_state,
+            save_checkpoint(j.path("curr_weights.npz"), params_d,
+                            bn_state=bn_d,
                             al_state={"step": int(state.step),
-                                      "round": round_id},
-                            **anchor_save_kwargs(cfg.model, state))
+                                      "round": round_id}, **akw)
         return {"n_queries": n_queries,
                 "accs": j.load_evals("accs.txt"),
                 "train_inds": train_inds, "pool_inds": pool_inds}

@@ -633,20 +633,30 @@ class MultiImgExperiment:
                 # skipping it makes those rounds checkpoint-byte-free
                 H = int(getattr(cfg.model, "hist_every", 1))
                 want_hist = H > 0 and round_id % H == 0
-                # anchor-payload levers (engine.common): bf16 adoption
-                # keeps crash-resume bit-identical under the halved-byte
-                # anchor; opt_reset_per_round drops the moment leaves
-                # (2/3 of the payload) from the anchor entirely
-                from nnal_tpu.engine.common import adopt_anchor_rounding
+                # anchor-payload levers (engine.common): bf16/int8
+                # adoption keeps crash-resume bit-identical under the
+                # shrunken anchor; opt_reset_per_round drops the moment
+                # leaves (2/3 of the payload) from the anchor entirely.
+                # Capture the ORIGINAL tensors BEFORE adopting: the save
+                # encodes these with the same deterministic program whose
+                # decode the adoption installed (for int8 the encode is
+                # not idempotent, so encoding the adopted values instead
+                # would drift by 1 ulp in the scales)
+                from nnal_tpu.engine.common import (
+                    adopt_anchor_rounding,
+                    anchor_dtype,
+                )
 
-                bf16_anchor = full and adopt_anchor_rounding(state,
-                                                             cfg.model)
                 include_opt = not getattr(cfg.model, "opt_reset_per_round",
                                           False)
                 params_d, bn_d, opt_d, teach_d = (
                     state.params, state.bn_state,
                     state.opt_state if include_opt else None,
                     state.teacher_params)
+                a_dt = anchor_dtype(cfg.model)
+                if full:
+                    adopt_anchor_rounding(state, cfg.model)
+                enc_anchor = full and a_dt != "float32"
                 step_now, rid = int(state.step), round_id
                 # history copies are analysis-only: hist_dtype=float16
                 # halves their device->host bytes (cast on device, one
@@ -674,34 +684,34 @@ class MultiImgExperiment:
                     hist_p = caster(params_d)
                     hist_b = caster(bn_d) if bn_d is not None else None
 
-                if full and bf16_anchor:
-                    # pre-pull device cast: the adoption above made every
-                    # float32 leaf bf16-representable, so this is exact —
-                    # and it halves the anchor's tunnel pull (ONE jitted
-                    # tree program; models.checkpoint._cast_tree_bf16)
-                    from nnal_tpu.models.checkpoint import _cast_tree_bf16
-
-                    params_d, bn_d, opt_d, teach_d = _cast_tree_bf16(
-                        (params_d, bn_d, opt_d, teach_d))
-
                 def _save(hist_p=hist_p, hist_b=hist_b, params_d=params_d,
                           bn_d=bn_d, opt_d=opt_d, teach_d=teach_d,
                           step_now=step_now,
                           rid=rid, full=full, want_hist=want_hist,
-                          cast_hist=cast_hist, bf16_anchor=bf16_anchor):
-                    # share one pull between the history copy and the
-                    # resume point when they are the same tensors
+                          cast_hist=cast_hist, enc_anchor=enc_anchor,
+                          a_dt=a_dt):
                     from nnal_tpu.models.checkpoint import \
                         _chunked_device_get
 
+                    if full and enc_anchor:
+                        # encoded anchors (bf16/int8): save_checkpoint
+                        # encodes device-side itself, so the pull is the
+                        # shrunken payload; the history copy (if any)
+                        # keeps its own path below
+                        save_checkpoint(j.path("curr_weights.npz"),
+                                        params_d, bn_state=bn_d,
+                                        opt_state=opt_d,
+                                        teacher_params=teach_d,
+                                        al_state={"step": step_now,
+                                                  "round": rid},
+                                        dtype=a_dt)
+                    # share one pull between the history copy and the
+                    # (full-precision) resume point when byte-identical
                     payload = {}
                     if want_hist:
                         payload["p"], payload["b"] = hist_p, hist_b
-                    if full:
-                        if cast_hist or not want_hist or bf16_anchor:
-                            # the resume point's own tensors (full f32, or
-                            # the bf16 anchor encoding) — shared with the
-                            # history pull only when byte-identical
+                    if full and not enc_anchor:
+                        if cast_hist or not want_hist:
                             payload["rp"], payload["rb"] = params_d, bn_d
                         if opt_d is not None:
                             payload["o"] = opt_d
@@ -713,7 +723,7 @@ class MultiImgExperiment:
                     if want_hist:
                         save_checkpoint(j.path(f"curr_weights_{rid}.npz"),
                                         pulled["p"], bn_state=pulled["b"])
-                    if full:
+                    if full and not enc_anchor:
                         save_checkpoint(j.path("curr_weights.npz"),
                                         pulled.get("rp", pulled.get("p")),
                                         bn_state=pulled.get(
@@ -744,12 +754,13 @@ class MultiImgExperiment:
                     anchor_save_kwargs,
                 )
 
+                akw = anchor_save_kwargs(cfg.model, state)
+                params_d, bn_d = state.params, state.bn_state
                 adopt_anchor_rounding(state, cfg.model)
-                save_checkpoint(j.path("curr_weights.npz"), state.params,
-                                bn_state=state.bn_state,
+                save_checkpoint(j.path("curr_weights.npz"), params_d,
+                                bn_state=bn_d,
                                 al_state={"step": int(state.step),
-                                          "round": round_id},
-                                **anchor_save_kwargs(cfg.model, state))
+                                          "round": round_id}, **akw)
         if timer.current:
             # tail record so the final async wait stays visible in the
             # phase journal (summed with its round by consumers)

@@ -620,21 +620,24 @@ class PWExperiment:
                 # (resume replays the journaled finetunes from the anchor)
                 K = max(1, int(getattr(cfg.model, "ckpt_full_every", 1)))
                 if round_id % K == 0:
-                    # anchor-payload levers: adopt bf16 rounding into the
-                    # live state first (bit-identity; engine.common), then
-                    # save at the anchor dtype, skipping moments under
-                    # opt_reset_per_round
+                    # anchor-payload levers (engine.common): capture the
+                    # ORIGINAL tensors, adopt the rounded values into the
+                    # live state (bit-identity), then save the originals
+                    # at the anchor dtype — the save's encode reproduces
+                    # exactly what adoption installed (int8's encode is
+                    # not idempotent, so encoding adopted values would
+                    # drift); moments skipped under opt_reset_per_round
                     from nnal_tpu.engine.common import (
                         adopt_anchor_rounding,
                         anchor_save_kwargs,
                     )
 
-                    adopt_anchor_rounding(state, cfg.model)
                     akw = anchor_save_kwargs(cfg.model, state)
                     # async: the params+moments pull rides the tunnel while
                     # the next round's scoring runs; the wait above (and
                     # the guard in finetune) protects the donated buffers
                     params_d, bn_d = state.params, state.bn_state
+                    adopt_anchor_rounding(state, cfg.model)
                     step_now, rid_now = int(state.step), round_id
 
                     def _save(params_d=params_d, bn_d=bn_d, akw=akw,
@@ -666,12 +669,13 @@ class PWExperiment:
                     anchor_save_kwargs,
                 )
 
+                akw = anchor_save_kwargs(cfg.model, state)
+                params_d, bn_d = state.params, state.bn_state
                 adopt_anchor_rounding(state, cfg.model)
-                save_checkpoint(j.path("curr_weights.npz"), state.params,
-                                bn_state=state.bn_state,
+                save_checkpoint(j.path("curr_weights.npz"), params_d,
+                                bn_state=bn_d,
                                 al_state={"step": int(state.step),
-                                          "round": round_id},
-                                **anchor_save_kwargs(cfg.model, state))
+                                          "round": round_id}, **akw)
         if timer.current:
             timer.commit_round(round_id - 1, tail=True)
         tb.close()

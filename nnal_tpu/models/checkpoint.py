@@ -56,6 +56,85 @@ def round_trip_bf16(tree):
         if a.dtype == jnp.float32 else a, tree)
 
 
+# int8 anchor codec: per-last-axis-slice symmetric quantization of the
+# weight matrices (s = max|x|/127 over all axes but the last — the
+# out-channel/out-feature axis for conv and fc alike), biases/bn/opt in
+# bf16.  4x fewer pull bytes than bf16 on the params payload.  The same
+# bit-identity scheme as bf16 anchors: the engine ADOPTS the dequantized
+# values (``round_trip_int8``) at every full save, and the decode is the
+# identical IEEE f32 multiply on host, so disk == live exactly.
+_I8 = "@i8"
+_I8S = "@i8s"
+
+
+def _i8_parts(x):
+    s = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)),
+                keepdims=True) / 127.0
+    safe = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _i8_eligible(x) -> bool:
+    return (hasattr(x, "ndim") and x.ndim >= 2
+            and getattr(x, "dtype", None) == jnp.float32)
+
+
+@jax.jit
+def _encode_tree_i8(tree):
+    """ONE device program: every eligible leaf -> (q, s) pair; the rest
+    pass through for the bf16 path."""
+    return jax.tree_util.tree_map(
+        lambda x: _i8_parts(x) if _i8_eligible(x) else x, tree)
+
+
+@jax.jit
+def round_trip_int8(tree):
+    """Quantize-dequantize every weight matrix (int8 per-out-slice) and
+    bf16-round everything else float32 — the int8 anchor's adoption step
+    (see ``round_trip_bf16`` for why adoption makes resume bit-identical)."""
+    def rt(x):
+        if _i8_eligible(x):
+            q, s = _i8_parts(x)
+            return q.astype(jnp.float32) * s
+        if getattr(x, "dtype", None) == jnp.float32:
+            return x.astype(jnp.bfloat16).astype(jnp.float32)
+        return x
+    return jax.tree_util.tree_map(rt, tree)
+
+
+def _encode_payload_int8(payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-pull int8 encoding of the params/teacher groups (weights ->
+    q + scale under marked keys); everything else takes the bf16 path.
+    Optimizer moments stay bf16 — int8 second moments would span too few
+    decades (the engines pair int8 anchors with opt_reset_per_round
+    anyway, where no moments are saved at all).  Host (numpy) leaves use
+    the same IEEE f32 formula, so device and host encodes agree bitwise."""
+    def _is_w(k, v):
+        return ((k.startswith("params/") or k.startswith("teacher/"))
+                and getattr(v, "ndim", 0) >= 2
+                and np.dtype(getattr(v, "dtype", None)) == np.float32)
+
+    dev_group = {k: v for k, v in payload.items()
+                 if _is_w(k, v) and isinstance(v, jax.Array)}
+    host_group = {k: v for k, v in payload.items()
+                  if _is_w(k, v) and not isinstance(v, jax.Array)}
+    enc = dict(_encode_tree_i8(dev_group)) if dev_group else {}
+    for k, v in host_group.items():
+        s = (np.max(np.abs(v), axis=tuple(range(v.ndim - 1)),
+                    keepdims=True) / np.float32(127.0)).astype(np.float32)
+        safe = np.where(s > 0, s, np.float32(1.0))
+        q = np.clip(np.round(v / safe), -127, 127).astype(np.int8)
+        enc[k] = (q, s)
+    rest = _encode_payload_bf16(
+        {k: v for k, v in payload.items() if k not in enc})
+    out = dict(rest)
+    for k, (q, s) in enc.items():
+        out[k + _I8] = q
+        out[k + _I8S] = s
+    return out
+
+
 def _encode_payload_bf16(payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Pre-pull encoding: float32 leaves -> bf16 (device leaves via ONE
     jitted tree cast; host leaves via ml_dtypes).  Leaves already bf16
@@ -89,12 +168,20 @@ def _mark_and_view(payload: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def _decode_flat(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Load-side inverse of ``_mark_and_view``: marked uint16 arrays come
-    back as float32 (the engines' master-param dtype; the values are exact
-    bf16 representables, so this is lossless)."""
+    """Load-side inverse of ``_mark_and_view``/int8 encoding: marked
+    arrays come back as float32.  Exactly the adopted values — bf16
+    entries are exact representables, and the int8 decode is the same
+    IEEE f32 multiply the device adoption performed."""
     out = {}
+    scales = {k[:-len(_I8S)]: v for k, v in flat.items()
+              if k.endswith(_I8S)}
     for k, v in flat.items():
-        if k.endswith(_BF16):
+        if k.endswith(_I8S):
+            continue
+        if k.endswith(_I8):
+            base = k[:-len(_I8)]
+            out[base] = v.astype(np.float32) * scales[base]
+        elif k.endswith(_BF16):
             out[k[:-len(_BF16)]] = (
                 v.view(ml_dtypes.bfloat16).astype(np.float32))
         else:
@@ -220,6 +307,8 @@ def save_checkpoint(path: str, params: Dict, *, bn_state: Optional[Dict] = None,
             json.dumps(al_state).encode(), dtype=np.uint8)
     if dtype == "bfloat16":
         payload = _encode_payload_bf16(payload)
+    elif dtype == "int8":
+        payload = _encode_payload_int8(payload)
     elif dtype not in (None, "float32"):
         raise ValueError(f"unsupported checkpoint dtype {dtype!r}")
     payload = _mark_and_view(_chunked_device_get(payload))

@@ -455,8 +455,17 @@ def _influence(ctx: QueryContext):
 
 @register_strategy("fi")
 def _fi(ctx: QueryContext):
-    """Fisher-information querying (reference PW_NNAL.py:89-163)."""
+    """Fisher-information querying (reference PW_NNAL.py:89-163).
+
+    The scoring tail (candidate gather -> shrunk grads -> A-matrices) is
+    ONE fused device program (scoring.gradients.gather_shrunk_a_matrices)
+    — same math as :func:`~nnal_tpu.scoring.fisher.fi_select` (which
+    remains the array-level API), minus two dispatches and the patch
+    materialization."""
     from nnal_tpu.core.profiling import subphase
+    from nnal_tpu.scoring.gradients import gather_shrunk_a_matrices
+    from nnal_tpu.scoring.sdp import fi_query_distribution
+    from nnal_tpu.scoring.pmf import sample_query_pmf
 
     with subphase("fi/posteriors"):
         p1 = _posteriors(ctx)
@@ -464,18 +473,24 @@ def _fi(ctx: QueryContext):
     sel = np.asarray(binary_uncertainty_filter(p1, B))
     cand_inds = ctx.pool_inds[sel]
     ev = ctx.evaluator
-    with subphase("fi/gather"):
-        patches = np.asarray(gather_patches_normalized(
-            ev.padded, jnp.asarray(cand_inds), ev.mu, ev.sd, ev.patch_shape,
-            ev.orig_shape))
-    feats = None
+    with subphase("fi/gather_grads_A"):
+        A = np.asarray(gather_shrunk_a_matrices(
+            ctx.spec, ctx.params, ev.padded, jnp.asarray(cand_inds),
+            ev.mu, ev.sd, ev.patch_shape, ev.orig_shape,
+            jnp.asarray(np.asarray(p1[sel], np.float32)), ctx.diag_load))
+    X_pool = None
     if ctx.lambda_ > 0:
+        from nnal_tpu.scoring.fisher import refine_feature_matrix
+
         with subphase("fi/features"):
             feats = ev.evaluate(ctx.params, cand_inds,
                                 ("feature_layer",))["feature_layer"]
-    picks = fi_select(ctx.spec, ctx.params, patches, p1[sel],
-                      ctx.k, ctx.rng, lambda_=ctx.lambda_, features=feats,
-                      diag_load=ctx.diag_load)
+        ref_F = refine_feature_matrix(np.asarray(feats).T, len(sel))
+        X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
+    with subphase("fi/sdp"):
+        q = fi_query_distribution(A, ctx.lambda_, X_pool, ctx.k)
+    with subphase("fi/pmf"):
+        picks = sample_query_pmf(q, ctx.k, ctx.rng, replacement=True)
     return sel[picks]
 
 
@@ -658,7 +673,8 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         with subphase("fi/posteriors"):
             p1 = np.concatenate([_posteriors(c) for c in contexts])
         B = min(contexts[0].B, len(p1))
-        sel = np.asarray(binary_uncertainty_filter(p1, B))
+        with subphase("fi/filter"):
+            sel = np.asarray(binary_uncertainty_filter(p1, B))
         sel_local = global2local_inds(sel, sizes)
         from nnal_tpu.scoring.gradients import gather_shrunk_a_matrices
         from nnal_tpu.scoring.sdp import fi_query_distribution

@@ -121,3 +121,55 @@ def test_plain_f32_checkpoints_unchanged(tmp_path):
 def test_bad_dtype_rejected(tmp_path):
     with pytest.raises(ValueError):
         save_checkpoint(str(tmp_path / "w.npz"), _tree(), dtype="float16")
+
+
+def test_int8_roundtrip_matches_adoption(tmp_path):
+    """int8 anchors: the on-disk decode must equal round_trip_int8's
+    adopted values EXACTLY (same deterministic encode on the same
+    pre-adoption tensors; decode is the identical IEEE f32 multiply)."""
+    from nnal_tpu.models.checkpoint import round_trip_int8
+
+    params = _tree(3)
+    path = str(tmp_path / "w.npz")
+    save_checkpoint(path, params, dtype="int8")
+    with np.load(path) as z:
+        assert any(k.endswith("@i8") for k in z.files), z.files
+        assert any(k.endswith("@i8s") for k in z.files)
+        # biases (1-D) take the bf16 path
+        assert any(k.endswith("@bf16") for k in z.files)
+    loaded, _, _, _ = load_checkpoint(path)
+    adopted = round_trip_int8(params)
+    for k in ("conv1", "fc"):
+        for p in ("W", "b"):
+            np.testing.assert_array_equal(
+                loaded[k][p], np.asarray(adopted[k][p]),
+                err_msg=f"{k}/{p}")
+    # quantization error bounded by half a step per out-slice
+    W = params["conv1"]["W"]
+    step = np.max(np.abs(W.reshape(-1, W.shape[-1])), axis=0) / 127.0
+    assert np.all(np.abs(loaded["conv1"]["W"] - W) <= step * 0.5 + 1e-7)
+
+
+def test_int8_file_is_quarter_the_bytes(tmp_path):
+    params = {"fc": {"W": np.random.default_rng(0).normal(
+        size=(512, 512)).astype(np.float32)}}
+    p32 = str(tmp_path / "f32.npz")
+    p8 = str(tmp_path / "i8.npz")
+    save_checkpoint(p32, params)
+    save_checkpoint(p8, params, dtype="int8")
+    assert os.path.getsize(p8) < 0.30 * os.path.getsize(p32)
+
+
+def test_int8_opt_state_stays_bf16(tmp_path):
+    # moments must not be int8-quantized (too few decades); they ride the
+    # bf16 path even under the int8 anchor dtype
+    params = {"l": {"W": np.ones((8, 8), np.float32)}}
+    opt = {"nu": {"l": {"W": np.full((8, 8), 3e-9, np.float32)}}}
+    path = str(tmp_path / "w.npz")
+    save_checkpoint(path, params, opt_state=opt, dtype="int8")
+    with np.load(path) as z:
+        opt_keys = [k for k in z.files if k.startswith("opt/")]
+        assert opt_keys and all(k.endswith("@bf16") for k in opt_keys)
+    restored = restore_opt_state(
+        path, {"nu": {"l": {"W": np.zeros((8, 8), np.float32)}}})
+    assert np.all(np.asarray(restored["nu"]["l"]["W"]) > 1e-9)

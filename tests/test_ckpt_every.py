@@ -192,6 +192,50 @@ def test_bf16_anchor_replay_resume_bit_identical(tmp_path):
     _assert_identical(ref, _artifacts(str(b_root), "random"))
 
 
+def test_int8_anchor_replay_resume_bit_identical(tmp_path):
+    """ckpt_dtype=int8: the 4x-shrunken anchors (per-out-slice int8
+    weights, bf16 everything else, no moments) keep crash-resume
+    bit-identical via the same capture-originals -> adopt -> save-originals
+    discipline (engine.common.adopt_anchor_rounding docstring)."""
+    import nnal_tpu.engine.pw_experiment as pw_mod
+    from nnal_tpu.engine.pw_experiment import PWExperiment
+
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    over = dict(ckpt_full_every=3, ckpt_dtype="int8",
+                opt_reset_per_round=True)
+
+    def fresh(root):
+        expr = PWExperiment(str(root), _pw_cfg(**over))
+        expr.attach_subject(vols, mask)
+        return expr
+
+    a_root = tmp_path / "uninterrupted"
+    expr = fresh(a_root)
+    expr.prep_data()
+    expr.add_method("random")
+    res = expr.run_method("random", 12)
+    assert res["n_queries"] == 12
+    ref = _artifacts(str(a_root), "random")
+    with np.load(str(a_root / "random" / "curr_weights.npz")) as z:
+        assert any(k.endswith("@i8") for k in z.files), z.files
+        assert not any(k.startswith("opt/") for k in z.files), z.files
+
+    # crash AFTER the round-3 anchor whose save was lost (the live
+    # process adopted the int8 dequant but the write never landed)
+    b_root = tmp_path / "resumed"
+    expr = fresh(b_root)
+    expr.prep_data()
+    expr.add_method("random")
+    with _SuppressResume(pw_mod) as sup:
+        expr.run_method("random", 9)
+    assert sup.suppressed >= 1
+    expr2 = fresh(b_root)
+    res2 = expr2.run_method("random", 12)
+    assert res2["n_queries"] == 12
+    _assert_identical(ref, _artifacts(str(b_root), "random"))
+
+
 def test_bf16_anchor_multi_engine_replay_resume(tmp_path):
     import nnal_tpu.engine.multi_experiment as mm_mod
     from nnal_tpu.engine.multi_experiment import MultiImgExperiment
