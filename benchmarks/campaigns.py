@@ -301,7 +301,10 @@ def run_fcn(method, out):
             # proven in INFERENCE_r03; campaigns use a lighter stack so
             # the row measures the AL loop, not one giant compile)
             "model_kwargs": {"growth": 8, "depths": [3, 4, 5]},
-            "dropout_rate": 0.1, "b": 4, "epochs": 10,
+            # dense training from a handful of supervised voxels needs
+            # more optimization per round than the patch model (CPU
+            # probe: epochs=30 lifts F 0.22 -> 0.6+ at small scale)
+            "dropout_rate": 0.1, "b": 4, "epochs": 25,
         })
         cfg = ExperimentConfig.from_pars(pars)
         expr = PWExperiment(root, cfg)
@@ -314,7 +317,8 @@ def run_fcn(method, out):
         seed_inds = _balanced_seed(pool, lab, PARS["init_size"])
         j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
         t0 = time.perf_counter()
-        res = expr.run_method(method, 64)
+        # 4 rounds of k=32: enough rounds for a visible dense Dice curve
+        res = expr.run_method(method, 128)
         dt = time.perf_counter() - t0
         rec = {"method": _method_tag(f"fcn-{method}"),
                "queries": int(res["n_queries"]),
