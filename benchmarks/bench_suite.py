@@ -129,7 +129,13 @@ def config5():
     from nnal_tpu.parallel.mesh import make_mesh
     from nnal_tpu.parallel.pool_sharded import make_sharded_grid_selector
 
-    n_dev = max(len(jax.devices()), len(jax.devices("cpu")))
+    try:
+        n_cpu = len(jax.devices("cpu"))
+    except RuntimeError:
+        # axon-only init (the tunnel backend can come up without the cpu
+        # fallback registered); single-chip mesh is the honest answer
+        n_cpu = 0
+    n_dev = max(len(jax.devices()), n_cpu)
     mesh = make_mesh(min(n_dev, 8) if n_dev >= 8 else None,
                      model_parallel=1)
     on_tpu = jax.devices()[0].platform == "tpu"

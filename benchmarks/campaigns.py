@@ -302,9 +302,12 @@ def run_fcn(method, out):
             # the row measures the AL loop, not one giant compile)
             "model_kwargs": {"growth": 8, "depths": [3, 4, 5]},
             # dense training from a handful of supervised voxels needs
-            # more optimization per round than the patch model (CPU
-            # probe: epochs=30 lifts F 0.22 -> 0.6+ at small scale)
-            "dropout_rate": 0.1, "b": 4, "epochs": 25,
+            # more optimization per round than the patch model, and a
+            # larger balanced seed: 16 voxels over 128x128 slices left
+            # the FCN in its all-positive regime (F pinned at 0.22);
+            # 64 balanced seeds + per-round BN-stat refresh give a
+            # working start (CPU probes: F 0.83 from 48 seeds at 64^2)
+            "dropout_rate": 0.1, "b": 4, "epochs": 25, "init_size": 64,
         })
         cfg = ExperimentConfig.from_pars(pars)
         expr = PWExperiment(root, cfg)
@@ -314,7 +317,7 @@ def run_fcn(method, out):
         j = expr.add_method(method, init_size=0)
         _, pool = j.membership()
         lab = np.asarray(gather_labels(mask, pool, tuple(vols[0].shape)))
-        seed_inds = _balanced_seed(pool, lab, PARS["init_size"])
+        seed_inds = _balanced_seed(pool, lab, pars["init_size"])
         j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
         t0 = time.perf_counter()
         # 4 rounds of k=32: enough rounds for a visible dense Dice curve

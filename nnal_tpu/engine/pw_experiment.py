@@ -438,6 +438,25 @@ class PWExperiment:
             state.params, state.opt_state, x_all, y_all, wpix_all,
             jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
         state.step += int(idx_mat.shape[0])
+        if state.bn_state:
+            # refresh BN running statistics over the training slices
+            # (reference update_BN_stats, NN_extended.py:1059-1084):
+            # the scan trains on BATCH stats and never touches the
+            # moving averages, so without this the evaluator would
+            # normalize with the INIT statistics — at campaign scale
+            # that froze dense predictions at the all-positive F
+            bnfwd = getattr(self, "_fcn_bn_fwd", None)
+            if bnfwd is None:
+                from nnal_tpu.models.cnn import apply_cnn
+
+                bnfwd = self._fcn_bn_fwd = jax.jit(
+                    lambda p, s, x: apply_cnn(spec, p, x, train=True,
+                                              state=s).state)
+            bn = state.bn_state
+            for _ in range(8):
+                bi = host.integers(0, S, size=fcn_b)
+                bn = bnfwd(state.params, bn, x_all[jnp.asarray(bi)])
+            state.bn_state = bn
         return state
 
     # ------------------------------------------------------------- replay
@@ -600,6 +619,10 @@ class PWExperiment:
             # finetune on the enlarged labeled set
             with timer.phase("train"):
                 state = self.finetune(spec, (state, tx), train_inds)
+            if hasattr(evaluator, "bn_state"):
+                # BN-bearing dense specs: score/eval on the refreshed
+                # running statistics (updated by the fcn finetune)
+                evaluator.bn_state = state.bn_state
 
             # test evaluation: F-measure appended per round
             with timer.phase("eval"):

@@ -83,3 +83,27 @@ def test_repeat_runs_counter_resume_and_durations(tmp_path, monkeypatch):
 def test_repeat_runs_main_usage(capsys):
     assert rr.main([]) == 1
     assert "usage" in capsys.readouterr().out
+
+
+def test_subphase_spans_fold_into_round_records(tmp_path):
+    from nnal_tpu.core.profiling import PhaseTimer, drain_subphases, subphase
+
+    drain_subphases()   # isolate from any prior state
+    path = str(tmp_path / "phases.jsonl")
+    t = PhaseTimer(path)
+    with t.phase("score_select"):
+        with subphase("fi/sdp"):
+            time.sleep(0.005)
+        with subphase("fi/sdp"):     # accumulates
+            pass
+        with subphase("fi/gather"):
+            pass
+    rec = t.commit_round(0)
+    assert "sub" in rec and set(rec["sub"]) == {"fi/sdp", "fi/gather"}
+    assert rec["sub"]["fi/sdp"] >= 0.005
+    # drained: the next round starts clean
+    rec2 = t.commit_round(1)
+    assert "sub" not in rec2
+    lines = [json.loads(l)
+             for l in pathlib.Path(path).read_text().splitlines()]
+    assert lines[0]["sub"]["fi/gather"] >= 0.0
