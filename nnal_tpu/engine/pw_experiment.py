@@ -449,9 +449,14 @@ class PWExperiment:
             if bnfwd is None:
                 from nnal_tpu.models.cnn import apply_cnn
 
+                # decay 0.6: 8 batches converge the moving averages to
+                # the batch-statistic mean (the 0.999 training decay
+                # moves them 0.8% in 8 updates — the evaluator was
+                # still normalizing with the INIT statistics)
                 bnfwd = self._fcn_bn_fwd = jax.jit(
                     lambda p, s, x: apply_cnn(spec, p, x, train=True,
-                                              state=s).state)
+                                              state=s,
+                                              bn_decay=0.6).state)
             bn = state.bn_state
             for _ in range(8):
                 bi = host.integers(0, S, size=fcn_b)

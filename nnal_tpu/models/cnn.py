@@ -179,10 +179,15 @@ def _dimension_numbers(rank: int):
 
 def apply_cnn(spec: CNNSpec, params: Params, x: jnp.ndarray, *,
               train: bool = False, dropout_rng=None, state: Optional[Dict] = None,
-              mc_dropout: bool = False, compute_dtype=None) -> CNNOutput:
+              mc_dropout: bool = False, compute_dtype=None,
+              bn_decay: float = 0.999) -> CNNOutput:
     """Forward pass.  ``train`` enables dropout + BN batch statistics;
     ``mc_dropout`` enables dropout alone (MC-dropout scoring passes,
-    reference PW_NNAL.py:67-87 feeds ``keep_prob=dropout_rate`` at eval)."""
+    reference PW_NNAL.py:67-87 feeds ``keep_prob=dropout_rate`` at eval).
+    ``bn_decay`` overrides the BN running-stat momentum (reference
+    default 0.999) — statistics-refresh passes use an aggressive decay
+    so a handful of batches actually re-centers the moving averages
+    (at 0.999, 8 updates move them 0.8%)."""
     rank = spec.spatial_rank
     act = _act(spec.activation)
     use_dropout = (train or mc_dropout) and dropout_rng is not None
@@ -216,7 +221,8 @@ def apply_cnn(spec: CNNSpec, params: Params, x: jnp.ndarray, *,
             if op == "M":
                 h = _main_op(spec, layer, p, h, rank)
             elif op == "B":
-                h, bn_stats = _batch_norm(layer, p, h, state, train)
+                h, bn_stats = _batch_norm(layer, p, h, state, train,
+                                          decay=bn_decay)
                 if new_state is not None:
                     new_state[layer.name] = bn_stats
             elif op == "A":
