@@ -115,4 +115,6 @@ def test_engine_train_dtype_config(tmp_path):
         assert leaf.dtype == jnp.float32
         assert np.all(np.isfinite(np.asarray(leaf)))
     (ck,) = expr._ft_runners.keys()
-    assert ck[-1] == jnp.bfloat16, ck
+    # the key also carries the MT-SSL config tuple since r4; check the
+    # compute dtype by membership rather than position
+    assert jnp.bfloat16 in ck, ck

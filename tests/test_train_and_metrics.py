@@ -134,7 +134,9 @@ def test_ema_and_rampup():
     a = {"x": jnp.zeros(3)}
     b = {"x": jnp.ones(3)}
     out = ema_update(a, b, 0.9)
-    np.testing.assert_allclose(np.asarray(out["x"]), 0.1)
+    # ema_update is jitted now: (1-decay) is computed in f32 inside the
+    # program, so the result is 0.1 to f32 precision, not f64
+    np.testing.assert_allclose(np.asarray(out["x"]), 0.1, rtol=1e-6)
     s = sigmoid_rampup(100)
     assert float(s(0)) < 0.01 and np.isclose(float(s(100)), 1.0)
 
