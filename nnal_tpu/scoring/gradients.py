@@ -50,6 +50,14 @@ def layer_sizes(spec, params) -> np.ndarray:
 from nnal_tpu.models.cnn import make_conv_f32acc as _make_conv_f32acc  # noqa: E402
 
 
+def _conv1_mm_enabled() -> bool:
+    """Trace-time flag for the first-conv im2col-matmul lowering (see
+    `_eps_layer`); set NNAL_CONV1_MM=1 before the first scoring call."""
+    import os
+
+    return os.environ.get("NNAL_CONV1_MM", "0") == "1"
+
+
 @jax.custom_vjp
 def _relu_save_output(x):
     return jax.nn.relu(x)
@@ -103,6 +111,30 @@ def _eps_layer(spec, params, layer, h, E, li, cd):
     if layer.kind == "conv":
         p = params[layer.name]
         W = p["W"].astype(h.dtype)
+        K_contract = int(np.prod(layer.ksize)) * int(h.shape[-1])
+        if (_conv1_mm_enabled() and rank == 2 and K_contract <= 128
+                and "A" in layer.op_order):
+            # experimental first-conv im2col lowering (NNAL_CONV1_MM=1):
+            # C_in=2 starves the MXU as a conv (6.5 TF/s standalone vs
+            # 25.4 as an explicit matmul, STAGE_PROFILE_r04).  The
+            # per-window SAME semantics are preserved (patches pad at
+            # each sample's own border), and wsum falls out of the same
+            # patch tensor as a row sum.  Not bitwise-identical to the
+            # conv lowering (different contraction order), hence opt-in.
+            pat = jax.lax.conv_general_dilated_patches(
+                h, filter_shape=layer.ksize,
+                window_strides=layer.strides, padding=layer.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # dilated_patches emits features channel-major: (c, kh, kw)
+            Wm = jnp.transpose(W, (2, 0, 1, 3)).reshape(K_contract, -1)
+            z = jnp.einsum("nhwk,ko->nhwo", pat, Wm,
+                           preferred_element_type=jnp.float32) + p["b"]
+            wsum = jnp.sum(pat.astype(jnp.float32), axis=-1,
+                           keepdims=True)
+            e = E[:, li].reshape((-1,) + (1,) * (rank + 1))
+            z = z + e * (wsum + 1.0)
+            h = _cast_act(spec, layer, act, z, cd)
+            return h, li + 1
         if cd is None:
             dn = jax.lax.conv_dimension_numbers(
                 h.shape, W.shape, _dimension_numbers(rank))
