@@ -445,18 +445,13 @@ class PWExperiment:
             # moving averages, so without this the evaluator would
             # normalize with the INIT statistics — at campaign scale
             # that froze dense predictions at the all-positive F
-            bnfwd = getattr(self, "_fcn_bn_fwd", None)
-            if bnfwd is None:
-                from nnal_tpu.models.cnn import apply_cnn
+            from nnal_tpu.models.train import _bn_refresh_fwd
 
-                # decay 0.6: 8 batches converge the moving averages to
-                # the batch-statistic mean (the 0.999 training decay
-                # moves them 0.8% in 8 updates — the evaluator was
-                # still normalizing with the INIT statistics)
-                bnfwd = self._fcn_bn_fwd = jax.jit(
-                    lambda p, s, x: apply_cnn(spec, p, x, train=True,
-                                              state=s,
-                                              bn_decay=0.6).state)
+            # decay 0.6: 8 batches converge the moving averages to the
+            # batch-statistic mean (the 0.999 training decay moves them
+            # 0.8% in 8 updates — the evaluator was still normalizing
+            # with the INIT statistics, freezing dense predictions)
+            bnfwd = _bn_refresh_fwd(spec, 0.6)
             bn = state.bn_state
             for _ in range(8):
                 bi = host.integers(0, S, size=fcn_b)

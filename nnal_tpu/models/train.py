@@ -10,6 +10,8 @@ consistency) is fused into a single XLA program.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Dict, Optional
@@ -440,14 +442,28 @@ def build_unlabeled_index_matrix(n_u: int, ub: int, steps: int, rng):
     return rng.integers(0, n_u, size=(steps, ub)).astype(np.int32)
 
 
-def update_bn_stats(spec, params, bn_state, sample_gen, iters: int = 200):
+@functools.lru_cache(maxsize=32)
+def _bn_refresh_fwd(spec, bn_decay):
+    # cached per (spec, decay): a fresh jax.jit wrapper per call would
+    # re-trace (and remote-recompile) the refresh program every AL round
+    return jax.jit(lambda p, s, x: apply_cnn(spec, p, x, train=True,
+                                             state=s,
+                                             bn_decay=bn_decay).state)
+
+
+def update_bn_stats(spec, params, bn_state, sample_gen, iters: int = 200,
+                    bn_decay: float = 0.999):
     """Recompute BN running statistics over a sample generator without
     touching weights (reference ``update_BN_stats``,
     NN_extended.py:1059-1084: run only the UPDATE_OPS in training mode).
     ``sample_gen()`` yields ``x`` or ``(x, y)`` host batches.  Returns the
-    refreshed BN state pytree."""
-    fwd = jax.jit(lambda p, s, x: apply_cnn(spec, p, x, train=True,
-                                            state=s).state)
+    refreshed BN state pytree.
+
+    ``bn_decay`` is the refresh momentum: at the reference 0.999, the
+    default 200 iterations move the moving averages ~18% of the way to
+    the batch statistics — callers refreshing with a handful of batches
+    should pass an aggressive decay (the dense engine uses 0.6 over 8)."""
+    fwd = _bn_refresh_fwd(spec, float(bn_decay))
     state = bn_state
     for _ in range(iters):
         batch = sample_gen()
