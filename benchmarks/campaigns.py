@@ -115,6 +115,16 @@ if _MT > 0:
     PARS["consistency_measure"] = os.environ.get("NNAL_MT_MEASURE", "MSE")
     PARS["ema_decay"] = float(os.environ.get("NNAL_MT_EMA", "0.99"))
 
+# NNAL_PARS="k=8,init_size=8" applies arbitrary protocol overrides via
+# the reference-style set_parameters parser; NNAL_TAG appends a custom
+# variant suffix so the row is distinguishable in the artifact.
+_PARS_OVER = os.environ.get("NNAL_PARS", "").strip()
+_TAG = os.environ.get("NNAL_TAG", "").strip()
+if _PARS_OVER:
+    from nnal_tpu.core.config import set_parameters
+
+    PARS.update(set_parameters(PARS, _PARS_OVER))
+
 # NNAL_COMPILE_CACHE=<dir> enables the persistent XLA compilation cache
 # for the campaign (second run with the same dir skips remote compiles);
 # recorded as "<name>@...cc" so cold and warm rows can coexist.
@@ -150,6 +160,8 @@ def _method_tag(method):
         tag += "@or" if "@" not in tag else "or"
     if _MT > 0:
         tag += "@mt" if "@" not in tag else "mt"
+    if _TAG:
+        tag += f"@{_TAG}" if "@" not in tag else _TAG
     return tag
 
 
