@@ -335,7 +335,7 @@ class PWExperiment:
             n_take = 256
             u_sub = u_pool[uhost.integers(0, len(u_pool), size=n_take)]
             xu_all = gather_patches_normalized(
-                padded, jnp.asarray(u_sub, jnp.int64), mu, sd,
+                padded, jnp.asarray(np.asarray(u_sub, np.int64)), mu, sd,
                 tuple(m.patch_shape), orig_shape)
             ub = int(getattr(m, "unlabeled_batch", 0)) or m.b
             u_idx = build_unlabeled_index_matrix(
