@@ -83,6 +83,23 @@ class MultiImgExperiment:
         m = self.config.model
         d1, d2, d3 = m.patch_shape
         nmod = len(self.train_subjects[0][0])
+        if m.model_name in ("Tiramisu", "FCDenseNet103"):
+            # dense-model AL across subjects: one FCN spec over whole
+            # axial slices — all subjects must share the slice shape
+            # (same constraint the reference's full_slice_segment has,
+            # eval_utils.py:104-237)
+            shapes = {tuple(np.asarray(v[0]).shape[:2])
+                      for v, _ in list(self.train_subjects)
+                      + list(self.test_subjects)}
+            assert len(shapes) == 1, \
+                f"dense multi-subject AL needs one slice shape, got {shapes}"
+            H, W = next(iter(shapes))
+            kw = dict(getattr(m, "model_kwargs", None) or {})
+            kw.setdefault("dropout_rate", m.dropout_rate)
+            if "depths" in kw:
+                kw["depths"] = tuple(kw["depths"])
+            return create_model(m.model_name, nclass=m.nclass,
+                                input_shape=(int(H), int(W), nmod), **kw)
         return create_model(m.model_name, nclass=m.nclass,
                             dropout_rate=m.dropout_rate,
                             patch_shape=(d1, d2, nmod * d3))
@@ -93,6 +110,14 @@ class MultiImgExperiment:
         patch_shape = tuple(self.config.model.patch_shape)
         cd = eval_compute_dtype(self.config.model.dtype)
         evs = []
+        if getattr(spec, "fcn", False):
+            from nnal_tpu.scoring.fcn_eval import FCNGridPoolEvaluator
+
+            for i, (vols, mask) in enumerate(subjects):
+                evs.append(FCNGridPoolEvaluator(
+                    spec, vols, stats[i, 0::2], stats[i, 1::2],
+                    tuple(np.asarray(vols[0]).shape), compute_dtype=cd))
+            return evs
         for i, (vols, mask) in enumerate(subjects):
             mu = stats[i, 0::2]
             sd = stats[i, 1::2]
@@ -171,6 +196,11 @@ class MultiImgExperiment:
         from nnal_tpu.engine.common import maybe_reset_opt
 
         maybe_reset_opt(state, tx, m)
+        if getattr(spec, "fcn", False):
+            return self._finetune_fcn_multimg(spec, state, tx,
+                                              per_subject_inds,
+                                              epochs=epochs,
+                                              rng_tag=rng_tag)
         epochs = m.epochs if epochs is None else epochs
         sizes = [len(v) for v in per_subject_inds]
         total = int(np.sum(sizes))
@@ -344,6 +374,112 @@ class MultiImgExperiment:
                 state.params, state.opt_state, x_all, y_all,
                 jnp.asarray(idx_mat), jnp.asarray(w_mat), cw_vec, key)
         state.step += int(idx_mat.shape[0])
+        return state
+
+    def _finetune_fcn_multimg(self, spec, state, tx, per_subject_inds,
+                              epochs=None, rng_tag: str = ""):
+        """Dense-model finetune across subjects: labeled axial slices from
+        EVERY subject stack into one bucket-padded batch, with the CE
+        masked to exactly the queried voxels (the multi-subject analog of
+        PWExperiment._finetune_fcn — one jitted scan per round)."""
+        from nnal_tpu.data.batching import make_onehot
+        from nnal_tpu.models.train import (
+            _bn_refresh_fwd,
+            build_batch_index_matrix,
+            make_scanned_finetune_fcn,
+        )
+        from nnal_tpu.scoring.pool_eval import eval_compute_dtype
+
+        m = self.config.model
+        epochs = m.epochs if epochs is None else epochs
+        total = int(sum(len(v) for v in per_subject_inds))
+        if total == 0 or epochs == 0:
+            return state
+        stats = np.loadtxt(self._p("train_stats.txt")).reshape(
+            len(self.train_subjects), -1)
+
+        # per-subject normalized slice stacks, cached
+        slices = getattr(self, "_fcn_slices", None)
+        if slices is None:
+            slices = self._fcn_slices = {}
+        xs, ys, ws = [], [], []
+        cw = getattr(m, "class_weights", None)
+        lab_all = np.concatenate([
+            np.asarray(self.train_subjects[si][1]).reshape(-1)[
+                np.asarray(vinds, np.int64)]
+            for si, vinds in enumerate(per_subject_inds)
+            if len(vinds)]).astype(np.int64)
+        if isinstance(cw, str) and cw == "auto":
+            counts = np.bincount(lab_all, minlength=m.nclass).astype(
+                np.float64)
+            inv = counts.sum() / np.maximum(counts, 1.0)
+            cw = (inv / inv.sum() * m.nclass).astype(np.float32)
+        for si, vinds in enumerate(per_subject_inds):
+            vinds = np.asarray(vinds, np.int64)
+            if vinds.size == 0:
+                continue
+            vols, mask = self.train_subjects[si]
+            H, W, Z = np.asarray(vols[0]).shape
+            if si not in slices:
+                stack = np.stack(
+                    [(np.asarray(v, np.float32) - mm) / ss
+                     for v, mm, ss in zip(vols, stats[si, 0::2],
+                                          stats[si, 1::2])], axis=-1)
+                slices[si] = np.transpose(stack, (2, 0, 1, 3))
+            x_, y_, z_ = np.unravel_index(vinds, (H, W, Z))
+            lab = np.asarray(mask).reshape(-1)[vinds].astype(np.int64)
+            for zv in np.unique(z_):
+                sel = z_ == zv
+                xs.append(slices[si][int(zv)])
+                yv = np.zeros((H, W), np.int64)
+                wv = np.zeros((H, W), np.float32)
+                yv[x_[sel], y_[sel]] = lab[sel]
+                wv[x_[sel], y_[sel]] = (1.0 if cw is None
+                                        else np.asarray(cw)[lab[sel]])
+                ys.append(yv)
+                ws.append(wv)
+        S = len(xs)
+        s_bucket = -(-S // 8) * 8
+        H, W = xs[0].shape[:2]
+        for _ in range(s_bucket - S):
+            xs.append(np.zeros_like(xs[0]))
+            ys.append(np.zeros((H, W), np.int64))
+            ws.append(np.zeros((H, W), np.float32))
+        x_all = jnp.asarray(np.stack(xs))
+        y_all = jnp.asarray(make_onehot(
+            np.stack(ys).reshape(-1), m.nclass).reshape(
+                s_bucket, H, W, m.nclass))
+        wpix_all = jnp.asarray(np.stack(ws))
+
+        host = self.rng.fold(f"ft-multi-{rng_tag}{state.step}").host
+        jrng = self.rng.fold(f"ft-multi-d-{rng_tag}{state.step}").next()
+        fcn_b = max(1, min(int(m.b), 4))
+        idx_mat, w_mat = build_batch_index_matrix(S, fcn_b, epochs, host,
+                                                  bucket=8)
+        train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        cache = getattr(self, "_ft_runners", None)
+        if cache is None:
+            cache = self._ft_runners = {}
+        ck = (id(tx), "fcn", fcn_b, train_cd)
+        if ck not in cache:
+            cache[ck] = make_scanned_finetune_fcn(spec, tx,
+                                                  batch_size=fcn_b,
+                                                  compute_dtype=train_cd)
+        run = cache[ck]
+        key = jax.random.fold_in(jrng, state.step)
+        state.params, state.opt_state, _ = run(
+            state.params, state.opt_state, x_all, y_all, wpix_all,
+            jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
+        state.step += int(idx_mat.shape[0])
+        if state.bn_state:
+            # re-center BN running stats on the current model/data (see
+            # PWExperiment._finetune_fcn — decay 0.6 over 8 batches)
+            bnfwd = _bn_refresh_fwd(spec, 0.6)
+            bn = state.bn_state
+            for _ in range(8):
+                bi = host.integers(0, S, size=fcn_b)
+                bn = bnfwd(state.params, bn, x_all[jnp.asarray(bi)])
+            state.bn_state = bn
         return state
 
     def _cached_tx(self):
@@ -613,6 +749,10 @@ class MultiImgExperiment:
                          for i in range(len(pools))]
             with timer.phase("train"):
                 state = self.finetune_multimg(spec, state, tx, train_vox)
+            for ev in evs + list(getattr(self, "_test_evs", []) or []):
+                if hasattr(ev, "bn_state"):
+                    # BN-bearing dense specs score on refreshed stats
+                    ev.bn_state = state.bn_state
 
             with timer.phase("eval"):
                 fm = self.test_eval(spec, state.params)

@@ -73,3 +73,23 @@ def test_fcn_feature_methods_raise_clearly(tmp_path, subject):
     expr.add_method("core-set")
     with pytest.raises(NotImplementedError, match="patch-wise evaluator"):
         expr.run_method("core-set", 4)
+
+
+def test_fcn_multi_subject_campaign(tmp_path):
+    """Dense-model AL across subjects through MultiImgExperiment: global
+    selection over per-subject dense sweeps + one cross-subject dense
+    finetune per round (queried-voxel-masked)."""
+    from nnal_tpu.engine.multi_experiment import MultiImgExperiment
+
+    subs = [synthetic_subject(shape=(24, 24, 8), n_modalities=2, seed=s)
+            for s in range(2)]
+    expr = MultiImgExperiment(str(tmp_path), _cfg(k=4, init_size=6))
+    expr.attach_subjects(subs, test_subjects=[
+        synthetic_subject(shape=(24, 24, 8), n_modalities=2, seed=5)])
+    expr.prep_data()
+    expr.add_method("entropy")
+    res = expr.run_method("entropy", 8)
+    assert res["n_queries"] == 8
+    assert np.isfinite(res["perf"]).all()
+    assert len(np.intersect1d(res["train_global"],
+                              res["pool_global"])) == 0
