@@ -93,6 +93,18 @@ class ModelConfig:
     # crash-resume replay sees the identical stream (the current pool
     # differs between an original round and its replay)
     unlabeled_batch: int = 0
+    # consistency ramp-DOWN as labels accumulate (reference rampdown
+    # family, NN_extended.py:1462-1502, re-keyed from epochs to the AL
+    # quantity that matters: labeled-set size).  With off_labels = L > 0
+    # the coefficient keeps full strength below L/2 labels (the
+    # low-budget regime where MT's boost lives), decays as
+    # exp(-12.5 phase^2) over the second half, and switches fully off at
+    # n_labeled >= L — without the ramp-down the consistency term
+    # anchors the student to the teacher at the end of the curve (r04
+    # low8: MT 0.901 final vs plain 0.946 — a crossover, not
+    # convergence).  Depends only on n_labeled, so crash-resume replay
+    # is bit-identical (engine.common.mt_rampdown).
+    consistency_off_labels: int = 0
     # overlap per-round checkpoint writes with the next round's scoring
     # (the async-checkpoint pattern of production training systems).
     # Off by default: on a direct-attached TPU the save is ~0.1 s so

@@ -170,3 +170,56 @@ def reconcile_membership(j, train_inds, pool_inds, *, matrix: bool = False,
     pool_inds = pool_inds[~np.isin(pool_inds, missing)]
     j.init_membership(train_inds, pool_inds)
     return train_inds, pool_inds, True
+
+
+def warn_fcn_unsupported_keys(engine, model_cfg) -> None:
+    """Warn (once per engine instance) when config keys the dense-model
+    finetune path does not implement are set together with an fcn spec —
+    the 'key works in one path, silently ignored in another' defect class
+    (r02 fi diag_load).  The patch-wise finetunes honor all three;
+    ``_finetune_fcn``/``_finetune_fcn_multimg`` honor none (yet)."""
+    if getattr(engine, "_fcn_keys_warned", False):
+        return
+    ignored = []
+    if float(getattr(model_cfg, "consistency_coeff", 0.0)) > 0.0:
+        ignored.append("consistency_coeff (MT-SSL)")
+    if float(getattr(model_cfg, "lwf_lambda", 0.0)) > 0.0:
+        ignored.append("lwf_lambda (LwF)")
+    if getattr(model_cfg, "train_layers", None):
+        ignored.append("train_layers (partial training)")
+    if ignored:
+        import warnings
+
+        warnings.warn(
+            "dense-model (fcn) finetune ignores config keys: "
+            + ", ".join(ignored)
+            + " — these are only implemented on the patch-wise path",
+            stacklevel=3)
+    engine._fcn_keys_warned = True
+
+
+def mt_rampdown(model_cfg, n_labeled: int):
+    """(effective_cc, cc_scale) for the mean-teacher consistency term.
+
+    ``consistency_off_labels = L > 0``: full strength below L/2 (the
+    low-budget regime where MT's boost lives), then the reference's
+    ``exp(-12.5 phase^2)`` ramp-DOWN shape (NN_extended.py:1462-1502,
+    re-keyed from training epochs to the AL quantity that matters:
+    labeled count) over the second half, and fully OFF (cc = 0 -> the
+    engines build the plain runner, no teacher/unlabeled work) at
+    ``n_labeled >= L``.  The scale is a TRACED argument of the scanned
+    runner, so per-round decay never recompiles; it depends only on
+    ``n_labeled``, so crash-resume replay is bit-identical."""
+    import numpy as np
+
+    cc = float(getattr(model_cfg, "consistency_coeff", 0.0))
+    off = int(getattr(model_cfg, "consistency_off_labels", 0))
+    if cc <= 0.0 or off <= 0:
+        return cc, 1.0
+    if n_labeled >= off:
+        return 0.0, 0.0
+    half = off / 2.0
+    if n_labeled <= half:
+        return cc, 1.0
+    phase = (n_labeled - half) / half
+    return cc, float(np.exp(-12.5 * phase * phase))

@@ -165,7 +165,9 @@ class Experiment:
         # this engine applies it on each training batch — the student sees
         # the batch with dropout, the EMA teacher clean (reference MT_SSL
         # batch semantics, NN_extended.py:1337-1396)
-        cc = float(getattr(m, "consistency_coeff", 0.0))
+        from nnal_tpu.engine.common import mt_rampdown
+
+        cc, cc_scale = mt_rampdown(m, len(train_inds))
         coeff_fn = None
         if cc > 0.0:
             ramp_len = int(getattr(m, "consistency_ramp", 0))
@@ -239,7 +241,7 @@ class Experiment:
                 state.params, state.opt_state, _ = step_fn(
                     state.params, state.opt_state, x, y, key,
                     jnp.asarray(state.step), state.teacher_params, w, ol,
-                    cw_vec)
+                    cw_vec, cc_scale=jnp.asarray(cc_scale, jnp.float32))
                 if cc > 0.0:
                     from nnal_tpu.models.optim import ema_update
 

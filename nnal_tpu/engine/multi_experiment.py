@@ -84,16 +84,17 @@ class MultiImgExperiment:
         d1, d2, d3 = m.patch_shape
         nmod = len(self.train_subjects[0][0])
         if m.model_name in ("Tiramisu", "FCDenseNet103"):
-            # dense-model AL across subjects: one FCN spec over whole
-            # axial slices — all subjects must share the slice shape
-            # (same constraint the reference's full_slice_segment has,
-            # eval_utils.py:104-237)
-            shapes = {tuple(np.asarray(v[0]).shape[:2])
-                      for v, _ in list(self.train_subjects)
-                      + list(self.test_subjects)}
-            assert len(shapes) == 1, \
-                f"dense multi-subject AL needs one slice shape, got {shapes}"
-            H, W = next(iter(shapes))
+            # dense-model AL across subjects.  The FCN is fully
+            # convolutional, so ONE spec (and one parameter set) serves
+            # every slice shape — input_shape is channel-trace metadata
+            # only (models/cnn._trace_shapes sizes conv params by
+            # channels).  Heterogeneous subjects (reference
+            # models_dict_for_different_sizes, eval_utils.py:413-439,
+            # keyed per-size FCN graphs) ride per-shape compiled
+            # programs: each subject's evaluator jits at its own shape,
+            # and _finetune_fcn_multimg groups labeled slices by shape
+            H, W = tuple(np.asarray(self.train_subjects[0][0][0])
+                         .shape[:2])
             kw = dict(getattr(m, "model_kwargs", None) or {})
             kw.setdefault("dropout_rate", m.dropout_rate)
             if "depths" in kw:
@@ -263,7 +264,9 @@ class MultiImgExperiment:
         from nnal_tpu.scoring.pool_eval import eval_compute_dtype
 
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
-        cc = float(getattr(m, "consistency_coeff", 0.0))
+        from nnal_tpu.engine.common import mt_rampdown
+
+        cc, cc_scale = mt_rampdown(m, total)
         mt_kw = {}
         if cc > 0.0:
             mt_kw = dict(consistency_coeff=cc,
@@ -363,6 +366,7 @@ class MultiImgExperiment:
                 state.params, state.opt_state, state.teacher_params,
                 x_all, y_all, jnp.asarray(idx_mat), jnp.asarray(w_mat),
                 cw_vec, key, jnp.asarray(state.step, jnp.float32),
+                jnp.asarray(cc_scale, jnp.float32),
                 xu_all, jnp.asarray(u_idx), old_logits)
         elif old_logits is not None:
             state.params, state.opt_state, _ = run(
@@ -395,6 +399,9 @@ class MultiImgExperiment:
         total = int(sum(len(v) for v in per_subject_inds))
         if total == 0 or epochs == 0:
             return state
+        from nnal_tpu.engine.common import warn_fcn_unsupported_keys
+
+        warn_fcn_unsupported_keys(self, m)
         stats = np.loadtxt(self._p("train_stats.txt")).reshape(
             len(self.train_subjects), -1)
 
@@ -402,7 +409,6 @@ class MultiImgExperiment:
         slices = getattr(self, "_fcn_slices", None)
         if slices is None:
             slices = self._fcn_slices = {}
-        xs, ys, ws = [], [], []
         cw = getattr(m, "class_weights", None)
         lab_all = np.concatenate([
             np.asarray(self.train_subjects[si][1]).reshape(-1)[
@@ -414,6 +420,13 @@ class MultiImgExperiment:
                 np.float64)
             inv = counts.sum() / np.maximum(counts, 1.0)
             cw = (inv / inv.sum() * m.nclass).astype(np.float32)
+        # group labeled slices by slice SHAPE: the fully-convolutional
+        # spec shares one parameter set, but a stacked batch needs one
+        # spatial shape — heterogeneous subjects (reference
+        # models_dict_for_different_sizes, eval_utils.py:413-439) train
+        # as per-shape scan runs, one compiled program per distinct
+        # shape, sequential over groups within the round
+        groups: Dict = {}
         for si, vinds in enumerate(per_subject_inds):
             vinds = np.asarray(vinds, np.int64)
             if vinds.size == 0:
@@ -428,6 +441,7 @@ class MultiImgExperiment:
                 slices[si] = np.transpose(stack, (2, 0, 1, 3))
             x_, y_, z_ = np.unravel_index(vinds, (H, W, Z))
             lab = np.asarray(mask).reshape(-1)[vinds].astype(np.int64)
+            xs, ys, ws = groups.setdefault((H, W), ([], [], []))
             for zv in np.unique(z_):
                 sel = z_ == zv
                 xs.append(slices[si][int(zv)])
@@ -438,24 +452,8 @@ class MultiImgExperiment:
                                         else np.asarray(cw)[lab[sel]])
                 ys.append(yv)
                 ws.append(wv)
-        S = len(xs)
-        s_bucket = -(-S // 8) * 8
-        H, W = xs[0].shape[:2]
-        for _ in range(s_bucket - S):
-            xs.append(np.zeros_like(xs[0]))
-            ys.append(np.zeros((H, W), np.int64))
-            ws.append(np.zeros((H, W), np.float32))
-        x_all = jnp.asarray(np.stack(xs))
-        y_all = jnp.asarray(make_onehot(
-            np.stack(ys).reshape(-1), m.nclass).reshape(
-                s_bucket, H, W, m.nclass))
-        wpix_all = jnp.asarray(np.stack(ws))
 
-        host = self.rng.fold(f"ft-multi-{rng_tag}{state.step}").host
-        jrng = self.rng.fold(f"ft-multi-d-{rng_tag}{state.step}").next()
         fcn_b = max(1, min(int(m.b), 4))
-        idx_mat, w_mat = build_batch_index_matrix(S, fcn_b, epochs, host,
-                                                  bucket=8)
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
@@ -466,20 +464,47 @@ class MultiImgExperiment:
                                                   batch_size=fcn_b,
                                                   compute_dtype=train_cd)
         run = cache[ck]
-        key = jax.random.fold_in(jrng, state.step)
-        state.params, state.opt_state, _ = run(
-            state.params, state.opt_state, x_all, y_all, wpix_all,
-            jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
-        state.step += int(idx_mat.shape[0])
-        if state.bn_state:
-            # re-center BN running stats on the current model/data (see
-            # PWExperiment._finetune_fcn — decay 0.6 over 8 batches)
-            bnfwd = _bn_refresh_fwd(spec, 0.6)
-            bn = state.bn_state
-            for _ in range(8):
-                bi = host.integers(0, S, size=fcn_b)
-                bn = bnfwd(state.params, bn, x_all[jnp.asarray(bi)])
-            state.bn_state = bn
+        step0 = state.step
+        for gi, shape in enumerate(sorted(groups)):
+            xs, ys, ws = groups[shape]
+            H, W = shape
+            S = len(xs)
+            s_bucket = -(-S // 8) * 8
+            for _ in range(s_bucket - S):
+                xs.append(np.zeros_like(xs[0]))
+                ys.append(np.zeros((H, W), np.int64))
+                ws.append(np.zeros((H, W), np.float32))
+            x_all = jnp.asarray(np.stack(xs))
+            y_all = jnp.asarray(make_onehot(
+                np.stack(ys).reshape(-1), m.nclass).reshape(
+                    s_bucket, H, W, m.nclass))
+            wpix_all = jnp.asarray(np.stack(ws))
+
+            # replay-stable streams keyed on the round-ENTRY step; the
+            # group tag only appears with >1 shapes, so single-shape
+            # campaigns keep their exact pre-existing trajectories
+            gtag = f"g{gi}-" if len(groups) > 1 else ""
+            host = self.rng.fold(
+                f"ft-multi-{rng_tag}{gtag}{step0}").host
+            jrng = self.rng.fold(
+                f"ft-multi-d-{rng_tag}{gtag}{step0}").next()
+            idx_mat, w_mat = build_batch_index_matrix(S, fcn_b, epochs,
+                                                      host, bucket=8)
+            key = jax.random.fold_in(jrng, step0)
+            state.params, state.opt_state, _ = run(
+                state.params, state.opt_state, x_all, y_all, wpix_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
+            state.step += int(idx_mat.shape[0])
+            if state.bn_state:
+                # re-center BN running stats on the current model/data
+                # (see PWExperiment._finetune_fcn — decay 0.6 over 8
+                # batches per shape group)
+                bnfwd = _bn_refresh_fwd(spec, 0.6)
+                bn = state.bn_state
+                for _ in range(8):
+                    bi = host.integers(0, S, size=fcn_b)
+                    bn = bnfwd(state.params, bn, x_all[jnp.asarray(bi)])
+                state.bn_state = bn
         return state
 
     def _cached_tx(self):
@@ -557,6 +582,15 @@ class MultiImgExperiment:
                     np.asarray(vols[0]).shape,
                     self.config.data.grid_spacing, mask)
                 for vols, mask in self.test_subjects]
+        # BN-bearing dense specs: evaluators are constructed with
+        # bn_state=None, so apply the engine's current running stats on
+        # EVERY call (covers the lazy first construction — without this
+        # the round-1 test eval ran on batch statistics)
+        bn_sync = getattr(self, "_bn_sync", None)
+        if bn_sync is not None:
+            for ev in evs:
+                if hasattr(ev, "bn_state"):
+                    ev.bn_state = bn_sync
         preds, masks = {}, {}
         for i, ev in enumerate(evs):
             inds, labels = self._test_grids[i]
@@ -642,6 +676,14 @@ class MultiImgExperiment:
             state = self.finetune_multimg(spec, state, tx, tv)
             if (anchor0 + ri + 1) % K_replay == 0:
                 adopt_anchor_rounding(state, cfg.model)
+        # BN-bearing dense specs: pool evaluators were constructed with
+        # bn_state=None — sync them to the resumed (and replay-refreshed)
+        # running stats BEFORE the first selection, and mirror the pointer
+        # so test_eval's lazily-built evaluators pick it up too
+        self._bn_sync = state.bn_state
+        for ev in evs:
+            if hasattr(ev, "bn_state"):
+                ev.bn_state = state.bn_state
 
         times_path = os.path.join(self.root_dir, "AL_running_times")
         os.makedirs(times_path, exist_ok=True)
@@ -749,6 +791,7 @@ class MultiImgExperiment:
                          for i in range(len(pools))]
             with timer.phase("train"):
                 state = self.finetune_multimg(spec, state, tx, train_vox)
+            self._bn_sync = state.bn_state
             for ev in evs + list(getattr(self, "_test_evs", []) or []):
                 if hasattr(ev, "bn_state"):
                     # BN-bearing dense specs score on refreshed stats

@@ -275,7 +275,9 @@ class PWExperiment:
         lwf_lambda = float(getattr(m, "lwf_lambda", 0.0))
         lwf_T = float(getattr(m, "lwf_T", 2.0))
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
-        cc = float(getattr(m, "consistency_coeff", 0.0))
+        from nnal_tpu.engine.common import mt_rampdown
+
+        cc, cc_scale = mt_rampdown(m, n)
         mt_kw = {}
         if cc > 0.0:
             mt_kw = dict(consistency_coeff=cc,
@@ -345,6 +347,7 @@ class PWExperiment:
                 state.params, state.opt_state, state.teacher_params,
                 x_all, y_all, jnp.asarray(idx_mat), jnp.asarray(w_mat),
                 cw_vec, key, jnp.asarray(state.step, jnp.float32),
+                jnp.asarray(cc_scale, jnp.float32),
                 xu_all, jnp.asarray(u_idx), old_logits)
         elif old_logits is not None:
             state.params, state.opt_state, losses = run(
@@ -375,6 +378,9 @@ class PWExperiment:
         epochs = m.epochs if epochs is None else epochs
         if len(train_inds) == 0 or epochs == 0:
             return state
+        from nnal_tpu.engine.common import warn_fcn_unsupported_keys
+
+        warn_fcn_unsupported_keys(self, m)
         vols, mask = self._load_subject()
         mu, sd = self._stats_arrays()
         H, W, Z = np.asarray(vols[0]).shape
@@ -517,9 +523,6 @@ class PWExperiment:
                                                           teacher)
         # resume mid-campaign with the exact optimizer moments + step
         state.opt_state = restore_opt_state(ckpt, state.opt_state)
-        if hasattr(evaluator, "bn_state"):
-            # BN-bearing dense specs score on the resumed running stats
-            evaluator.bn_state = state.bn_state
         if al_state is not None:
             state.step = int(al_state.get("step", 0))
 
@@ -542,6 +545,13 @@ class PWExperiment:
         # (step-keyed RNG) rebuilds this round's state bit-identically.
         state = self._replay_to_round(j, spec, (state, tx), al_state,
                                       train_inds, round_id)
+        if hasattr(evaluator, "bn_state"):
+            # BN-bearing dense specs score on the resumed running stats —
+            # synced AFTER the replay: the replayed finetunes re-center
+            # bn_state (decay-0.6 refresh), so a pre-replay sync would
+            # leave the first post-resume selection on the anchor's stale
+            # statistics, breaking bit-identical crash-resume
+            evaluator.bn_state = state.bn_state
 
         from nnal_tpu.core.profiling import PhaseTimer
         from nnal_tpu.core.tb import TBWriter

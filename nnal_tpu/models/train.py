@@ -90,7 +90,7 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
     from nnal_tpu.models.losses import aleatoric_ce_per_sample
 
     def loss_fn(params, x, y, w, old_logits, rng, teacher_params, step,
-                cw_rt=None):
+                cw_rt=None, cc_scale=1.0):
         params, x = _cast_for_forward(compute_dtype, params, x)
         out = apply_cnn(spec, params, x, train=True, dropout_rng=rng)
         if getattr(spec, "aleatoric", False):
@@ -126,16 +126,19 @@ def make_train_step(spec, tx: optax.GradientTransformation, *,
                 teacher_params = cast_float_params(teacher_params,
                                                    compute_dtype)
             t_out = apply_cnn(spec, teacher_params, x)
-            coeff = consistency_coeff(step)
+            # cc_scale: labeled-count ramp-down factor (engine.common.
+            # mt_rampdown) — traced, so per-round decay never recompiles
+            coeff = consistency_coeff(step) * cc_scale
             loss = loss + coeff * consistency_loss(
                 out.logits, t_out.logits, consistency_measure)
         return loss
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, x, y, rng, step, teacher_params=None,
-                w=None, old_logits=None, cw=None):
+                w=None, old_logits=None, cw=None, cc_scale=1.0):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, y, w, old_logits, rng, teacher_params, step, cw)
+            params, x, y, w, old_logits, rng, teacher_params, step, cw,
+            cc_scale)
         grads = apply_grad_mask(grads, grad_mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -288,14 +291,20 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
             return 1.0
 
     def _scan(params, opt_state, teacher, x_all, y_all, idx_mat, w_mat,
-              cw, rng, step0, xu_all, u_idx_mat, old_logits_all):
+              cw, rng, step0, cc_scale, xu_all, u_idx_mat,
+              old_logits_all):
         def step(carry, sc):
             params, opt_state, teacher = carry
             idx, uidx, w, i = sc
             x = x_all[idx]
             y = y_all[idx]
             x_u = None if xu_all is None else xu_all[uidx]
-            coeff = (consistency_coeff * ramp(step0 + i)) if mt else 0.0
+            # cc_scale: engine-supplied ramp-DOWN factor (reference
+            # sigmoid_rampdown family, NN_extended.py:1462-1502) driven by
+            # the labeled count — traced, so per-round decay never
+            # recompiles the scan
+            coeff = (consistency_coeff * cc_scale * ramp(step0 + i)) \
+                if mt else 0.0
             ol = None if old_logits_all is None else old_logits_all[idx]
             key = jax.random.fold_in(rng, i)
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -329,11 +338,11 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     if mt:
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def run_mt(params, opt_state, teacher, x_all, y_all, idx_mat,
-                   w_mat, cw, rng, step0, xu_all, u_idx_mat,
+                   w_mat, cw, rng, step0, cc_scale, xu_all, u_idx_mat,
                    old_logits_all=None):
             return _scan(params, opt_state, teacher, x_all, y_all,
-                         idx_mat, w_mat, cw, rng, step0, xu_all,
-                         u_idx_mat, old_logits_all)
+                         idx_mat, w_mat, cw, rng, step0, cc_scale,
+                         xu_all, u_idx_mat, old_logits_all)
 
         return run_mt
 
@@ -341,8 +350,8 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
     def run(params, opt_state, x_all, y_all, idx_mat, w_mat, cw, rng,
             old_logits_all=None):
         p, o, _, losses = _scan(params, opt_state, None, x_all, y_all,
-                                idx_mat, w_mat, cw, rng, 0, None, None,
-                                old_logits_all)
+                                idx_mat, w_mat, cw, rng, 0, 1.0, None,
+                                None, old_logits_all)
         return p, o, losses
 
     return run

@@ -94,6 +94,19 @@ def cnn_query(ctx: QueryContext, method_name: str) -> np.ndarray:
     return np.asarray(q, dtype=np.int64)
 
 
+def _require_patch_evaluator(ev, method: str) -> None:
+    """Per-patch gradient methods need the patch evaluator's device
+    volumes (``ev.padded``) — dense (FCN) evaluators serve posteriors and
+    per-pixel features but have no patch-level loss gradients; fail with
+    the same clear message the dense evaluator uses for its missing ops
+    instead of an AttributeError mid-strategy."""
+    if not hasattr(ev, "padded"):
+        raise NotImplementedError(
+            f"{method} needs per-patch gradients — dense-model (fcn) "
+            "specs support the uncertainty + feature-space families; "
+            "gradient methods need the patch-wise evaluator")
+
+
 def _posteriors(ctx: QueryContext) -> np.ndarray:
     return ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
                                   ("posteriors",))["posteriors"]
@@ -327,6 +340,7 @@ def _au_4u_scores(ctx: QueryContext) -> np.ndarray:
     from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
 
     ev = ctx.evaluator
+    _require_patch_evaluator(ev, "AU_4U")
     teacher = ctx.extra.get("teacher_params")
     std = ctx.extra.get("gaussian_noise_std", 0.05)
     angle = ctx.extra.get("rotation_angle")
@@ -410,6 +424,7 @@ def _influence(ctx: QueryContext):
     (H_train + damping)^-1 grad L(labeled set); candidates ranked by the
     magnitude of their influence ``|<grad L(z), s_test>|`` — the pool
     samples whose labels would move the current model most."""
+    from nnal_tpu.core.profiling import subphase
     from nnal_tpu.data.patches import gather_labels
     from nnal_tpu.data.batching import make_onehot
     from nnal_tpu.scoring.influence import influence_scores
@@ -417,38 +432,51 @@ def _influence(ctx: QueryContext):
     assert ctx.train_inds is not None and len(ctx.train_inds) > 0, \
         "influence querying needs a labeled set"
     ev = ctx.evaluator
+    _require_patch_evaluator(ev, "influence")
     mask = ctx.extra.get("mask")
     assert mask is not None, "influence querying needs the label mask"
 
     # bucket the labeled gather so shapes (and compiles) are stable as the
     # labeled set grows round over round
-    n_tr = len(ctx.train_inds)
-    n_pad = -n_tr % 256
-    tr_inds = np.concatenate([np.asarray(ctx.train_inds, np.int64),
-                              np.zeros(n_pad, np.int64)])
-    tr = gather_patches_normalized(ev.padded, jnp.asarray(tr_inds), ev.mu,
-                                   ev.sd, ev.patch_shape, ev.orig_shape)
-    y_lab = np.zeros(len(tr_inds), np.int64)
-    y_lab[:n_tr] = np.asarray(gather_labels(mask, ctx.train_inds,
-                                            ev.orig_shape), np.int64)
-    tr_y = make_onehot(y_lab, ctx.spec.nclass)
+    with subphase("influence/labeled_gather"):
+        n_tr = len(ctx.train_inds)
+        n_pad = -n_tr % 256
+        tr_inds = np.concatenate([np.asarray(ctx.train_inds, np.int64),
+                                  np.zeros(n_pad, np.int64)])
+        tr = gather_patches_normalized(ev.padded, jnp.asarray(tr_inds),
+                                       ev.mu, ev.sd, ev.patch_shape,
+                                       ev.orig_shape)
+        y_lab = np.zeros(len(tr_inds), np.int64)
+        y_lab[:n_tr] = np.asarray(gather_labels(mask, ctx.train_inds,
+                                                ev.orig_shape), np.int64)
+        tr_y = make_onehot(y_lab, ctx.spec.nclass)
     damping = ctx.extra.get("damping", 0.1)
     # the same validity mask weights BOTH the Hessian and the query
     # gradient: padding rows are exact no-ops, so s_test (and every
     # influence ranking) is identical to the unpadded computation
-    st = _s_test_dispatch(ctx.extra, ctx.spec, ctx.params, tr, tr_y,
-                          damping, n_tr, ctx.jax_rng)
+    with subphase("influence/s_test"):
+        st = _s_test_dispatch(ctx.extra, ctx.spec, ctx.params, tr, tr_y,
+                              damping, n_tr, ctx.jax_rng)
+        # tunnel-honest span boundary: pull ONE scalar of the result
+        # (block_until_ready returns early under axon; a full tree pull
+        # would cost ~10 s — this one tiny cached program forces the CG
+        # program to finish so its time lands in THIS span, not the sweep)
+        float(jax.tree_util.tree_leaves(st)[0].ravel()[0])
 
     # candidate scores at their current pseudo-labels (model predictions)
     B = min(ctx.B, len(ctx.pool_inds))
-    p1 = _posteriors(ctx)
-    sel = np.asarray(binary_uncertainty_filter(p1, B))
-    cand = ctx.pool_inds[sel]
-    cx = gather_patches_normalized(ev.padded, jnp.asarray(cand), ev.mu,
-                                   ev.sd, ev.patch_shape, ev.orig_shape)
-    pseudo = (p1[sel] > 0.5).astype(np.int64)
-    cy = make_onehot(pseudo, ctx.spec.nclass)
-    scores = influence_scores(ctx.spec, ctx.params, st, cx, cy)
+    with subphase("influence/posteriors"):
+        p1 = _posteriors(ctx)
+    with subphase("influence/filter"):
+        sel = np.asarray(binary_uncertainty_filter(p1, B))
+    with subphase("influence/cand_scores"):
+        cand = ctx.pool_inds[sel]
+        cx = gather_patches_normalized(ev.padded, jnp.asarray(cand),
+                                       ev.mu, ev.sd, ev.patch_shape,
+                                       ev.orig_shape)
+        pseudo = (p1[sel] > 0.5).astype(np.int64)
+        cy = make_onehot(pseudo, ctx.spec.nclass)
+        scores = influence_scores(ctx.spec, ctx.params, st, cx, cy)
     order = np.argsort(-np.abs(scores), kind="stable")[:ctx.k]
     return sel[order]
 
@@ -467,6 +495,7 @@ def _fi(ctx: QueryContext):
     from nnal_tpu.scoring.sdp import fi_query_distribution
     from nnal_tpu.scoring.pmf import sample_query_pmf
 
+    _require_patch_evaluator(ctx.evaluator, "fi")
     with subphase("fi/posteriors"):
         p1 = _posteriors(ctx)
     B = min(ctx.B, len(ctx.pool_inds))
@@ -670,6 +699,8 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         # (reference PW_NNAL.py:547-627)
         from nnal_tpu.core.profiling import subphase
 
+        for c in contexts:
+            _require_patch_evaluator(c.evaluator, "fi")
         with subphase("fi/posteriors"):
             p1 = np.concatenate([_posteriors(c) for c in contexts])
         B = min(contexts[0].B, len(p1))
@@ -796,65 +827,76 @@ def _influence_multimg(contexts: Sequence[QueryContext], k: int
     subjects' labeled sets (the model is shared), candidates from a global
     uncertainty filter, ranked by ``|<grad L(z), s_test>|``.  All gathers
     are bucket-padded (shape-stability standing rule)."""
+    from nnal_tpu.core.profiling import subphase
     from nnal_tpu.data.batching import make_onehot
     from nnal_tpu.data.patches import gather_labels
     from nnal_tpu.scoring.influence import influence_scores
 
     sizes = [len(c.pool_inds) for c in contexts]
     ref = contexts[0]
+    for c in contexts:
+        _require_patch_evaluator(c.evaluator, "influence")
 
     # union labeled set, per-subject bucket-padded gathers (the per-subject
     # labeled counts walk every round; the bucket keeps programs cached)
-    xs, ys = [], []
-    for c in contexts:
-        if c.train_inds is None or len(c.train_inds) == 0:
-            continue
-        mask = c.extra.get("mask")
-        assert mask is not None, "influence querying needs label masks"
-        ev = c.evaluator
-        n_si = len(c.train_inds)
-        tri = np.concatenate([np.asarray(c.train_inds, np.int64),
-                              np.zeros(-n_si % 64, np.int64)])
-        x = np.asarray(gather_patches_normalized(
-            ev.padded, jnp.asarray(tri), ev.mu, ev.sd, ev.patch_shape,
-            ev.orig_shape))[:n_si]
-        xs.append(x)
-        ys.append(np.asarray(gather_labels(mask, c.train_inds,
-                                           ev.orig_shape), np.int64))
-    assert xs, "influence querying needs a labeled set"
-    n_tr = int(sum(x.shape[0] for x in xs))
-    pad = -n_tr % 256
-    x_cat = np.concatenate(xs + [np.zeros((pad,) + xs[0].shape[1:],
-                                          np.float32)])
-    y_cat = np.concatenate(ys + [np.zeros(pad, np.int64)])
-    tr_y = make_onehot(y_cat, ref.spec.nclass)
+    with subphase("influence/labeled_gather"):
+        xs, ys = [], []
+        for c in contexts:
+            if c.train_inds is None or len(c.train_inds) == 0:
+                continue
+            mask = c.extra.get("mask")
+            assert mask is not None, "influence querying needs label masks"
+            ev = c.evaluator
+            n_si = len(c.train_inds)
+            tri = np.concatenate([np.asarray(c.train_inds, np.int64),
+                                  np.zeros(-n_si % 64, np.int64)])
+            x = np.asarray(gather_patches_normalized(
+                ev.padded, jnp.asarray(tri), ev.mu, ev.sd, ev.patch_shape,
+                ev.orig_shape))[:n_si]
+            xs.append(x)
+            ys.append(np.asarray(gather_labels(mask, c.train_inds,
+                                               ev.orig_shape), np.int64))
+        assert xs, "influence querying needs a labeled set"
+        n_tr = int(sum(x.shape[0] for x in xs))
+        pad = -n_tr % 256
+        x_cat = np.concatenate(xs + [np.zeros((pad,) + xs[0].shape[1:],
+                                              np.float32)])
+        y_cat = np.concatenate(ys + [np.zeros(pad, np.int64)])
+        tr_y = make_onehot(y_cat, ref.spec.nclass)
     damping = ref.extra.get("damping", 0.1)
-    st = _s_test_dispatch(ref.extra, ref.spec, ref.params, x_cat, tr_y,
-                          damping, n_tr, ref.jax_rng)
+    with subphase("influence/s_test"):
+        st = _s_test_dispatch(ref.extra, ref.spec, ref.params, x_cat, tr_y,
+                              damping, n_tr, ref.jax_rng)
+        # tunnel-honest span boundary (see _influence): one scalar pull
+        # forces the CG program to finish inside this span
+        float(jax.tree_util.tree_leaves(st)[0].ravel()[0])
 
     # global uncertainty filter to B, candidates scored per subject
-    p1 = np.concatenate([_posteriors(c) for c in contexts])
+    with subphase("influence/posteriors"):
+        p1 = np.concatenate([_posteriors(c) for c in contexts])
     B = min(ref.B, len(p1))
-    sel = np.asarray(binary_uncertainty_filter(p1, B))
+    with subphase("influence/filter"):
+        sel = np.asarray(binary_uncertainty_filter(p1, B))
     sel_local = global2local_inds(sel, sizes)
     scores = np.zeros(len(p1))
-    for si, c in enumerate(contexts):
-        li = sel_local[si]
-        if len(li) == 0:
-            continue
-        cand = c.pool_inds[li]
-        ev = c.evaluator
-        n_c = len(cand)
-        ci = np.concatenate([np.asarray(cand, np.int64),
-                             np.zeros(-n_c % 64, np.int64)])
-        cx = np.asarray(gather_patches_normalized(
-            ev.padded, jnp.asarray(ci), ev.mu, ev.sd, ev.patch_shape,
-            ev.orig_shape))[:n_c]
-        base = int(np.sum(sizes[:si]))
-        pseudo = (p1[base + li] > 0.5).astype(np.int64)
-        cy = make_onehot(pseudo, ref.spec.nclass)
-        scores[base + li] = influence_scores(ref.spec, ref.params, st,
-                                             cx, cy)
+    with subphase("influence/cand_scores"):
+        for si, c in enumerate(contexts):
+            li = sel_local[si]
+            if len(li) == 0:
+                continue
+            cand = c.pool_inds[li]
+            ev = c.evaluator
+            n_c = len(cand)
+            ci = np.concatenate([np.asarray(cand, np.int64),
+                                 np.zeros(-n_c % 64, np.int64)])
+            cx = np.asarray(gather_patches_normalized(
+                ev.padded, jnp.asarray(ci), ev.mu, ev.sd, ev.patch_shape,
+                ev.orig_shape))[:n_c]
+            base = int(np.sum(sizes[:si]))
+            pseudo = (p1[base + li] > 0.5).astype(np.int64)
+            cy = make_onehot(pseudo, ref.spec.nclass)
+            scores[base + li] = influence_scores(ref.spec, ref.params, st,
+                                                 cx, cy)
     order = np.argsort(-np.abs(scores[sel]), kind="stable")[:k]
     return global2local_inds(sel[order], sizes)
 

@@ -65,14 +65,35 @@ def test_fcn_mc_methods_and_config_roundtrip(tmp_path, subject):
                                                "depths": [2, 2]}
 
 
-def test_fcn_feature_methods_raise_clearly(tmp_path, subject):
+def test_fcn_gradient_methods_raise_clearly(tmp_path, subject):
+    """Per-patch gradient methods (fi, influence) stay patch-only; the
+    feature-space family now runs dense (test_fcn_feature_methods)."""
     vols, mask = subject
     expr = PWExperiment(str(tmp_path), _cfg())
     expr.attach_subject(vols, mask)
     expr.prep_data()
-    expr.add_method("core-set")
+    expr.add_method("fi")
     with pytest.raises(NotImplementedError, match="patch-wise evaluator"):
-        expr.run_method("core-set", 4)
+        expr.run_method("fi", 4)
+
+
+def test_fcn_feature_methods_campaigns(tmp_path, subject):
+    """Round-4 verdict #3: the feature-space family (core-set, BADGE,
+    rep-entropy) drives dense Tiramisu specs end-to-end via the
+    evaluator's per-pixel feature_layer op (reference feature methods
+    PW_NNAL.py:284-451 over eval_utils.py:104-237 feature maps)."""
+    vols, mask = subject
+    for method in ("core-set", "BADGE", "rep-entropy"):
+        root = tmp_path / method
+        expr = PWExperiment(str(root), _cfg())
+        expr.attach_subject(vols, mask)
+        expr.prep_data()
+        expr.add_method(method)
+        res = expr.run_method(method, 8)
+        assert res["n_queries"] == 8, method
+        assert np.isfinite(res["perf"]).all(), method
+        assert len(np.intersect1d(res["train_inds"],
+                                  res["pool_inds"])) == 0, method
 
 
 def test_fcn_multi_subject_campaign(tmp_path):

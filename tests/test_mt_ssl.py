@@ -116,3 +116,58 @@ def test_mt_ssl_crash_resume_bit_identical(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(ta),
                     jax.tree_util.tree_leaves(tb)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_mt_rampdown_factors():
+    """engine.common.mt_rampdown: reference exp(-12.5 phase^2) shape on
+    the labeled count; hard OFF at/above the threshold (cc -> 0 routes
+    the engines to the plain runner)."""
+    from nnal_tpu.engine.common import mt_rampdown
+
+    class M:
+        consistency_coeff = 0.5
+        consistency_off_labels = 100
+
+    cc, s0 = mt_rampdown(M, 0)
+    assert cc == 0.5 and s0 == 1.0
+    # full strength through the first half-window
+    assert mt_rampdown(M, 50)[1] == 1.0
+    # reference exp(-12.5 phase^2) decay over the second half
+    _, s_75 = mt_rampdown(M, 75)
+    assert np.isclose(s_75, np.exp(-12.5 * 0.25))
+    cc_off, s_off = mt_rampdown(M, 100)
+    assert cc_off == 0.0 and s_off == 0.0
+    # factors are monotone non-increasing in n_labeled
+    factors = [mt_rampdown(M, n)[1] for n in range(0, 101, 10)]
+    assert all(a >= b for a, b in zip(factors, factors[1:]))
+    # disabled: scale pinned to 1
+    M.consistency_off_labels = 0
+    assert mt_rampdown(M, 10 ** 6) == (0.5, 1.0)
+
+
+def test_mt_rampdown_end_to_end_and_off_matches_plain(tmp_path):
+    """With consistency_off_labels <= init_size the MT campaign must make
+    the SAME queries/evals as a plain campaign (cc fully off from round
+    one; only the never-consulted teacher group differs), and a mid-curve
+    threshold must still train/replay cleanly."""
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    # threshold below the initial labeled count -> MT off everywhere
+    _, res_off = _run(tmp_path / "off", vols, mask, 6,
+                      consistency_off_labels=4)
+    _, res_plain = _run(tmp_path / "plain", vols, mask, 6,
+                        consistency_coeff=0.0)
+    qa = sorted(os.listdir(tmp_path / "off" / "entropy" / "queries"))
+    qb = sorted(os.listdir(tmp_path / "plain" / "entropy" / "queries"))
+    assert qa == qb
+    for f in qa:
+        np.testing.assert_array_equal(
+            np.loadtxt(tmp_path / "off" / "entropy" / "queries" / f),
+            np.loadtxt(tmp_path / "plain" / "entropy" / "queries" / f))
+    np.testing.assert_array_equal(res_off["perf"], res_plain["perf"])
+
+    # mid-curve threshold: crosses from ramped MT to off during the run
+    _, res_mid = _run(tmp_path / "mid", vols, mask, 9,
+                      consistency_off_labels=8)
+    assert res_mid["n_queries"] == 9
+    assert np.isfinite(res_mid["perf"]).all()
