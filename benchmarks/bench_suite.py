@@ -161,6 +161,69 @@ def config5():
           pool=n_pool, mesh=dict(mesh.shape))
 
 
+def config5_fi():
+    """Verdict-r04 #8: ONE FULL fi select (posterior sweep -> uncertainty
+    filter -> fused gather/grads/A -> device SDP -> PMF draw) on the
+    config-5 1M-patch pool, single chip — config 5 itself measures the
+    entropy-style sharded top-k only.  The v5e-8 figure extrapolates BY
+    CONSTRUCTION: the posterior sweep shards over z (bit-identical
+    selections certified by tests/test_sharded_evaluator.py) while the
+    B-candidate tail (gather/grads/A + SDP + PMF) is pool-size-free and
+    stays single-chip."""
+    from nnal_tpu.core.profiling import drain_subphases
+    from nnal_tpu.core.rng import RngStream
+    from nnal_tpu.data.io import synthetic_subject
+    from nnal_tpu.data.patches import pad_volumes
+    from nnal_tpu.models.cnn import init_cnn
+    from nnal_tpu.models.specs import create_pw1
+    from nnal_tpu.scoring.grid_eval import GridPoolEvaluator
+    from nnal_tpu.scoring.strategies import QueryContext, cnn_query
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    shape = (256, 256, 64) if on_tpu else (32, 32, 8)
+    g = 2
+    spec = create_pw1(2, 0.0, (15, 15, 2))
+    params, _ = init_cnn(spec, jax.random.key(0))
+    vols, _ = synthetic_subject(shape=shape, n_modalities=2, seed=0)
+    patch_shape = (15, 15, 1)
+    padded = pad_volumes(vols, patch_shape)
+    mu = np.array([v.mean() for v in vols])
+    sd = np.array([v.std() for v in vols])
+    ev = GridPoolEvaluator(spec, padded, mu, sd, patch_shape, shape,
+                           grid_spacing=g, ntb=4096,
+                           compute_dtype=jnp.bfloat16 if on_tpu else None)
+    xs = np.arange(0, shape[0], g)
+    pool = np.stack(np.meshgrid(xs, np.arange(0, shape[1], g),
+                                np.arange(shape[2]),
+                                indexing="ij")).reshape(3, -1)
+    pool_inds = np.ravel_multi_index((pool[0], pool[1], pool[2]), shape)
+    rng = RngStream(3)
+
+    def once():
+        ctx = QueryContext(spec=spec, params=params, evaluator=ev,
+                           pool_inds=pool_inds, k=64, rng=rng.host,
+                           jax_rng=rng.next(), B=128, MC_iters=5,
+                           lambda_=0.0, diag_load=1e-5)
+        q = cnn_query(ctx, "fi")
+        assert len(q) == 64
+        return q
+
+    once()                        # compile
+    drain_subphases()
+    t0 = time.perf_counter()
+    once()
+    dt = time.perf_counter() - t0
+    sub = drain_subphases()
+    sweep = sub.get("fi/posteriors", 0.0)
+    extrap = dt - sweep + sweep / 8.0
+    _emit(5, "fi_full_select_latency_1M", dt, "s",
+          pool=int(len(pool_inds)), B=128, k=64,
+          sub={k: round(v, 3) for k, v in sub.items()},
+          v5e8_extrapolated_s=round(extrap, 3),
+          extrapolation="by construction: z-sharded sweep / 8, "
+                        "B-candidate tail single-chip")
+
+
 def config6():
     """Pallas kernels vs XLA on the local chip (hardware status artifact:
     benchmarks/KERNELS_r02.json)."""
@@ -218,6 +281,8 @@ def main():
             config4(root)
         if "5" in which:
             config5()
+        if "5fi" in which:
+            config5_fi()
         if "6" in which:
             config6()
 

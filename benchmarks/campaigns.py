@@ -114,12 +114,26 @@ if _MT > 0:
     PARS["consistency_ramp"] = int(os.environ.get("NNAL_MT_RAMP", "30"))
     PARS["consistency_measure"] = os.environ.get("NNAL_MT_MEASURE", "MSE")
     PARS["ema_decay"] = float(os.environ.get("NNAL_MT_EMA", "0.99"))
+# NNAL_MT_OFF=<labels>: consistency ramp-down — coefficient decays with
+# the labeled count and switches off at <labels> (config
+# consistency_off_labels; fixes the r04 end-of-curve MT crossover)
+_MT_OFF = int(os.environ.get("NNAL_MT_OFF", "0") or 0)
+if _MT_OFF > 0:
+    PARS["consistency_off_labels"] = _MT_OFF
 
 # NNAL_PARS="k=8,init_size=8" applies arbitrary protocol overrides via
 # the reference-style set_parameters parser; NNAL_TAG appends a custom
 # variant suffix so the row is distinguishable in the artifact.
 _PARS_OVER = os.environ.get("NNAL_PARS", "").strip()
 _TAG = os.environ.get("NNAL_TAG", "").strip()
+
+# NNAL_REPEAT=N repeats every campaign N times (seed 11+rep for the
+# engine streams + init weights, rep for the balanced seed draw; the
+# SUBJECTS stay fixed so the task is identical) and commits mean+-std
+# curves — the reference's own repeated-runs methodology
+# (resetting_run.py:10-101, AL.py:679 summarize_all), which single-run
+# rows cannot substitute for at the protocol's ±0.05-0.1 run variance.
+_REPEAT = int(os.environ.get("NNAL_REPEAT", "1") or 1)
 if _PARS_OVER:
     from nnal_tpu.core.config import set_parameters
 
@@ -160,9 +174,34 @@ def _method_tag(method):
         tag += "@or" if "@" not in tag else "or"
     if _MT > 0:
         tag += "@mt" if "@" not in tag else "mt"
+        if _MT_OFF > 0:
+            tag += f"off{_MT_OFF}"
+    if _REPEAT > 1:
+        tag += f"@x{_REPEAT}" if "@" not in tag else f"x{_REPEAT}"
     if _TAG:
         tag += f"@{_TAG}" if "@" not in tag else _TAG
     return tag
+
+
+def _finish_rec(rec, runs):
+    """Fold a list of per-repeat (wall_s, perf) into the record: the
+    mean curve rides the standard 'perf' key; std/min/max + per-run
+    curves land alongside so quality claims carry their error bars.
+    phase_s/phase_rounds in the record are from the LAST repeat (warm
+    steady state — repeat 1 additionally pays the per-process compile
+    loads)."""
+    walls = [w for w, _ in runs]
+    perfs = [np.asarray(p, float) for _, p in runs]
+    L = min(len(p) for p in perfs)
+    P = np.stack([p[:L] for p in perfs])
+    rec["wall_s"] = round(float(np.mean(walls)), 1)
+    rec["perf"] = [round(float(v), 3) for v in P.mean(0)]
+    if len(runs) > 1:
+        rec["n_runs"] = len(runs)
+        rec["wall_runs"] = [round(w, 1) for w in walls]
+        rec["perf_std"] = [round(float(v), 3) for v in P.std(0, ddof=1)]
+        rec["perf_runs"] = [[round(float(v), 3) for v in p] for p in P]
+    return rec
 
 
 def _subjects(n, seed0=0):
@@ -236,64 +275,74 @@ def run_single(method, out):
     from nnal_tpu.data.patches import gather_labels
     from nnal_tpu.engine.pw_experiment import PWExperiment
 
-    with tempfile.TemporaryDirectory() as root:
-        cfg = ExperimentConfig.from_pars(dict(PARS))
-        expr = PWExperiment(root, cfg)
-        vols, mask = _subjects(1)[0]
-        expr.attach_subject(vols, mask)
-        expr.prep_data()
-        j = expr.add_method(method, init_size=0)
-        _, pool = j.membership()
-        lab = np.asarray(gather_labels(mask, pool, tuple(vols[0].shape)))
-        seed_inds = _balanced_seed(pool, lab, PARS["init_size"])
-        j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
-        t0 = time.perf_counter()
-        res = expr.run_method(method, 64)
-        dt = time.perf_counter() - t0
-        rec = {"method": _method_tag(method),
-               "queries": int(res["n_queries"]),
-               "wall_s": round(dt, 1),
-               "phase_s": _phase_totals(root, method),
-               "perf": [round(float(v), 3) for v in res["perf"]]}
-        _upsert(out["single_subject"], rec)
-        print(json.dumps(rec), flush=True)
+    runs, rec = [], None
+    for rep in range(_REPEAT):
+        with tempfile.TemporaryDirectory() as root:
+            pars = dict(PARS, seed=PARS["seed"] + rep)
+            cfg = ExperimentConfig.from_pars(pars)
+            expr = PWExperiment(root, cfg)
+            vols, mask = _subjects(1)[0]
+            expr.attach_subject(vols, mask)
+            expr.prep_data()
+            j = expr.add_method(method, init_size=0)
+            _, pool = j.membership()
+            lab = np.asarray(gather_labels(mask, pool,
+                                           tuple(vols[0].shape)))
+            seed_inds = _balanced_seed(pool, lab, PARS["init_size"],
+                                       seed=rep)
+            j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
+            t0 = time.perf_counter()
+            res = expr.run_method(method, 64)
+            dt = time.perf_counter() - t0
+            runs.append((dt, [float(v) for v in res["perf"]]))
+            rec = {"method": _method_tag(method),
+                   "queries": int(res["n_queries"]),
+                   "phase_s": _phase_totals(root, method),
+                   "phase_rounds": _phase_rounds(root, method)}
+    rec = _finish_rec(rec, runs)
+    _upsert(out["single_subject"], rec)
+    print(json.dumps(rec), flush=True)
 
 
 def run_multi(method, out):
     from nnal_tpu.core.config import ExperimentConfig
     from nnal_tpu.engine.multi_experiment import MultiImgExperiment
 
-    with tempfile.TemporaryDirectory() as root:
-        cfg = ExperimentConfig.from_pars(dict(PARS))
-        expr = MultiImgExperiment(root, cfg)
-        subs = _subjects(3)
-        test = _subjects(1, seed0=9)
-        expr.attach_subjects(subs, test_subjects=test)
-        expr.prep_data()
-        j = expr.add_method(method)
-        # balanced seed set from subject 0 (global pool position == local
-        # position for subject 0); see _balanced_seed for why
-        from nnal_tpu.core.journal import load_inds
-        from nnal_tpu.data.patches import gather_labels
+    runs, rec = [], None
+    for rep in range(_REPEAT):
+        with tempfile.TemporaryDirectory() as root:
+            pars = dict(PARS, seed=PARS["seed"] + rep)
+            cfg = ExperimentConfig.from_pars(pars)
+            expr = MultiImgExperiment(root, cfg)
+            subs = _subjects(3)
+            test = _subjects(1, seed0=9)
+            expr.attach_subjects(subs, test_subjects=test)
+            expr.prep_data()
+            j = expr.add_method(method)
+            # balanced seed set from subject 0 (global pool position ==
+            # local position for subject 0); see _balanced_seed for why
+            from nnal_tpu.core.journal import load_inds
+            from nnal_tpu.data.patches import gather_labels
 
-        pools0 = load_inds(expr._p("pool_inds_0.txt"))
-        lab0 = np.asarray(gather_labels(
-            subs[0][1], pools0, tuple(np.asarray(subs[0][0][0]).shape)))
-        seed = _balanced_seed(np.arange(len(pools0)), lab0,
-                              PARS["init_size"])
-        _, pg = j.membership()
-        j.init_membership(seed, np.setdiff1d(pg, seed))
-        t0 = time.perf_counter()
-        res = expr.run_method(method, 64)
-        dt = time.perf_counter() - t0
-        rec = {"method": _method_tag(method),
-               "queries": int(res["n_queries"]),
-               "wall_s": round(dt, 1),
-               "phase_s": _phase_totals(root, method),
-               "phase_rounds": _phase_rounds(root, method),
-               "perf": [round(float(v), 3) for v in res["perf"]]}
-        _upsert(out["multi_subject_3x"], rec)
-        print(json.dumps(rec), flush=True)
+            pools0 = load_inds(expr._p("pool_inds_0.txt"))
+            lab0 = np.asarray(gather_labels(
+                subs[0][1], pools0,
+                tuple(np.asarray(subs[0][0][0]).shape)))
+            seed = _balanced_seed(np.arange(len(pools0)), lab0,
+                                  PARS["init_size"], seed=rep)
+            _, pg = j.membership()
+            j.init_membership(seed, np.setdiff1d(pg, seed))
+            t0 = time.perf_counter()
+            res = expr.run_method(method, 64)
+            dt = time.perf_counter() - t0
+            runs.append((dt, [float(v) for v in res["perf"]]))
+            rec = {"method": _method_tag(method),
+                   "queries": int(res["n_queries"]),
+                   "phase_s": _phase_totals(root, method),
+                   "phase_rounds": _phase_rounds(root, method)}
+    rec = _finish_rec(rec, runs)
+    _upsert(out["multi_subject_3x"], rec)
+    print(json.dumps(rec), flush=True)
 
 
 def run_fcn(method, out):
@@ -305,43 +354,52 @@ def run_fcn(method, out):
     from nnal_tpu.data.patches import gather_labels
     from nnal_tpu.engine.pw_experiment import PWExperiment
 
-    with tempfile.TemporaryDirectory() as root:
-        pars = dict(PARS)
-        pars.update({
-            "model_name": "Tiramisu",
-            # a mid-size FC-DenseNet (the 103-layer config is serving-
-            # proven in INFERENCE_r03; campaigns use a lighter stack so
-            # the row measures the AL loop, not one giant compile)
-            "model_kwargs": {"growth": 8, "depths": [3, 4, 5]},
-            # dense training from a handful of supervised voxels needs
-            # more optimization per round than the patch model, and a
-            # larger balanced seed: 16 voxels over 128x128 slices left
-            # the FCN in its all-positive regime (F pinned at 0.22);
-            # 64 balanced seeds + per-round BN-stat refresh give a
-            # working start (CPU probes: F 0.83 from 48 seeds at 64^2)
-            "dropout_rate": 0.1, "b": 4, "epochs": 25, "init_size": 64,
-        })
-        cfg = ExperimentConfig.from_pars(pars)
-        expr = PWExperiment(root, cfg)
-        vols, mask = _subjects(1)[0]
-        expr.attach_subject(vols, mask)
-        expr.prep_data()
-        j = expr.add_method(method, init_size=0)
-        _, pool = j.membership()
-        lab = np.asarray(gather_labels(mask, pool, tuple(vols[0].shape)))
-        seed_inds = _balanced_seed(pool, lab, pars["init_size"])
-        j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
-        t0 = time.perf_counter()
-        # 4 rounds of k=32: enough rounds for a visible dense Dice curve
-        res = expr.run_method(method, 128)
-        dt = time.perf_counter() - t0
-        rec = {"method": _method_tag(f"fcn-{method}"),
-               "queries": int(res["n_queries"]),
-               "wall_s": round(dt, 1),
-               "phase_s": _phase_totals(root, method),
-               "perf": [round(float(v), 3) for v in res["perf"]]}
-        _upsert(out["single_subject"], rec)
-        print(json.dumps(rec), flush=True)
+    runs, rec = [], None
+    for rep in range(_REPEAT):
+        with tempfile.TemporaryDirectory() as root:
+            pars = dict(PARS, seed=PARS["seed"] + rep)
+            pars.update({
+                "model_name": "Tiramisu",
+                # a mid-size FC-DenseNet (the 103-layer config is
+                # serving-proven in INFERENCE_r03; campaigns use a
+                # lighter stack so the row measures the AL loop, not one
+                # giant compile)
+                "model_kwargs": {"growth": 8, "depths": [3, 4, 5]},
+                # dense training from a handful of supervised voxels
+                # needs more optimization per round than the patch
+                # model, and a larger balanced seed: 16 voxels over
+                # 128x128 slices left the FCN in its all-positive regime
+                # (F pinned at 0.22); 64 balanced seeds + per-round
+                # BN-stat refresh give a working start (CPU probes:
+                # F 0.83 from 48 seeds at 64^2)
+                "dropout_rate": 0.1, "b": 4, "epochs": 25,
+                "init_size": 64,
+            })
+            cfg = ExperimentConfig.from_pars(pars)
+            expr = PWExperiment(root, cfg)
+            vols, mask = _subjects(1)[0]
+            expr.attach_subject(vols, mask)
+            expr.prep_data()
+            j = expr.add_method(method, init_size=0)
+            _, pool = j.membership()
+            lab = np.asarray(gather_labels(mask, pool,
+                                           tuple(vols[0].shape)))
+            seed_inds = _balanced_seed(pool, lab, pars["init_size"],
+                                       seed=rep)
+            j.init_membership(seed_inds, np.setdiff1d(pool, seed_inds))
+            t0 = time.perf_counter()
+            # 4 rounds of k=32: enough for a visible dense Dice curve
+            res = expr.run_method(method, 128)
+            dt = time.perf_counter() - t0
+            runs.append((dt, [float(v) for v in res["perf"]]))
+            rec = {"method": _method_tag(f"fcn-{method}"),
+                   "queries": int(res["n_queries"]),
+                   "phase_s": _phase_totals(root, method),
+                   "phase_rounds": _phase_rounds(root, method)}
+    rec = _finish_rec(rec, runs)
+    _upsert(out["single_subject"], rec)
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main():

@@ -56,6 +56,14 @@ METHODS = ["random", "entropy", "rep-entropy", "fi", "egl", "BADGE",
            "MC-entropy", "BALD", "BatchBALD", "ensemble", "QBC-JS",
            "core-set", "influence"]
 
+# NNAL_REPEAT=N repeats the whole campaign N times (engine seed 11+rep,
+# fresh partition + init weights + balanced-seed draw per repeat; the
+# DATASET stays fixed so the task is identical) and commits mean+-std
+# accuracy curves — the reference's repeated-runs methodology
+# (resetting_run.py:10-101, AL.py:679 summarize_all).  Rows carry
+# acc (mean), acc_std, acc_runs, n_runs; method tag gets "@xN".
+_REPEAT = int(os.environ.get("NNAL_REPEAT", "1") or 1)
+
 _CC = os.environ.get("NNAL_COMPILE_CACHE", "").strip()
 _CC_ON = _CC.lower() not in ("", "0", "off", "none")
 if _CC_ON:
@@ -154,32 +162,57 @@ def main():
         if prev.get("note") == note:
             out = prev
 
-    pars = dict(PARS)
-    X, y = make_dataset(nclass=pars["nclass"], sigma=pars.pop("sigma"),
-                        seed=7)
-    with tempfile.TemporaryDirectory() as root:
-        cfg = ExperimentConfig.from_pars(pars)
-        expr = Experiment(root, cfg)
-        expr.attach_data(X, y)
-        run = expr.add_run()
-        _balanced_init(os.path.join(root, str(run)), y,
-                       PARS["init_size"] // PARS["nclass"])
-        for m in methods:
-            expr.add_method(m, run)
-            t0 = time.perf_counter()
-            res = expr.run_method(m, run, MAX_QUERIES)
-            dt = time.perf_counter() - t0
-            rec = {"method": m + ("@cc" if _CC_ON else ""),
-                   "queries": int(res["n_queries"]),
-                   "wall_s": round(dt, 1),
-                   "phase_s": _phase_totals(os.path.join(root, str(run)),
-                                            m),
-                   "acc": [round(float(v), 4)
-                           for v in np.atleast_1d(res["accs"]).ravel()]}
-            _upsert(out["methods"], rec)
-            pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
-            print(json.dumps(rec), flush=True)
+    base = dict(PARS)
+    sigma = base.pop("sigma")
+    X, y = make_dataset(nclass=base["nclass"], sigma=sigma, seed=7)
+    tag_sfx = ("@cc" if _CC_ON else "") + (
+        f"@x{_REPEAT}" if _REPEAT > 1 else "")
+    runs = {m: [] for m in methods}   # method -> [(wall, accs, rec0)]
+    for rep in range(_REPEAT):
+        pars = dict(base, seed=base["seed"] + rep)
+        with tempfile.TemporaryDirectory() as root:
+            cfg = ExperimentConfig.from_pars(pars)
+            expr = Experiment(root, cfg)
+            expr.attach_data(X, y)
+            run = expr.add_run()
+            _balanced_init(os.path.join(root, str(run)), y,
+                           PARS["init_size"] // PARS["nclass"], seed=rep)
+            for m in methods:
+                expr.add_method(m, run)
+                t0 = time.perf_counter()
+                res = expr.run_method(m, run, MAX_QUERIES)
+                dt = time.perf_counter() - t0
+                accs = [float(v)
+                        for v in np.atleast_1d(res["accs"]).ravel()]
+                rec0 = {"method": m + tag_sfx,
+                        "queries": int(res["n_queries"]),
+                        "phase_s": _phase_totals(
+                            os.path.join(root, str(run)), m)}
+                runs[m].append((dt, accs, rec0))
+                # upsert the aggregate-so-far after every campaign so
+                # partial sweeps are still recorded
+                _upsert(out["methods"], _cls_rec(runs[m]))
+                pathlib.Path(path).write_text(
+                    json.dumps(out, indent=1) + "\n")
+                print(json.dumps(_cls_rec(runs[m])), flush=True)
     print("wrote", path)
+
+
+def _cls_rec(rows):
+    """Aggregate per-repeat (wall, accs, rec) into one row: mean curve
+    on the standard 'acc' key, std + per-run curves alongside (phase_s
+    from the LAST repeat — warm steady state)."""
+    walls = [w for w, _, _ in rows]
+    A = np.stack([np.asarray(a, float) for _, a, _ in rows])
+    rec = dict(rows[-1][2])
+    rec["wall_s"] = round(float(np.mean(walls)), 1)
+    rec["acc"] = [round(float(v), 4) for v in A.mean(0)]
+    if len(rows) > 1:
+        rec["n_runs"] = len(rows)
+        rec["wall_runs"] = [round(w, 1) for w in walls]
+        rec["acc_std"] = [round(float(v), 4) for v in A.std(0, ddof=1)]
+        rec["acc_runs"] = [[round(float(v), 4) for v in a] for a in A]
+    return rec
 
 
 if __name__ == "__main__":
