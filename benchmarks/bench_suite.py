@@ -216,7 +216,9 @@ def config5_fi():
     sub = drain_subphases()
     sweep = sub.get("fi/posteriors", 0.0)
     extrap = dt - sweep + sweep / 8.0
-    _emit(5, "fi_full_select_latency_1M", dt, "s",
+    # distinct config key: collect_suite upserts by config id, and this
+    # row must not replace config 5's entropy-select row
+    _emit("5fi", "fi_full_select_latency_1M", dt, "s",
           pool=int(len(pool_inds)), B=128, k=64,
           sub={k: round(v, 3) for k, v in sub.items()},
           v5e8_extrapolated_s=round(extrap, 3),

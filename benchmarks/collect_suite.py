@@ -61,7 +61,8 @@ def main():
             return
         out["configs"] = ([c for c in out["configs"]
                            if c["config"] != rec["config"]] + [rec])
-        out["configs"].sort(key=lambda c: c["config"])
+        # str key: config ids are ints plus variant strings ("5fi")
+        out["configs"].sort(key=lambda c: str(c["config"]))
         pathlib.Path(path).write_text(json.dumps(out, indent=1) + "\n")
 
     buf = io.StringIO()

@@ -172,20 +172,23 @@ def reconcile_membership(j, train_inds, pool_inds, *, matrix: bool = False,
     return train_inds, pool_inds, True
 
 
-def warn_fcn_unsupported_keys(engine, model_cfg) -> None:
+def warn_fcn_unsupported_keys(engine, model_cfg,
+                              train_layers_ok: bool = True) -> None:
     """Warn (once per engine instance) when config keys the dense-model
     finetune path does not implement are set together with an fcn spec —
     the 'key works in one path, silently ignored in another' defect class
-    (r02 fi diag_load).  The patch-wise finetunes honor all three;
-    ``_finetune_fcn``/``_finetune_fcn_multimg`` honor none (yet)."""
+    (r02 fi diag_load).  Since r5 the fcn paths honor consistency_coeff
+    (dense mean-teacher) and, on the single-subject engine, train_layers;
+    lwf_lambda stays patch-only (dense distillation targets would need a
+    per-pixel old-logit volume per round — unbudgeted; set
+    ``train_layers_ok=False`` for engines whose fcn path also lacks the
+    grad mask, mirroring their patch path)."""
     if getattr(engine, "_fcn_keys_warned", False):
         return
     ignored = []
-    if float(getattr(model_cfg, "consistency_coeff", 0.0)) > 0.0:
-        ignored.append("consistency_coeff (MT-SSL)")
     if float(getattr(model_cfg, "lwf_lambda", 0.0)) > 0.0:
         ignored.append("lwf_lambda (LwF)")
-    if getattr(model_cfg, "train_layers", None):
+    if not train_layers_ok and getattr(model_cfg, "train_layers", None):
         ignored.append("train_layers (partial training)")
     if ignored:
         import warnings

@@ -401,7 +401,7 @@ class MultiImgExperiment:
             return state
         from nnal_tpu.engine.common import warn_fcn_unsupported_keys
 
-        warn_fcn_unsupported_keys(self, m)
+        warn_fcn_unsupported_keys(self, m, train_layers_ok=False)
         stats = np.loadtxt(self._p("train_stats.txt")).reshape(
             len(self.train_subjects), -1)
 
@@ -441,6 +441,10 @@ class MultiImgExperiment:
                 slices[si] = np.transpose(stack, (2, 0, 1, 3))
             x_, y_, z_ = np.unravel_index(vinds, (H, W, Z))
             lab = np.asarray(mask).reshape(-1)[vinds].astype(np.int64)
+            gsubs = getattr(self, "_fcn_group_subs", None)
+            if gsubs is None:
+                gsubs = self._fcn_group_subs = {}
+            gsubs.setdefault((H, W), set()).add(si)
             xs, ys, ws = groups.setdefault((H, W), ([], [], []))
             for zv in np.unique(z_):
                 sel = z_ == zv
@@ -455,14 +459,27 @@ class MultiImgExperiment:
 
         fcn_b = max(1, min(int(m.b), 4))
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        from nnal_tpu.engine.common import mt_rampdown
+
+        cc, cc_scale = mt_rampdown(m, total)
+        mt_kw = {}
+        if cc > 0.0:
+            mt_kw = dict(consistency_coeff=cc,
+                         consistency_measure=str(
+                             getattr(m, "consistency_measure", "CE")),
+                         consistency_ramp=int(
+                             getattr(m, "consistency_ramp", 0)),
+                         ema_decay=float(getattr(m, "ema_decay", 0.99)))
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), "fcn", fcn_b, train_cd)
+        ck = (id(tx), "fcn", fcn_b, train_cd,
+              tuple(sorted(mt_kw.items())))
         if ck not in cache:
             cache[ck] = make_scanned_finetune_fcn(spec, tx,
                                                   batch_size=fcn_b,
-                                                  compute_dtype=train_cd)
+                                                  compute_dtype=train_cd,
+                                                  **mt_kw)
         run = cache[ck]
         step0 = state.step
         for gi, shape in enumerate(sorted(groups)):
@@ -491,9 +508,45 @@ class MultiImgExperiment:
             idx_mat, w_mat = build_batch_index_matrix(S, fcn_b, epochs,
                                                       host, bucket=8)
             key = jax.random.fold_in(jrng, step0)
-            state.params, state.opt_state, _ = run(
-                state.params, state.opt_state, x_all, y_all, wpix_all,
-                jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
+            if cc > 0.0:
+                # dense mean-teacher per shape group: unlabeled whole
+                # slices from this group's subjects (dense consistency
+                # needs no labels); step-keyed stream -> replay-identical
+                from nnal_tpu.models.train import (
+                    build_unlabeled_index_matrix,
+                )
+
+                if state.teacher_params is None:
+                    state.teacher_params = jax.tree_util.tree_map(
+                        jnp.copy, state.params)
+                uhost = self.rng.fold(
+                    f"ft-multi-unlab-{rng_tag}{gtag}{step0}").host
+                g_subs = sorted(self._fcn_group_subs[shape])
+                n_u = 16
+                su = uhost.integers(0, len(g_subs), size=n_u)
+                xu = []
+                for gi_s in su:
+                    si_u = g_subs[int(gi_s)]
+                    zmax = slices[si_u].shape[0]
+                    xu.append(slices[si_u][int(uhost.integers(0, zmax))])
+                xu_all = jnp.asarray(np.stack(xu))
+                ub = max(1, min(int(getattr(m, "unlabeled_batch", 0))
+                                or fcn_b, 4))
+                u_idx = build_unlabeled_index_matrix(
+                    n_u, ub, idx_mat.shape[0], uhost)
+                (state.params, state.opt_state, state.teacher_params,
+                 _) = run(
+                    state.params, state.opt_state, state.teacher_params,
+                    x_all, y_all, wpix_all, jnp.asarray(idx_mat),
+                    jnp.asarray(w_mat), key,
+                    jnp.asarray(step0, jnp.float32),
+                    jnp.asarray(cc_scale, jnp.float32), xu_all,
+                    jnp.asarray(u_idx))
+            else:
+                state.params, state.opt_state, _ = run(
+                    state.params, state.opt_state, x_all, y_all,
+                    wpix_all, jnp.asarray(idx_mat), jnp.asarray(w_mat),
+                    key)
             state.step += int(idx_mat.shape[0])
             if state.bn_state:
                 # re-center BN running stats on the current model/data

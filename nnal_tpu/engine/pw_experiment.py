@@ -430,19 +430,65 @@ class PWExperiment:
         from nnal_tpu.scoring.pool_eval import eval_compute_dtype
 
         train_cd = eval_compute_dtype(getattr(m, "train_dtype", None))
+        from nnal_tpu.engine.common import mt_rampdown
+
+        cc, cc_scale = mt_rampdown(m, len(train_inds))
+        mt_kw = {}
+        if cc > 0.0:
+            mt_kw = dict(consistency_coeff=cc,
+                         consistency_measure=str(
+                             getattr(m, "consistency_measure", "CE")),
+                         consistency_ramp=int(
+                             getattr(m, "consistency_ramp", 0)),
+                         ema_decay=float(getattr(m, "ema_decay", 0.99)))
+        grad_mask = None
+        if m.train_layers:
+            from nnal_tpu.models.optim import layer_train_mask
+
+            grad_mask = layer_train_mask(state.params, m.train_layers)
         cache = getattr(self, "_ft_runners", None)
         if cache is None:
             cache = self._ft_runners = {}
-        ck = (id(tx), "fcn", fcn_b, train_cd)
+        ck = (id(tx), "fcn", fcn_b, train_cd,
+              tuple(m.train_layers or ()), tuple(sorted(mt_kw.items())))
         if ck not in cache:
             cache[ck] = make_scanned_finetune_fcn(spec, tx,
                                                   batch_size=fcn_b,
-                                                  compute_dtype=train_cd)
+                                                  compute_dtype=train_cd,
+                                                  grad_mask=grad_mask,
+                                                  **mt_kw)
         run = cache[ck]
         key = jax.random.fold_in(jrng, state.step)
-        state.params, state.opt_state, _ = run(
-            state.params, state.opt_state, x_all, y_all, wpix_all,
-            jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
+        if cc > 0.0:
+            # dense mean-teacher: unlabeled whole slices from the SUBJECT
+            # volume (dense consistency needs no labels — every pixel
+            # participates); step-keyed stream -> replay bit-identical
+            from nnal_tpu.models.train import build_unlabeled_index_matrix
+
+            if state.teacher_params is None:
+                state.teacher_params = jax.tree_util.tree_map(
+                    jnp.copy, state.params)
+            uhost = self.rng.fold(
+                f"finetune-unlab-{rng_tag}{state.step}").host
+            n_u = min(16, slices.shape[0])
+            u_z = uhost.integers(0, slices.shape[0], size=n_u)
+            xu_all = jnp.asarray(slices[u_z])
+            ub = max(1, min(int(getattr(m, "unlabeled_batch", 0))
+                            or fcn_b, 4))
+            u_idx = build_unlabeled_index_matrix(
+                n_u, ub, idx_mat.shape[0], uhost)
+            (state.params, state.opt_state, state.teacher_params,
+             _) = run(
+                state.params, state.opt_state, state.teacher_params,
+                x_all, y_all, wpix_all, jnp.asarray(idx_mat),
+                jnp.asarray(w_mat), key,
+                jnp.asarray(state.step, jnp.float32),
+                jnp.asarray(cc_scale, jnp.float32), xu_all,
+                jnp.asarray(u_idx))
+        else:
+            state.params, state.opt_state, _ = run(
+                state.params, state.opt_state, x_all, y_all, wpix_all,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), key)
         state.step += int(idx_mat.shape[0])
         if state.bn_state:
             # refresh BN running statistics over the training slices

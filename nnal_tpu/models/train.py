@@ -358,7 +358,11 @@ def make_scanned_finetune(spec, tx, *, batch_size: int,
 
 
 def make_scanned_finetune_fcn(spec, tx, *, batch_size: int,
-                              compute_dtype=None):
+                              compute_dtype=None, grad_mask=None,
+                              consistency_coeff: float = 0.0,
+                              consistency_measure: str = "CE",
+                              consistency_ramp: int = 0,
+                              ema_decay: float = 0.99):
     """Whole-round DENSE finetuning as one jitted ``lax.scan`` — the FCN
     analog of :func:`make_scanned_finetune` for the dense-model AL path.
 
@@ -371,30 +375,70 @@ def make_scanned_finetune_fcn(spec, tx, *, batch_size: int,
     folded into ``wpix_all`` by the caller.  ``idx_mat``/``w_mat`` batch
     slices exactly like the patch runner (padding steps are exact
     no-ops).  Reference analog: the v2 FCN train loop
-    (NN_extended.py:928-1008) with get_FCN_loss masking."""
-    from nnal_tpu.models.optim import apply_grad_mask  # noqa: F401
+    (NN_extended.py:928-1008) with get_FCN_loss masking.
 
-    def loss_fn(params, x, y, wpix, rng):
+    ``grad_mask`` enables partial training by layer (config
+    ``train_layers``).  ``consistency_coeff > 0`` builds the MEAN-TEACHER
+    runner (reference MT_SSL, NN_extended.py:1337-1396, applied densely):
+    signature ``fn(params, opt_state, teacher, x_all, y_all, wpix_all,
+    idx_mat, w_mat, rng, step0, cc_scale, xu_all, u_idx_mat) -> (params,
+    opt_state, teacher, losses)`` — each step adds ``coeff *
+    consistency(student(x_u, dropout), teacher(x_u))`` averaged over ALL
+    pixels of the unlabeled slice batch ``xu_all[u_idx_mat[i]]`` (dense
+    consistency needs no labels) and EMA-updates the teacher after the
+    optimizer step, all inside the one scan."""
+    from nnal_tpu.models.losses import consistency_loss
+    from nnal_tpu.models.optim import apply_grad_mask, ema_update
+
+    mt = consistency_coeff > 0.0
+
+    def loss_fn(params, x, y, wpix, rng, teacher, x_u, coeff):
         params_c, x = _cast_for_forward(compute_dtype, params, x)
         out = apply_cnn(spec, params_c, x, train=True, dropout_rng=rng)
         logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
         per = -jnp.sum(y * logp, axis=-1)            # (b, H, W)
-        return jnp.sum(per * wpix) / jnp.maximum(jnp.sum(wpix), 1.0)
+        loss = jnp.sum(per * wpix) / jnp.maximum(jnp.sum(wpix), 1.0)
+        if mt:
+            # student sees the unlabeled slices WITH dropout, the teacher
+            # clean (the reference noise asymmetry); per-pixel logits ->
+            # consistency over every pixel
+            _, x_uc = _cast_for_forward(compute_dtype, params, x_u)
+            s_out = apply_cnn(spec, params_c, x_uc, train=True,
+                              dropout_rng=jax.random.fold_in(
+                                  rng, (1 << 21) + 3))
+            t_params, _ = _cast_for_forward(compute_dtype, teacher, x_u)
+            t_out = apply_cnn(spec, t_params, x_uc)
+            s_l = s_out.logits.reshape(-1, s_out.logits.shape[-1])
+            t_l = t_out.logits.reshape(-1, t_out.logits.shape[-1])
+            loss = loss + coeff * consistency_loss(s_l, t_l,
+                                                   consistency_measure)
+        return loss
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, x_all, y_all, wpix_all, idx_mat, w_mat,
-            rng):
+    if consistency_ramp > 0:
+        from nnal_tpu.models.optim import sigmoid_rampup
+
+        ramp = sigmoid_rampup(consistency_ramp)
+    else:
+        def ramp(t):
+            return 1.0
+
+    def _scan(params, opt_state, teacher, x_all, y_all, wpix_all,
+              idx_mat, w_mat, rng, step0, cc_scale, xu_all, u_idx_mat):
         def step(carry, sc):
-            params, opt_state = carry
-            idx, w, i = sc
+            params, opt_state, teacher = carry
+            idx, uidx, w, i = sc
             x = x_all[idx]
             y = y_all[idx]
+            x_u = None if xu_all is None else xu_all[uidx]
+            coeff = (consistency_coeff * cc_scale * ramp(step0 + i)) \
+                if mt else 0.0
             # zero out the padding rows' pixels so ragged batches are
             # exact no-ops (same contract as the patch runner's w)
             wpix = wpix_all[idx] * w[:, None, None]
             key = jax.random.fold_in(rng, i)
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, wpix,
-                                                      key)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, y, wpix, key, teacher, x_u, coeff)
+            grads = apply_grad_mask(grads, grad_mask)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             do = jnp.sum(wpix) > 0
@@ -404,12 +448,39 @@ def make_scanned_finetune_fcn(spec, tx, *, batch_size: int,
             opt_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(do, new, old), new_opt,
                 opt_state)
-            return (params, opt_state), loss
+            if mt:
+                new_teacher = ema_update(teacher, params, ema_decay)
+                teacher = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(do, new, old), new_teacher,
+                    teacher)
+            return (params, opt_state, teacher), loss
 
         steps = jnp.arange(idx_mat.shape[0])
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (idx_mat, w_mat, steps))
-        return params, opt_state, losses
+        if u_idx_mat is None:
+            u_idx_mat = jnp.zeros((idx_mat.shape[0], 1), jnp.int32)
+        (params, opt_state, teacher), losses = jax.lax.scan(
+            step, (params, opt_state, teacher),
+            (idx_mat, u_idx_mat, w_mat, steps))
+        return params, opt_state, teacher, losses
+
+    if mt:
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_mt(params, opt_state, teacher, x_all, y_all, wpix_all,
+                   idx_mat, w_mat, rng, step0, cc_scale, xu_all,
+                   u_idx_mat):
+            return _scan(params, opt_state, teacher, x_all, y_all,
+                         wpix_all, idx_mat, w_mat, rng, step0, cc_scale,
+                         xu_all, u_idx_mat)
+
+        return run_mt
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x_all, y_all, wpix_all, idx_mat, w_mat,
+            rng):
+        p, o, _, losses = _scan(params, opt_state, None, x_all, y_all,
+                                wpix_all, idx_mat, w_mat, rng, 0, 1.0,
+                                None, None)
+        return p, o, losses
 
     return run
 

@@ -177,12 +177,83 @@ def test_multi_fcn_bn_sync_from_round_one(tmp_path):
 def test_fcn_unsupported_keys_warn(tmp_path):
     vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=2,
                                    seed=0)
-    expr = PWExperimentFactory(tmp_path, consistency_coeff=1.0)
+    expr = PWExperimentFactory(tmp_path, lwf_lambda=0.5)
     expr.attach_subject(vols, mask)
     expr.prep_data()
     expr.add_method("random")
-    with pytest.warns(UserWarning, match="consistency_coeff"):
+    with pytest.warns(UserWarning, match="lwf_lambda"):
         expr.run_method("random", 4)
+
+
+def test_fcn_mt_ssl_end_to_end(tmp_path):
+    """Dense mean-teacher: consistency_coeff now drives the fcn finetune
+    (whole-slice unlabeled consistency inside the scan) instead of
+    warning; the EMA teacher rides the resume checkpoint; crash-resume
+    replays bit-identically (step-keyed unlabeled stream)."""
+    import nnal_tpu.engine.pw_experiment as pw_mod
+    from tests.test_ckpt_every import (
+        _artifacts,
+        _assert_identical,
+        _SuppressResume,
+    )
+    from nnal_tpu.models.checkpoint import load_checkpoint
+
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=2,
+                                   seed=0)
+    over = dict(consistency_coeff=0.5, consistency_ramp=4,
+                consistency_measure="MSE", unlabeled_batch=2,
+                ckpt_full_every=2)
+
+    def fresh(root):
+        expr = PWExperimentFactory(root, **over)
+        expr.attach_subject(vols, mask)
+        return expr
+
+    a_root = tmp_path / "a"
+    expr = fresh(a_root)
+    expr.prep_data()
+    expr.add_method("entropy")
+    res = expr.run_method("entropy", 12)
+    assert res["n_queries"] == 12
+    assert np.isfinite(res["perf"]).all()
+    _, _, teacher, _ = load_checkpoint(
+        str(a_root / "entropy" / "curr_weights.npz"))
+    assert teacher is not None, "EMA teacher missing from resume point"
+    ref = _artifacts(str(a_root), "entropy")
+
+    # MT run differs from a plain run (the consistency term does work)
+    p_root = tmp_path / "plain"
+    expr = fresh(p_root)
+    expr.modify_parameters(consistency_coeff=0.0)
+    expr.prep_data()
+    expr.add_method("entropy")
+    res_p = expr.run_method("entropy", 12)
+    assert not np.array_equal(res_p["perf"], res["perf"]) or         not np.array_equal(
+            np.loadtxt(p_root / "entropy" / "queries" / "1.txt"),
+            np.loadtxt(a_root / "entropy" / "queries" / "1.txt"))
+
+    # crash before the round-2 anchor -> replay must be bit-identical
+    b_root = tmp_path / "b"
+    expr = fresh(b_root)
+    expr.prep_data()
+    expr.add_method("entropy")
+    with _SuppressResume(pw_mod) as sup:
+        expr.run_method("entropy", 4)
+    assert sup.suppressed >= 1
+    expr2 = fresh(b_root)
+    res2 = expr2.run_method("entropy", 12)
+    assert res2["n_queries"] == 12
+    _assert_identical(ref, _artifacts(str(b_root), "entropy"))
+
+
+def test_multi_fcn_mt_het_shapes(tmp_path):
+    """Dense MT across heterogeneous shape groups (per-group unlabeled
+    slice draws) runs end-to-end."""
+    _, out = _het_multi(tmp_path, 8, consistency_coeff=0.5,
+                        consistency_measure="MSE", unlabeled_batch=2)
+    res = out["entropy"]
+    assert res["n_queries"] == 8
+    assert np.isfinite(res["perf"]).all()
 
 
 def PWExperimentFactory(tmp_path, **over):
