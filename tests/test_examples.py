@@ -56,3 +56,13 @@ def test_multichip_example(tmp_path):
     # conftest already provides the 8 virtual CPU devices the script's
     # __main__ path re-execs for; the assert inside main() is the check
     _load("multichip_campaign").main(str(tmp_path), tiny=True)
+
+
+def test_dense_model_example(tmp_path):
+    curves = _load("dense_model_al").main(str(tmp_path),
+                                          ("entropy", "BADGE"),
+                                          nqueries=8, tiny=True, mt=True)
+    assert set(curves) == {"entropy", "BADGE"}
+    for curve in curves.values():
+        assert len(curve) == 2
+        assert np.isfinite(curve).all()
