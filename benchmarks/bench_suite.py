@@ -205,7 +205,9 @@ def config5_fi():
                            jax_rng=rng.next(), B=128, MC_iters=5,
                            lambda_=0.0, diag_load=1e-5)
         q = cnn_query(ctx, "fi")
-        assert len(q) == 64
+        # PMF sampling is with replacement (reference semantics), so a
+        # round can return < k unique picks
+        assert 1 <= len(q) <= 64
         return q
 
     once()                        # compile

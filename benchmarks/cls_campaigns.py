@@ -64,6 +64,12 @@ METHODS = ["random", "entropy", "rep-entropy", "fi", "egl", "BADGE",
 # acc (mean), acc_std, acc_runs, n_runs; method tag gets "@xN".
 _REPEAT = int(os.environ.get("NNAL_REPEAT", "1") or 1)
 
+# NNAL_PARS="MC_iters=32" applies protocol overrides (reference-style
+# set_parameters parser); NNAL_TAG appends a variant suffix so the row
+# is distinguishable (e.g. BALD@cc@x5@T32).
+_PARS_OVER = os.environ.get("NNAL_PARS", "").strip()
+_TAG = os.environ.get("NNAL_TAG", "").strip()
+
 _CC = os.environ.get("NNAL_COMPILE_CACHE", "").strip()
 _CC_ON = _CC.lower() not in ("", "0", "off", "none")
 if _CC_ON:
@@ -165,8 +171,15 @@ def main():
     base = dict(PARS)
     sigma = base.pop("sigma")
     X, y = make_dataset(nclass=base["nclass"], sigma=sigma, seed=7)
+    if _PARS_OVER:
+        from nnal_tpu.core.config import set_parameters
+
+        PARS.update(set_parameters(PARS, _PARS_OVER))
+        base.update(set_parameters(base, _PARS_OVER))
+        base.pop("sigma", None)
     tag_sfx = ("@cc" if _CC_ON else "") + (
-        f"@x{_REPEAT}" if _REPEAT > 1 else "")
+        f"@x{_REPEAT}" if _REPEAT > 1 else "") + (
+        f"@{_TAG}" if _TAG else "")
     runs = {m: [] for m in methods}   # method -> [(wall, accs, rec0)]
     for rep in range(_REPEAT):
         pars = dict(base, seed=base["seed"] + rep)
