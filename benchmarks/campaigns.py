@@ -120,6 +120,12 @@ if _MT > 0:
 _MT_OFF = int(os.environ.get("NNAL_MT_OFF", "0") or 0)
 if _MT_OFF > 0:
     PARS["consistency_off_labels"] = _MT_OFF
+# NNAL_MT_START=<labels>: delay consistency until the labeled set
+# reaches <labels> (config consistency_start_labels — the round-0-dip
+# counter-lever)
+_MT_START = int(os.environ.get("NNAL_MT_START", "0") or 0)
+if _MT_START > 0:
+    PARS["consistency_start_labels"] = _MT_START
 
 # NNAL_PARS="k=8,init_size=8" applies arbitrary protocol overrides via
 # the reference-style set_parameters parser; NNAL_TAG appends a custom
@@ -176,6 +182,8 @@ def _method_tag(method):
         tag += "@mt" if "@" not in tag else "mt"
         if _MT_OFF > 0:
             tag += f"off{_MT_OFF}"
+        if _MT_START > 0:
+            tag += f"st{_MT_START}"
     if _REPEAT > 1:
         tag += f"@x{_REPEAT}" if "@" not in tag else f"x{_REPEAT}"
     if _TAG:

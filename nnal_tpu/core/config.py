@@ -105,6 +105,12 @@ class ModelConfig:
     # convergence).  Depends only on n_labeled, so crash-resume replay
     # is bit-identical (engine.common.mt_rampdown).
     consistency_off_labels: int = 0
+    # delay the consistency term until the labeled set reaches this size
+    # (0 = from the start).  Measured rationale (CAMPAIGNS_r05 n=5 low8):
+    # MT's only statistically-real effect was a ROUND-0 dip — consistency
+    # against a freshly-copied teacher at the seed budget anchors the
+    # first finetune (F 0.704 +- 0.068 vs plain 0.824 +- 0.037).
+    consistency_start_labels: int = 0
     # overlap per-round checkpoint writes with the next round's scoring
     # (the async-checkpoint pattern of production training systems).
     # Off by default: on a direct-attached TPU the save is ~0.1 s so

@@ -216,8 +216,17 @@ def mt_rampdown(model_cfg, n_labeled: int):
     import numpy as np
 
     cc = float(getattr(model_cfg, "consistency_coeff", 0.0))
+    if cc <= 0.0:
+        return cc, 1.0
+    start = int(getattr(model_cfg, "consistency_start_labels", 0))
+    if start > 0 and n_labeled < start:
+        # the n=5 low8 evidence (CAMPAIGNS_r05): consistency against a
+        # freshly-copied teacher at the seed budget DRAGS round 0
+        # (0.704 vs plain 0.824, ~2 sigma) — let supervised training
+        # separate student from teacher first
+        return 0.0, 0.0
     off = int(getattr(model_cfg, "consistency_off_labels", 0))
-    if cc <= 0.0 or off <= 0:
+    if off <= 0:
         return cc, 1.0
     if n_labeled >= off:
         return 0.0, 0.0

@@ -171,3 +171,33 @@ def test_mt_rampdown_end_to_end_and_off_matches_plain(tmp_path):
                       consistency_off_labels=8)
     assert res_mid["n_queries"] == 9
     assert np.isfinite(res_mid["perf"]).all()
+
+
+def test_mt_start_labels():
+    """consistency_start_labels: MT fully off below the threshold (the
+    round-0-dip counter-lever), composing with the off ramp."""
+    from nnal_tpu.engine.common import mt_rampdown
+
+    class M:
+        consistency_coeff = 0.5
+        consistency_start_labels = 16
+        consistency_off_labels = 100
+
+    assert mt_rampdown(M, 8) == (0.0, 0.0)    # before start
+    assert mt_rampdown(M, 16) == (0.5, 1.0)   # at start: full strength
+    assert mt_rampdown(M, 100) == (0.0, 0.0)  # off threshold still wins
+    M.consistency_off_labels = 0
+    assert mt_rampdown(M, 8) == (0.0, 0.0)
+    assert mt_rampdown(M, 200) == (0.5, 1.0)
+
+
+def test_mt_start_labels_end_to_end(tmp_path):
+    """A campaign whose start threshold is above the whole-run labeled
+    count must make exactly the plain campaign's queries/evals."""
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=1,
+                                   seed=0)
+    _, res_start = _run(tmp_path / "start", vols, mask, 6,
+                        consistency_start_labels=1000)
+    _, res_plain = _run(tmp_path / "plain", vols, mask, 6,
+                        consistency_coeff=0.0)
+    np.testing.assert_array_equal(res_start["perf"], res_plain["perf"])
