@@ -68,7 +68,13 @@ def prime(methods, pars_over=None, n_modalities: int = 2,
                                       n_blobs=10, seed=9)]
             expr.attach_subjects(subs, test_subjects=test)
             expr.prep_data()
-            expr.add_method(method)
+            j = expr.add_method(method)
+            # seed a small labeled set: influence/fi need one, and the
+            # bucket-padded programs are shape-identical either way
+            _, pg = j.membership()
+            import numpy as np
+
+            j.init_membership(pg[:8], pg[8:])
             expr.run_method(method, int(pars.get("k", 1)))
         timings[method] = round(time.perf_counter() - t0, 1)
         if verbose:
@@ -80,7 +86,7 @@ def main(argv=None) -> int:
     from nnal_tpu.core.config import set_parameters
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--methods", default="entropy,fi",
+    ap.add_argument("--methods", default="entropy,fi,influence",
                     help="comma-separated query methods to prime")
     ap.add_argument("--pars", default="",
                     help="campaign-par overrides, key=val,key=val")

@@ -36,7 +36,7 @@ def main(argv=None) -> int:
                          "compilation cache (cli.prime_cache) so a cold "
                          "box's first campaign skips the remote-compile "
                          "storm")
-    ap.add_argument("--prime-methods", default="entropy,fi",
+    ap.add_argument("--prime-methods", default="entropy,fi,influence",
                     help="methods to prime (with --prime)")
     args = ap.parse_args(argv)
     ok = wait_for_device(args.probe_timeout, args.interval, args.max_wait)
