@@ -200,12 +200,16 @@ def _finish_rec(rec, runs):
     loads)."""
     walls = [w for w, _ in runs]
     perfs = [np.asarray(p, float) for _, p in runs]
-    L = min(len(p) for p in perfs)
+    lens = [len(p) for p in perfs]
+    L = min(lens)
     P = np.stack([p[:L] for p in perfs])
     rec["wall_s"] = round(float(np.mean(walls)), 1)
     rec["perf"] = [round(float(v), 3) for v in P.mean(0)]
     if len(runs) > 1:
         rec["n_runs"] = len(runs)
+        if len(set(lens)) > 1:
+            # no silent caps: a shortened repeat truncates the mean curve
+            rec["curve_lens"] = lens
         rec["wall_runs"] = [round(w, 1) for w in walls]
         rec["perf_std"] = [round(float(v), 3) for v in P.std(0, ddof=1)]
         rec["perf_runs"] = [[round(float(v), 3) for v in p] for p in P]

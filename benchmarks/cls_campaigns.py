@@ -169,14 +169,17 @@ def main():
             out = prev
 
     base = dict(PARS)
-    sigma = base.pop("sigma")
-    X, y = make_dataset(nclass=base["nclass"], sigma=sigma, seed=7)
     if _PARS_OVER:
+        # apply overrides BEFORE building the dataset: sigma/nclass are
+        # dataset-shaping keys, and applying them after make_dataset
+        # would tag the row as a variant measured on the unchanged data
+        # (the silently-ignored-config defect class, r02 fi diag_load)
         from nnal_tpu.core.config import set_parameters
 
         PARS.update(set_parameters(PARS, _PARS_OVER))
         base.update(set_parameters(base, _PARS_OVER))
-        base.pop("sigma", None)
+    sigma = base.pop("sigma")
+    X, y = make_dataset(nclass=base["nclass"], sigma=sigma, seed=7)
     tag_sfx = ("@cc" if _CC_ON else "") + (
         f"@x{_REPEAT}" if _REPEAT > 1 else "") + (
         f"@{_TAG}" if _TAG else "")
@@ -216,12 +219,17 @@ def _cls_rec(rows):
     on the standard 'acc' key, std + per-run curves alongside (phase_s
     from the LAST repeat — warm steady state)."""
     walls = [w for w, _, _ in rows]
-    A = np.stack([np.asarray(a, float) for _, a, _ in rows])
+    lens = [len(a) for _, a, _ in rows]
+    L = min(lens)
+    A = np.stack([np.asarray(a[:L], float) for _, a, _ in rows])
     rec = dict(rows[-1][2])
     rec["wall_s"] = round(float(np.mean(walls)), 1)
     rec["acc"] = [round(float(v), 4) for v in A.mean(0)]
     if len(rows) > 1:
         rec["n_runs"] = len(rows)
+        if len(set(lens)) > 1:
+            # no silent caps: a shortened repeat truncates the mean curve
+            rec["curve_lens"] = lens
         rec["wall_runs"] = [round(w, 1) for w in walls]
         rec["acc_std"] = [round(float(v), 4) for v in A.std(0, ddof=1)]
         rec["acc_runs"] = [[round(float(v), 4) for v in a] for a in A]

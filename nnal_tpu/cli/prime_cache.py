@@ -41,11 +41,18 @@ PARS = {
 
 
 def prime(methods, pars_over=None, n_modalities: int = 2,
-          verbose: bool = True) -> dict:
+          n_subjects: int = 3, verbose: bool = True) -> dict:
     """Run a 1-query micro-campaign per method through the multi-subject
-    engine (1 subject) — the engine constructs the same evaluators and
-    jitted programs the full campaign uses; with the persistent cache
-    enabled every compile lands on disk.  Returns {method: seconds}."""
+    engine — the engine constructs the same evaluators and jitted
+    programs the full campaign uses; with the persistent cache enabled
+    every compile lands on disk.  Returns {method: seconds}.
+
+    ``n_subjects`` MUST match the target campaign (default 3 = the
+    benchmarks/campaigns.py protocol): the global uncertainty-filter
+    programs run on the CONCATENATED pool, so a 1-subject prime compiles
+    a different-shape filter and the campaign still pays its compile at
+    round 0 (measured: fresh-cache 1-subject prime left influence's
+    round-0 filter at 27 s while its CG dropped 26.5 -> 2.8 s)."""
     from nnal_tpu.core.compile_cache import enable_compilation_cache
     from nnal_tpu.core.config import ExperimentConfig
     from nnal_tpu.data.io import synthetic_subject
@@ -62,7 +69,8 @@ def prime(methods, pars_over=None, n_modalities: int = 2,
                                       ExperimentConfig.from_pars(pars))
             subs = [synthetic_subject(shape=SHAPE,
                                       n_modalities=n_modalities,
-                                      n_blobs=10, seed=0)]
+                                      n_blobs=10, seed=si)
+                    for si in range(n_subjects)]
             test = [synthetic_subject(shape=SHAPE,
                                       n_modalities=n_modalities,
                                       n_blobs=10, seed=9)]
@@ -72,8 +80,6 @@ def prime(methods, pars_over=None, n_modalities: int = 2,
             # seed a small labeled set: influence/fi need one, and the
             # bucket-padded programs are shape-identical either way
             _, pg = j.membership()
-            import numpy as np
-
             j.init_membership(pg[:8], pg[8:])
             expr.run_method(method, int(pars.get("k", 1)))
         timings[method] = round(time.perf_counter() - t0, 1)
@@ -88,13 +94,17 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--methods", default="entropy,fi,influence",
                     help="comma-separated query methods to prime")
+    ap.add_argument("--n-subjects", type=int, default=3,
+                    help="training-subject count — must match the target "
+                         "campaign (concatenated-pool program shapes)")
     ap.add_argument("--pars", default="",
                     help="campaign-par overrides, key=val,key=val")
     ap.add_argument("--modalities", type=int, default=2)
     args = ap.parse_args(argv)
     over = set_parameters(dict(PARS), args.pars)
     prime([m for m in args.methods.split(",") if m],
-          pars_over=over, n_modalities=args.modalities)
+          pars_over=over, n_modalities=args.modalities,
+          n_subjects=args.n_subjects)
     return 0
 
 

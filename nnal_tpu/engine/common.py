@@ -183,13 +183,15 @@ def warn_fcn_unsupported_keys(engine, model_cfg,
     per-pixel old-logit volume per round — unbudgeted; set
     ``train_layers_ok=False`` for engines whose fcn path also lacks the
     grad mask, mirroring their patch path)."""
-    if getattr(engine, "_fcn_keys_warned", False):
-        return
     ignored = []
     if float(getattr(model_cfg, "lwf_lambda", 0.0)) > 0.0:
         ignored.append("lwf_lambda (LwF)")
     if not train_layers_ok and getattr(model_cfg, "train_layers", None):
         ignored.append("train_layers (partial training)")
+    # key the once-guard on WHAT is ignored: a key set mid-campaign
+    # (modify_parameters) must still warn the first time it is ignored
+    if tuple(ignored) == getattr(engine, "_fcn_keys_warned", None):
+        return
     if ignored:
         import warnings
 
@@ -198,7 +200,7 @@ def warn_fcn_unsupported_keys(engine, model_cfg,
             + ", ".join(ignored)
             + " — these are only implemented on the patch-wise path",
             stacklevel=3)
-    engine._fcn_keys_warned = True
+    engine._fcn_keys_warned = tuple(ignored)
 
 
 def mt_rampdown(model_cfg, n_labeled: int):
