@@ -12,9 +12,11 @@ unchanged — entropy, MC-entropy, BALD, BatchBALD, random and ps-random
 all work, and the ``feature_layer`` op (the spec's per-PIXEL probe — for
 Tiramisu the last full-resolution dense-block conv) serves the
 feature-space family (core-set, rep-entropy, BADGE; reference feature
-methods PW_NNAL.py:284-451 over eval_utils feature maps).  Per-patch
-GRADIENT methods (fi, influence) need patch-level loss gradients and
-raise a clear error instead.
+methods PW_NNAL.py:284-451 over eval_utils feature maps) — and fi runs
+via hallucinated last-layer Fisher over the same probes
+(scoring/fisher.hallucinated_class_grads).  Per-patch FULL-gradient
+methods (influence, AU_4U) need patch-level loss gradients and raise a
+clear error instead.
 
 TPU-native shape: the normalized slice stack lives on device once; each
 ``evaluate`` runs the jitted batched forward over all Z slices (static
@@ -117,7 +119,7 @@ class FCNGridPoolEvaluator:
         if unsupported:
             raise NotImplementedError(
                 f"dense-model evaluator has no {unsupported} op — "
-                "per-patch gradient query methods (fi, influence) need "
+                "per-patch full-gradient query methods (influence) need "
                 "the patch-wise evaluator")
         x, y, z = np.unravel_index(np.asarray(pool_inds, np.int64),
                                    self.orig_shape)

@@ -55,6 +55,31 @@ def a_matrices_multiclass(shrunk: jnp.ndarray, posts: jnp.ndarray,
     return A + diag_load * jnp.eye(L)
 
 
+@jax.jit
+def hallucinated_class_grads(F: jnp.ndarray, posts: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Hallucinated last-layer class-gradients over probe features — the
+    BADGE construction (Ash et al., ICLR 2020) shaped for the reference's
+    A-matrix pipeline.  Dense (FCN) specs have no per-patch full-network
+    gradient, so fi uses the Fisher of a surrogate softmax layer
+    ``z = W^T [f; 1]`` over the model's own per-pixel probe features:
+    the CE gradient at ASSUMED label c is ``(p_j - delta_jc) (x) [f; 1]``
+    flattened over output classes j.
+
+    ``F``: (b, d) features; ``posts``: (b,) P(y=1) for binary or (b, c).
+    Returns (b, c, c*(d+1)) — feed to :func:`a_matrices` (binary) /
+    :func:`a_matrices_multiclass`."""
+    if posts.ndim == 1:
+        posts = jnp.stack([1.0 - posts, posts], axis=1)
+    b, d = F.shape
+    c = posts.shape[1]
+    f1 = jnp.concatenate([F, jnp.ones((b, 1), F.dtype)], axis=1)
+    delta = jnp.eye(c, dtype=F.dtype)
+    coeff = posts[:, None, :] - delta[None, :, :]     # (b, assumed, j)
+    g = coeff[..., None] * f1[:, None, None, :]       # (b, assumed, j, d+1)
+    return g.reshape(b, c, c * (d + 1))
+
+
 def refine_feature_matrix(F: np.ndarray, B: int,
                           cond_limit: float = 1e6) -> np.ndarray:
     """Select a well-conditioned full-row-rank feature submatrix (reference

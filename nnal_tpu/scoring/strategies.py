@@ -103,8 +103,9 @@ def _require_patch_evaluator(ev, method: str) -> None:
     if not hasattr(ev, "padded"):
         raise NotImplementedError(
             f"{method} needs per-patch gradients — dense-model (fcn) "
-            "specs support the uncertainty + feature-space families; "
-            "gradient methods need the patch-wise evaluator")
+            "specs support the uncertainty + feature-space families and "
+            "last-layer fi; full-gradient methods need the patch-wise "
+            "evaluator")
 
 
 def _posteriors(ctx: QueryContext) -> np.ndarray:
@@ -495,7 +496,14 @@ def _fi(ctx: QueryContext):
     from nnal_tpu.scoring.sdp import fi_query_distribution
     from nnal_tpu.scoring.pmf import sample_query_pmf
 
-    _require_patch_evaluator(ctx.evaluator, "fi")
+    if not hasattr(ctx.evaluator, "padded"):
+        # dense (FCN) specs: no per-patch full-network gradient exists,
+        # so the A-matrices come from HALLUCINATED last-layer gradients
+        # over the per-pixel probe features (the BADGE construction
+        # feeding the reference's A -> SDP -> PMF tail; clearly an
+        # approximation of the reference's shrunk full gradients —
+        # scoring/fisher.hallucinated_class_grads docstring)
+        return _fi_dense(ctx)
     with subphase("fi/posteriors"):
         p1 = _posteriors(ctx)
     B = min(ctx.B, len(ctx.pool_inds))
@@ -515,6 +523,51 @@ def _fi(ctx: QueryContext):
             feats = ev.evaluate(ctx.params, cand_inds,
                                 ("feature_layer",))["feature_layer"]
         ref_F = refine_feature_matrix(np.asarray(feats).T, len(sel))
+        X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
+    with subphase("fi/sdp"):
+        q = fi_query_distribution(A, ctx.lambda_, X_pool, ctx.k)
+    with subphase("fi/pmf"):
+        picks = sample_query_pmf(q, ctx.k, ctx.rng, replacement=True)
+    return sel[picks]
+
+
+def _fi_dense(ctx: QueryContext):
+    """fi for dense (FCN) specs: last-layer Fisher over per-pixel probe
+    features — ONE evaluate (posteriors + features), then the standard
+    uncertainty filter -> A-matrices -> device SDP -> PMF tail.  The
+    (B, c(d+1), c(d+1)) A-matrices are tiny (probe d = growth)."""
+    from nnal_tpu.core.profiling import subphase
+    from nnal_tpu.scoring.fisher import (
+        a_matrices,
+        a_matrices_multiclass,
+        hallucinated_class_grads,
+    )
+    from nnal_tpu.scoring.pmf import sample_query_pmf
+    from nnal_tpu.scoring.sdp import fi_query_distribution
+
+    with subphase("fi/posteriors"):
+        res = ctx.evaluator.evaluate(ctx.params, ctx.pool_inds,
+                                     ("posteriors", "feature_layer"),
+                                     as_device=True)
+        p1 = np.asarray(res["posteriors"])
+    with subphase("fi/filter"):
+        B = min(ctx.B, len(ctx.pool_inds))
+        p_rank = p1 if p1.ndim == 1 else p1[:, 1]
+        sel = np.asarray(binary_uncertainty_filter(p_rank, B))
+    with subphase("fi/gather_grads_A"):
+        F_sel = res["feature_layer"][jnp.asarray(sel)]
+        p_sel = jnp.asarray(p1[sel], jnp.float32)
+        g = hallucinated_class_grads(F_sel, p_sel)
+        if p_sel.ndim == 1:
+            A = np.asarray(a_matrices(g, p_sel, ctx.diag_load))
+        else:
+            A = np.asarray(a_matrices_multiclass(g, p_sel,
+                                                 ctx.diag_load))
+    X_pool = None
+    if ctx.lambda_ > 0:
+        from nnal_tpu.scoring.fisher import refine_feature_matrix
+
+        ref_F = refine_feature_matrix(np.asarray(F_sel).T, len(sel))
         X_pool = ref_F - ref_F.mean(axis=1, keepdims=True)
     with subphase("fi/sdp"):
         q = fi_query_distribution(A, ctx.lambda_, X_pool, ctx.k)
@@ -699,8 +752,10 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         # (reference PW_NNAL.py:547-627)
         from nnal_tpu.core.profiling import subphase
 
-        for c in contexts:
-            _require_patch_evaluator(c.evaluator, "fi")
+        if not hasattr(contexts[0].evaluator, "padded"):
+            # dense (FCN) specs: hallucinated last-layer Fisher over the
+            # per-pixel probe features (see _fi_dense)
+            return _fi_dense_multimg(contexts, k, rng)
         with subphase("fi/posteriors"):
             p1 = np.concatenate([_posteriors(c) for c in contexts])
         B = min(contexts[0].B, len(p1))
@@ -819,6 +874,61 @@ def query_multimg(contexts: Sequence[QueryContext], method_name: str,
         return out
 
     raise ValueError(method_name)
+
+
+def _fi_dense_multimg(contexts: Sequence[QueryContext], k: int, rng
+                      ) -> List[np.ndarray]:
+    """Multi-subject dense fi: per-subject dense sweeps (posteriors +
+    per-pixel features), ONE global uncertainty filter, hallucinated
+    last-layer A-matrices per subject, one SDP + PMF (the dense analog of
+    the patch branch above; scoring/fisher.hallucinated_class_grads)."""
+    from nnal_tpu.core.profiling import subphase
+    from nnal_tpu.scoring.fisher import (
+        a_matrices,
+        a_matrices_multiclass,
+        hallucinated_class_grads,
+    )
+    from nnal_tpu.scoring.pmf import sample_query_pmf
+    from nnal_tpu.scoring.sdp import fi_query_distribution
+
+    sizes = [len(c.pool_inds) for c in contexts]
+    ref = contexts[0]
+    with subphase("fi/posteriors"):
+        results = [c.evaluator.evaluate(c.params, c.pool_inds,
+                                        ("posteriors", "feature_layer"),
+                                        as_device=True)
+                   for c in contexts]
+        p1 = np.concatenate([np.asarray(r["posteriors"])
+                             for r in results])
+    with subphase("fi/filter"):
+        B = min(ref.B, len(p1))
+        p_rank = p1 if p1.ndim == 1 else p1[:, 1]
+        sel = np.asarray(binary_uncertainty_filter(p_rank, B))
+    sel_local = global2local_inds(sel, sizes)
+    A_list, order = [], []
+    with subphase("fi/gather_grads_A"):
+        for si, c in enumerate(contexts):
+            li = sel_local[si]
+            if len(li) == 0:
+                continue
+            base = int(np.sum(sizes[:si]))
+            F_sel = results[si]["feature_layer"][jnp.asarray(li)]
+            p_sel = jnp.asarray(p1[base + li], jnp.float32)
+            g = hallucinated_class_grads(F_sel, p_sel)
+            if p_sel.ndim == 1:
+                A_list.append(np.asarray(
+                    a_matrices(g, p_sel, ref.diag_load)))
+            else:
+                A_list.append(np.asarray(
+                    a_matrices_multiclass(g, p_sel, ref.diag_load)))
+            order.append(base + li)
+    A = np.concatenate(A_list)
+    order = np.concatenate(order)
+    with subphase("fi/sdp"):
+        q = fi_query_distribution(A, ref.lambda_, None, k)
+    with subphase("fi/pmf"):
+        draws = sample_query_pmf(q, k, rng, replacement=True)
+    return global2local_inds(order[draws], sizes)
 
 
 def _influence_multimg(contexts: Sequence[QueryContext], k: int

@@ -66,15 +66,15 @@ def test_fcn_mc_methods_and_config_roundtrip(tmp_path, subject):
 
 
 def test_fcn_gradient_methods_raise_clearly(tmp_path, subject):
-    """Per-patch gradient methods (fi, influence) stay patch-only; the
-    feature-space family now runs dense (test_fcn_feature_methods)."""
+    """Per-patch FULL-gradient methods (influence) stay patch-only; the
+    feature-space family AND last-layer fi now run dense."""
     vols, mask = subject
     expr = PWExperiment(str(tmp_path), _cfg())
     expr.attach_subject(vols, mask)
     expr.prep_data()
-    expr.add_method("fi")
+    expr.add_method("influence")
     with pytest.raises(NotImplementedError, match="patch-wise evaluator"):
-        expr.run_method("fi", 4)
+        expr.run_method("influence", 4)
 
 
 def test_fcn_feature_methods_campaigns(tmp_path, subject):

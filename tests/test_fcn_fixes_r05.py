@@ -355,3 +355,60 @@ def test_multi_fcn_het_crash_resume_bit_identical(tmp_path):
     np.testing.assert_array_equal(ref["entropy"]["perf"], res2["perf"])
     np.testing.assert_array_equal(ref["entropy"]["train_global"],
                                   res2["train_global"])
+
+
+def test_hallucinated_class_grads_oracle():
+    """Closed form vs autodiff: the hallucinated class-gradient at
+    assumed label c must equal the CE gradient of a standalone softmax
+    layer z = W^T [f;1] at the point where its posteriors equal the
+    model's (flattened over output-class blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nnal_tpu.scoring.fisher import hallucinated_class_grads
+
+    rng = np.random.default_rng(0)
+    b, d, c = 5, 6, 3
+    F = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(d + 1, c)).astype(np.float32))
+
+    def loss(W, f1, label):
+        z = f1 @ W
+        return -jax.nn.log_softmax(z)[label]
+
+    f1 = jnp.concatenate([F, jnp.ones((b, 1))], axis=1)
+    posts = jax.nn.softmax(f1 @ W, axis=-1)
+    G = hallucinated_class_grads(F, posts)          # (b, c, c*(d+1))
+    for i in range(b):
+        for lab in range(c):
+            g_ad = jax.grad(loss)(W, f1[i], lab)    # (d+1, c)
+            # closed form is flattened j-major: (p_j - delta) * [f;1]
+            g_cf = np.asarray(G[i, lab]).reshape(c, d + 1).T
+            np.testing.assert_allclose(np.asarray(g_ad), g_cf,
+                                       rtol=1e-5, atol=1e-6)
+    # binary entry point: (b,) p1 row
+    p1 = posts[:, :2]
+    p1 = p1 / p1.sum(1, keepdims=True)
+    G2 = hallucinated_class_grads(F, p1[:, 1])
+    assert G2.shape == (b, 2, 2 * (d + 1))
+
+
+def test_fcn_fi_campaigns(tmp_path, ):
+    """Dense fi (last-layer Fisher) end-to-end through BOTH engines —
+    single-subject and heterogeneous-shape multi-subject."""
+    from nnal_tpu.engine.pw_experiment import PWExperiment
+
+    vols, mask = synthetic_subject(shape=(24, 24, 8), n_modalities=2,
+                                   seed=0)
+    expr = PWExperiment(str(tmp_path / "single"), _cfg())
+    expr.attach_subject(vols, mask)
+    expr.prep_data()
+    expr.add_method("fi")
+    res = expr.run_method("fi", 8)
+    assert res["n_queries"] == 8
+    assert np.isfinite(res["perf"]).all()
+
+    _, out = _het_multi(tmp_path / "multi", 8, methods=("fi",))
+    res_m = out["fi"]
+    assert res_m["n_queries"] == 8
+    assert np.isfinite(res_m["perf"]).all()
